@@ -1,0 +1,122 @@
+"""Engine: SparkSession management + table registry.
+
+The reference's client/AM pair (reference: core/.../client/Client.java,
+AM/ApplicationMaster.java) parses a job spec, validates inputs/outputs and
+schedules execution. Here the analogous lifecycle is: build a SparkSession
+with scale-appropriate defaults, register the canonical tables as temp
+views, and hand every query to Catalyst.
+
+Scale notes (100 TB design, tested on local[32]):
+  - AQE on: runtime partition coalescing, skew-join splitting, dynamic
+    broadcast selection replace the reference's hand-rolled skew carve-out
+    (ApplicationMaster.java:987-1008) and broadcast mode (AM:1043-1076).
+  - shuffle.partitions is a default only — AQE coalesces down; on a real
+    cluster set it ~2-3x total cores (or rely on AQE's initial value).
+  - maxPartitionBytes 128 MB keeps scan tasks memory-bounded at any SF.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Canonical table names present in every /root/testdata/sf* directory.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_DEFAULT_CONF = {
+    # Let Catalyst re-plan at runtime: coalesce small partitions, split
+    # skewed ones, switch sort-merge -> broadcast when a side turns out
+    # small. This is the engine-level replacement for the reference's
+    # static skew/broadcast knobs (SURVEY.md §4.1).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas_udf / applyInPandas / mapInPandas hop.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 128 MB scan partitions: the standard data/128MB task sizing that
+    # holds from sf0.001 up to 100 TB (SURVEY.md §4.3).
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def build_session(
+    app_name: str = "xlearning_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults applied."""
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+class Engine:
+    """Thin facade: session + table registry over a testdata directory.
+
+    The reference's "table registry" is its alias->paths input map
+    (common/.../InputInfo.java:16-24); ours is the Spark catalog: each
+    parquet table registered as a temp view so both the DataFrame API
+    and ``spark.sql`` reach it.
+    """
+
+    def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
+        self.spark = spark or build_session()
+        self.sf_dir = sf_dir or os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        self._registered: dict[str, DataFrame] = {}
+
+    def register_tables(self, sf_dir: str | None = None) -> dict[str, DataFrame]:
+        """Register every canonical parquet table as a temp view."""
+        sf_dir = sf_dir or self.sf_dir
+        for name in TABLES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if not os.path.exists(path):
+                continue
+            df = self.spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            self._registered[name] = df
+        return self._registered
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._registered:
+            self.register_tables()
+        return self._registered[name]
+
+    def sql(self, query: str) -> DataFrame:
+        if not self._registered:
+            self.register_tables()
+        return self.spark.sql(query)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Functional helper used by the query corpus: name -> DataFrame."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out

@@ -1,0 +1,81 @@
+"""Deterministic column helpers shared by the query corpus.
+
+The driver hash-compares Spark results against DuckDB, so every
+aggregate over floating-point money/quantity columns goes through
+DECIMAL: exact, associative, independent of partial-aggregation order
+on either engine. Cast back to DOUBLE at the end (lossless at our
+magnitudes) so output schemas stay simple.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dsum(col: str | Column, scale: int = 4) -> Column:
+    """Order-independent SUM of a double column via DECIMAL(18,scale)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def davg(col: str | Column, scale: int = 4) -> Column:
+    """Order-independent AVG: exact decimal sum, double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)
+
+
+def oracle_dsum(expr: str, scale: int = 4) -> str:
+    """DuckDB-side twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def oracle_davg(expr: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT({expr})"
+
+
+# --- text-analysis column bundles (SURVEY.md §2.12 L4/L6) ---------------
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization (matches DuckDB string_split_regex)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, r"\s+")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def punct_count(col: str | Column) -> Column:
+    """Count of characters that are not alphanumeric or whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", "")).cast("bigint")
+
+
+def stopword_count(col: str | Column) -> Column:
+    arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    return F.size(F.filter(tokens(col), lambda x: F.array_contains(arr, x))).cast(
+        "bigint"
+    )
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of sorted tokens.
+
+    The classic "fingerprint" key used for shuffled-word near-dup
+    detection; identical expression exists in DuckDB
+    (md5(array_to_string(list_sort(string_split(...)), ' '))).
+    """
+    return F.md5(F.concat_ws(" ", F.sort_array(tokens(col))))
+
+
+def shingles(col: str | Column, n: int = 5) -> Column:
+    """Array of n-word shingles (space-joined token windows)."""
+    t = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )

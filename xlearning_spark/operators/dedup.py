@@ -1,0 +1,282 @@
+"""Deduplication operators (SURVEY.md §2.12 L1/L2).
+
+Exact dedup is a hash groupBy (one shuffle). Near-dup is staged
+MinHash + banded LSH — the standard 100 TB-safe shape:
+
+  shingle -> 64 minhashes (map-side, no shuffle)
+        -> B band keys per doc (map-side)
+        -> explode + groupBy(band_key)  [shuffle 1, data = docs×B keys]
+        -> candidate pairs within buckets (bounded by bucket size cap)
+        -> exact-similarity verify on the candidates only [shuffle 2]
+
+All hash seeds are fixed so results are deterministic run-to-run.
+Reference parity note: the reference has no dedup; this is part of the
+mandated LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from xlearning_spark.functions import shingles, tokens
+
+# Mersenne prime for the universal-hash family h_i(x) = (a_i*x + b_i) mod p.
+_P = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per duplicate group of ``cols``.
+
+    One shuffle (hash aggregate); deterministic keeper choice, unlike
+    ``dropDuplicates`` whose survivor is partition-order dependent.
+    """
+    return df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via a tiny LCG (no RNG dependency)."""
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (_P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _P
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """(id, minhash array<bigint>) — map-side only, zero shuffles.
+
+    Each shingle is hashed once with xxhash64 (JVM, codegen'd), then
+    the universal-hash family is applied with ``aggregate`` over the
+    shingle array — all per-row expressions, so the signature compute
+    parallelizes embarrassingly at any scale.
+    """
+    params = _hash_params(num_hashes)
+    sh = (
+        df.withColumn("__sh", shingles(text_col, shingle_size))
+        .filter(F.size("__sh") > 0)
+        .select(
+            F.col(id_col),
+            F.expr(
+                "transform(__sh, s -> pmod(xxhash64(s), 2305843009213693951))"
+            ).alias("__h"),
+        )
+    )
+    mh = sh.select(
+        F.col(id_col),
+        F.array(
+            *[
+                F.expr(
+                    f"array_min(transform(__h, x -> pmod({a}L * x + {b}L,"
+                    f" {_P}L)))"
+                )
+                for (a, b) in params
+            ]
+        ).alias("minhash"),
+    )
+    return mh
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH banding: docs agreeing on any full band become a candidate pair.
+
+    Scale controls: ``max_bucket`` caps degenerate buckets (e.g. the
+    empty-document signature) so no bucket explodes into O(n²); the
+    pair join is bucket-local.
+    """
+    rows_per_band = num_hashes // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("minhash", b * rows_per_band + i + 1)
+                                for i in range(rows_per_band)
+                            ],
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    # Cap bucket size; deterministic members kept (lowest ids).
+    w = Window.partitionBy("band", "band_key").orderBy(id_col)
+    bounded = banded.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= max_bucket
+    )
+    a = bounded.select(
+        F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
+    )
+    b = bounded.select(
+        F.col("band"), F.col("band_key"), F.col(id_col).alias("id_b")
+    )
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Full near-dup pipeline: candidates verified by exact Jaccard.
+
+    Returns (id_a, id_b, jaccard) pairs with jaccard >= threshold.
+    Verification joins shingle sets only for candidate pairs, so the
+    expensive exact computation is proportional to candidate volume,
+    not corpus size squared.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    pairs = minhash_candidate_pairs(sigs, id_col, num_hashes, bands)
+
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, shingle_size)).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    pa = pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+    pab = pa.join(sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+    jac = pab.select(
+        "id_a",
+        "id_b",
+        (
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b"))
+        ).alias("jaccard"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over dup pairs -> (id, component) groups.
+
+    Iterative small-join algorithm, bounded iterations (components in
+    dedup graphs are shallow). Each iteration is one shuffle over the
+    edge list.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
+        if not changed:
+            break
+    return labels
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens -> (id, simhash bigint).
+
+    Classic Charikar sketch: per bit, sum +1/-1 over token hashes and
+    take the sign. Implemented as per-row array expressions (zero
+    shuffles); banding for candidate generation reuses 16-bit chunks.
+    """
+    t = df.select(
+        F.col(id_col), F.transform(tokens(text_col), lambda x: F.xxhash64(x)).alias("__th")
+    )
+    bit_cols = []
+    for i in range(bits):
+        bit_cols.append(
+            F.when(
+                F.aggregate(
+                    "__th",
+                    F.lit(0),
+                    lambda acc, h: acc
+                    + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                        -1
+                    ),
+                )
+                > 0,
+                F.lit(1).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    sig = t.select(
+        F.col(id_col),
+        sum(
+            [bit_cols[i] * F.lit(1 << i).cast("bigint") for i in range(bits - 1)],
+            F.lit(0).cast("bigint"),
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_candidates(sig: DataFrame, id_col: str, bands: int = 4) -> DataFrame:
+    """Band the 64-bit simhash into 16-bit chunks; same-chunk docs are
+    candidates (Hamming distance <= 3 guaranteed found with 4 bands)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", b * width).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    a = banded.select("band", "chunk", F.col(id_col).alias("id_a"))
+    b = banded.select("band", "chunk", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (SURVEY.md §2.12 L3).
+
+Two tiers:
+  - ``brute_force_topk``: exact cosine top-k via broadcast of the query
+    set. Scales linearly in corpus size (the 100 TB-safe exact path
+    when |queries| is small — the corpus is scanned once, no shuffle
+    until the final per-query top-k, which is a tiny aggregation).
+  - ``lsh_topk``: random-hyperplane LSH — signature map-side, bucket
+    join on band keys, exact re-rank inside buckets. Sublinear
+    candidate volume; recall tested against brute force in tests/.
+
+Dot products run as JVM higher-order functions (zip_with + aggregate)
+in whole-stage codegen — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    """Adds cosine similarity between two array<double> columns."""
+    return df.withColumn(
+        out, _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (qid, cid, cosine), k rows per query.
+
+    The query side is broadcast (small by contract); ranking ties break
+    on candidate id so results are fully deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (_norm("qv") * _norm("cv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "cosine")
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    num_planes: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane signature: ``num_planes`` sign bits packed into
+    one bigint column ``sig``. Hyperplanes are a deterministic LCG draw
+    so signatures are reproducible across runs/executors."""
+    import math
+
+    state = seed
+    def nxt() -> float:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        # Box-Muller-free uniform in [-1, 1): adequate for LSH planes.
+        return (state / float(1 << 63)) * 2.0 - 1.0
+
+    sig = F.lit(0).cast("bigint")
+    for p in range(num_planes):
+        plane = [nxt() for _ in range(dim)]
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.array(*[F.lit(x) for x in plane]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return df.withColumn("sig", sig)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    num_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """ANN top-k: hyperplane-LSH bucket join, exact cosine re-rank.
+
+    Bands of ``num_planes/bands`` bits each form bucket keys; a query
+    meets a candidate iff they share any band — candidate volume is
+    bucket-local, so the join stays sparse at corpus scale.
+    """
+    width = num_planes // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        s = hyperplane_signature(df, vec_col, dim, num_planes)
+        return s.select(
+            F.col(id_col).alias(f"{prefix}id"),
+            F.col(vec_col).cast("array<double>").alias(f"{prefix}v"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned("sig", b * width).bitwiseAND(F.lit(mask))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "chunk"),
+        )
+
+    qb = banded(queries, "q")
+    cb = banded(corpus, "c")
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "chunk"])
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "qv", "cid", "cv")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine", _dot(F.col("qv"), F.col("cv")) / (_norm("qv") * _norm("cv"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "cosine")
+    )

@@ -1,0 +1,75 @@
+"""Query registry: name -> (Spark callable, optional DuckDB oracle SQL).
+
+Contract (driver harness, see repo-root ``__spark_entry__.py``):
+  - the Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+  - the oracle is ANSI SQL DuckDB runs over the same parquet tables
+    (views: region nation customer supplier part orders lineitem events
+    documents embeddings);
+  - results are compared by row count + schema + order-insensitive
+    value hash, with columns sorted by NAME — so every computed column
+    must carry the same alias on both sides;
+  - queries with ``oracle=None`` get a weaker rows-only check (reserved
+    for genuinely non-SQL-expressible ops: approximate sketches,
+    LSH banding, stateful streaming).
+
+Float discipline: aggregate money/quantity columns via DECIMAL so the
+result is independent of Spark's partial-aggregation order, then cast
+back to DOUBLE (both engines do this losslessly at our magnitudes);
+round only where a true float pipeline is unavoidable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: SparkQuery
+    oracle: str | None  # DuckDB SQL, or None -> rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    doc: str = "",
+) -> Callable[[SparkQuery], SparkQuery]:
+    """Decorator registering a Spark query (+ oracle) under ``name``."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(
+            name=name, spark=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
+
+
+def get(name: str) -> QuerySpec:
+    return _REGISTRY[name]
+
+
+def specs() -> dict[str, QuerySpec]:
+    return dict(_REGISTRY)
+
+
+def all_queries() -> dict[str, SparkQuery]:
+    return {n: s.spark for n, s in _REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {n: s.oracle for n, s in _REGISTRY.items() if s.oracle is not None}
