@@ -21,19 +21,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: Canonical table names present in every /root/testdata/sf* directory.
-TABLES = (
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-)
+from xlearning_spark.sources import TABLES, read_table
 
 _DEFAULT_CONF = {
     # Let Catalyst re-plan at runtime: coalesce small partitions, split
@@ -49,6 +37,9 @@ _DEFAULT_CONF = {
     # holds from sf0.001 up to 100 TB (SURVEY.md §4.3).
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
+    # Fixture events.parquet carries TIMESTAMP(NANOS); read as long and
+    # normalize in sources.read_table (Spark has no nanos timestamp).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.showConsoleProgress": "false",
 }
@@ -96,7 +87,7 @@ class Engine:
             path = os.path.join(sf_dir, f"{name}.parquet")
             if not os.path.exists(path):
                 continue
-            df = self.spark.read.parquet(path)
+            df = read_table(self.spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             self._registered[name] = df
         return self._registered
@@ -118,5 +109,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = read_table(spark, sf_dir, name)
     return out

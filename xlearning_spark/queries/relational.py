@@ -10,18 +10,13 @@ Catalyst properties of the declarative plan, not tuning.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from xlearning_spark.functions import dsum, oracle_dsum
 from xlearning_spark.operators.asof import asof_join
 from xlearning_spark.queries.registry import query
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+from xlearning_spark.sources import read_table as _t
 
 
 # --------------------------------------------------------------------
@@ -182,8 +177,11 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region")
     one = F.lit(1).cast("decimal(5,4)")
     return (
+        # nation/region are bounded dims -> force broadcast; customer is
+        # fact-scale at 100 TB, so leave its join strategy to AQE (forcing
+        # a broadcast there OOMs executors at scale).
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -505,12 +503,15 @@ FROM events
     tags=("window", "lead-lag"),
 )
 def q19_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").withColumn(
+        # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (UTC session).
+        "ts_utc", F.col("ts").cast("timestamp")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "event_id",
         "user_id",
-        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        (F.unix_micros("ts_utc") - F.unix_micros(F.lag("ts_utc").over(w))).alias("gap_us"),
         F.lead("event_type").over(w).alias("next_type"),
     )
 
@@ -608,7 +609,7 @@ SELECT o_orderkey,
        date_trunc('month', o_orderdate) AS month_start,
        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
            AS days_since_epoch_start,
-       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
        epoch_us(o_orderdate) AS order_us
 FROM orders
 """,
@@ -626,8 +627,14 @@ def q23_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
             "days_since_epoch_start"
         ),
-        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
-        F.unix_micros("o_orderdate").alias("order_us"),
+        # DATE columns round-trip differently through the two engines'
+        # pandas bridges; a formatted string is unambiguous.
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        # o_orderdate is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP and the
+        # session TZ is pinned UTC, so the cast is value-stable.
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_us"),
     )
 
 
@@ -636,8 +643,8 @@ def q23_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_partkey,
        abs(p_retailprice - 1000.0) AS dist_from_1000,
-       ceil(p_retailprice) AS ceil_price,
-       floor(p_retailprice) AS floor_price,
+       CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+       CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
        ROUND(pow(p_size, 2.0), 6) AS size_sq,
        ROUND(ln(p_retailprice + 1.0), 6) AS log_price,
        ROUND(sqrt(CAST(p_size AS DOUBLE)), 6) AS sqrt_size,

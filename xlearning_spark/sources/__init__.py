@@ -1,0 +1,68 @@
+"""Sources: canonical table loading + input-delivery strategies.
+
+The reference's input layer is an alias->paths map resolved by glob
+(reference: AM/ApplicationMaster.java:833-880) with three delivery
+strategies (doc/datamanage_cn.md:6-60). Here the canonical table I/O
+is `spark.read.parquet` (SURVEY.md §2.1 S10); glob/recursive listing
+is Spark's own file index (S1/S2 — same API surface for local, HDFS
+and s3a paths).
+
+One fixture quirk handled centrally: `events.parquet` stores `ts` as
+parquet TIMESTAMP(NANOS), which Spark 4 refuses to map to a timestamp
+type. We read it with `spark.sql.legacy.parquet.nanosAsLong=true`
+(long nanoseconds) and normalize to TIMESTAMP_NTZ at microsecond
+precision — lossless on the fixture (all values micro-aligned) and
+exactly what DuckDB surfaces for the same file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Canonical table names present in every /root/testdata/sf* directory.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one canonical table, normalizing fixture-specific types."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _read_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    # Runtime-settable in Spark 4; scoped to this read — harmless for
+    # the other tables (they carry micro timestamps).
+    spark.conf.set(_NANOS_CONF, "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """name -> DataFrame for every canonical table present in sf_dir."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            out[name] = read_table(spark, sf_dir, name)
+    return out
