@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 from xlearning_spark.functions import shingles, tokens
 
 # Mersenne prime for the universal-hash family h_i(x) = (a_i*x + b_i) mod p.
-_P = (1 << 61) - 1
+# p = 2^31 - 1 keeps a*x + b < 2^62: no bigint overflow under ANSI mode
+# (Spark 4 default), and the multiply-mod stays a plain JVM expression.
+_P = (1 << 31) - 1
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
@@ -67,9 +69,9 @@ def minhash_signatures(
         .filter(F.size("__sh") > 0)
         .select(
             F.col(id_col),
-            F.expr(
-                "transform(__sh, s -> pmod(xxhash64(s), 2305843009213693951))"
-            ).alias("__h"),
+            # Reduce each shingle hash below p so the universal-hash
+            # multiply never leaves 64 bits.
+            F.expr(f"transform(__sh, s -> pmod(xxhash64(s), {_P}L))").alias("__h"),
         )
     )
     mh = sh.select(

@@ -1,0 +1,328 @@
+"""Events/metrics query tier (SURVEY.md §2.10 T2/T7 + §2.4 A1-A4).
+
+The reference's genuinely real data pipeline is its metrics
+time-series: per-container samples flow to the AM, which keeps a
+bounded window of the last 1800 points per metric plus running
+avg/max tuples (reference: ApplicationContainerListener.java:597-745,
+1090-1122), detects dead containers by heartbeat-gap timeout
+(Listener:988-1023), and aggregates failure rates / earliest start
+times (Listener:395-440, 748-766). These queries re-express each of
+those behaviors as oracle-checkable batch-window queries over the
+``events`` table; the live Structured Streaming variants live in
+``xlearning_spark.streaming`` and are semantics-tested.
+
+Scale notes: every window here is partitioned by a key (user_id /
+event_type) — no global windows; tumbling/sliding aggregation is a
+single keyed shuffle with partial aggregation map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xlearning_spark.queries.registry import query
+from xlearning_spark.sources import read_table as _t
+
+#: Session/timeout gap threshold, mirroring the reference's 5-minute
+#: container liveness timeout (HboxConfiguration.java:279-281) scaled
+#: to the fixture's event cadence.
+_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events")
+
+
+def _us(col) -> F.Column:
+    """Epoch-microseconds of a TIMESTAMP_NTZ column (UTC session)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+# --------------------------------------------------------------------
+# T7: tumbling windows
+# --------------------------------------------------------------------
+
+@query(
+    "q30_tumbling_hourly_counts",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming-batch", "T7", "window"),
+    doc="Tumbling 1-hour windows per event_type via F.window().",
+)
+def q30_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+# --------------------------------------------------------------------
+# T2: sliding windows (the 1800-point bounded deque, as time windows)
+# --------------------------------------------------------------------
+
+@query(
+    "q31_sliding_2h_windows",
+    oracle="""
+SELECT ws AS window_start, user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM (
+    SELECT unnest([date_trunc('hour', ts),
+                   date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+           user_id, value
+    FROM events
+)
+GROUP BY ws, user_id
+""",
+    tags=("streaming-batch", "T2", "sliding-window"),
+    doc="2-hour windows sliding by 1 hour: each event lands in 2 windows.",
+)
+def q31_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events", "total_value")
+    )
+
+
+# --------------------------------------------------------------------
+# A1: running avg/max per key (ContainerMetricsStatisticsTuple)
+# --------------------------------------------------------------------
+
+@query(
+    "q32_running_avg_max",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_avg,
+       MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_max,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_count
+FROM events
+""",
+    tags=("agg", "A1", "window", "running"),
+    doc="Incremental sum/max/count per key — the reference's running "
+    "metric stats (Listener:1090-1122) as a keyed window.",
+)
+def q32_running_avg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("run_avg"),
+        F.max("value").over(w).alias("run_max"),
+        F.count("*").over(w).alias("run_count"),
+    )
+
+
+# --------------------------------------------------------------------
+# A2: bounded last-N window per key (the 1800-point cap)
+# --------------------------------------------------------------------
+
+@query(
+    "q33_last_n_per_key",
+    oracle="""
+SELECT event_id, user_id, value
+FROM (SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn <= 50
+""",
+    tags=("window", "A2", "last-n"),
+    doc="Keep only the newest 50 points per key — the reference's "
+    "1800-point deque cap (Listener:614-619) as a ranked window.",
+)
+def q33_last_n_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("event_id", "user_id", "value")
+    )
+
+
+# --------------------------------------------------------------------
+# T3 (batch form): heartbeat-gap timeout / session detection
+# --------------------------------------------------------------------
+
+@query(
+    "q34_timeout_gap_detection",
+    oracle=f"""
+SELECT user_id,
+       CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > {_GAP_US} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN gap_us > {_GAP_US} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_timeouts,
+       MAX(gap_us) AS max_gap_us
+FROM (SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id) AS gap_us
+      FROM events)
+GROUP BY user_id
+""",
+    tags=("window", "T3", "timeout", "session"),
+    doc="Heartbeat-gap timeout detection (Listener:988-1023): count "
+    "gaps exceeding the liveness threshold per key.",
+)
+def q34_timeout_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id", (_us("ts") - F.lag(_us("ts")).over(w)).alias("gap_us")
+    )
+    return gaps.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("gap_us").isNull() | (F.col("gap_us") > _GAP_US), 1).otherwise(0)
+        ).alias("n_sessions"),
+        F.sum(F.when(F.col("gap_us") > _GAP_US, 1).otherwise(0)).alias("n_timeouts"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+@query(
+    "q35_sessionization",
+    oracle=f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_GAP_US}
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+    SELECT user_id, ts,
+           CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_seq
+""",
+    tags=("window", "T3", "session"),
+    doc="Full sessionization: break-flag via lag, session id via "
+    "running sum, one shuffle on the key — the batch twin of "
+    "session_window (streaming variant in xlearning_spark.streaming).",
+)
+def q35_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag(_us("ts")).over(w).isNull()
+            | ((_us("ts") - F.lag(_us("ts")).over(w)) > _GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    numbered = flagged.select(
+        "user_id", "ts", F.sum("brk").over(wrun).alias("session_seq")
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------
+# A3: failure-rate aggregate
+# --------------------------------------------------------------------
+
+@query(
+    "q36_failure_rate",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS error_rate,
+       (CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) >= 0.5) AS over_threshold
+FROM events
+GROUP BY user_id
+""",
+    tags=("agg", "A3", "failure-rate"),
+    doc="Failure-rate guard: fraction of 'error' events >= 0.5 per key "
+    "(the reference's maxFailures.rate check, Listener:395-440).",
+)
+def q36_failure_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    rate = n_err.cast("double") / F.count("*")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        n_err.alias("n_errors"),
+        rate.alias("error_rate"),
+        (rate >= 0.5).alias("over_threshold"),
+    )
+
+
+# --------------------------------------------------------------------
+# A4: earliest-start-time (min over group)
+# --------------------------------------------------------------------
+
+@query(
+    "q37_earliest_event",
+    oracle="""
+SELECT event_type, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("agg", "A4", "min"),
+    doc="Earliest/latest per group (allContainerStartTime, "
+    "Listener:748-766) + distinct cardinality.",
+)
+def q37_earliest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,347 @@
+"""LLM-data-pipeline query tier (SURVEY.md §2.12 L1-L6) over the
+``documents`` and ``embeddings`` tables.
+
+Exact operators (content-hash dedup, fingerprint near-dup, n-gram
+Jaccard, text stats, quality scoring, language ID, brute-force cosine
+top-k) carry full DuckDB oracles. Approximate operators (MinHash LSH,
+SimHash, hyperplane-LSH ANN) are not SQL-reproducible (xxhash64-seeded
+sketches), so they register rows-only here and get recall-vs-exact
+assertions in tests/test_llm_ops.py.
+
+Scale notes: the exact tier is map-only column expressions (scan
+throughput at 100 TB); dedup is one hash shuffle; cosine top-k
+broadcasts only the bounded query set and never shuffles the corpus;
+the approximate tier's shuffles are band-key local (operators/dedup.py,
+operators/similarity.py document the shapes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xlearning_spark.functions import (
+    fingerprint,
+    punct_count,
+    stopword_count,
+    token_count,
+    tokens,
+)
+from xlearning_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    simhash,
+)
+from xlearning_spark.operators.similarity import brute_force_topk, lsh_topk
+from xlearning_spark.operators.text import guess_lang, quality_score
+from xlearning_spark.queries.registry import query
+from xlearning_spark.sources import read_table as _t
+
+#: DuckDB twin of functions.tokens (whitespace regex split).
+_TOKS = "string_split_regex(text, '\\s+')"
+
+
+# --------------------------------------------------------------------
+# L1: exact dedup
+# --------------------------------------------------------------------
+
+@query(
+    "q40_exact_dedup",
+    oracle="""
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    tags=("llm", "L1", "dedup"),
+    doc="Content-hash exact dedup: one shuffle, deterministic lowest-id "
+    "survivor (operators/dedup.py exact_dedup).",
+)
+def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").withColumn("content_hash", F.md5("text"))
+    kept = exact_dedup(d.withColumnRenamed("doc_id", "keeper_id"), ["content_hash"], "keeper_id")
+    counts = d.groupBy("content_hash").agg(F.count("*").alias("n_copies"))
+    return kept.join(counts, "content_hash").select("content_hash", "keeper_id", "n_copies")
+
+
+@query(
+    "q41_fingerprint_neardup",
+    oracle="""
+SELECT md5(array_to_string(list_sort(string_split_regex(text, '\\s+')), ' '))
+           AS fp,
+       MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
+FROM documents
+GROUP BY 1
+""",
+    tags=("llm", "L1", "fingerprint"),
+    doc="Order-insensitive fingerprint dedup: identical token multisets "
+    "collapse regardless of word order.",
+)
+def q41_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").withColumn("fp", fingerprint("text"))
+    return d.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("group_size")
+    )
+
+
+# --------------------------------------------------------------------
+# L2 (exact form): n-gram Jaccard pair similarity within source groups
+# --------------------------------------------------------------------
+
+@query(
+    "q42_jaccard_pairs",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, list_distinct({_TOKS}) AS toks FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(a.toks || b.toks)), 8) AS jaccard
+FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(a.toks || b.toks)) >= 0.30
+""",
+    tags=("llm", "L2", "jaccard"),
+    doc="Exact token-set Jaccard over same-source pairs: the exact twin "
+    "the MinHash pipeline approximates; blocked on source so the pair "
+    "space stays group-local (no all-pairs blowup).",
+)
+def q42_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(tokens("text")).alias("toks")
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("source"), F.col("toks").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("source"), F.col("toks").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    return (
+        a.join(b, "source")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.30)
+        .select("id_a", "id_b", F.round("jaccard", 8).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------
+# L4: text analysis
+# --------------------------------------------------------------------
+
+@query(
+    "q43_text_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+       len(list_filter(toks, x -> list_contains(
+           ['the','a','an','and','or','of','to','in','is','on'], x)))
+           AS n_stopwords,
+       ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / len(toks), 8) AS avg_token_len
+FROM t
+""",
+    tags=("llm", "L4", "text-stats"),
+    doc="Token/punctuation/stopword counting — pure column expressions, "
+    "scan-throughput at any scale (operators/text.py).",
+)
+def q43_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = tokens("text")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        punct_count("text").alias("n_punct"),
+        stopword_count("text").alias("n_stopwords"),
+        F.round(
+            F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+            / F.size(t),
+            8,
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "q44_language_id",
+    oracle="""
+WITH t AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks
+           FROM documents),
+scored AS (
+    SELECT doc_id, lang,
+           list_sort([
+               {'s': len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))), 'l': 'en'},
+               {'s': len(list_filter(toks, x -> list_contains(['el','la','de','que'], x))), 'l': 'es'},
+               {'s': len(list_filter(toks, x -> list_contains(['der','die','und','das'], x))), 'l': 'de'},
+               {'s': len(list_filter(toks, x -> list_contains(['le','la','et','les'], x))), 'l': 'fr'},
+               {'s': len(list_filter(toks, x -> list_contains(['的','是','了','在'], x))), 'l': 'zh'}
+           ])[-1] AS best
+    FROM t)
+SELECT doc_id, lang,
+       CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_guess,
+       (CASE WHEN best.s > 0 THEN best.l ELSE 'und' END = lang) AS correct
+FROM scored
+""",
+    tags=("llm", "L4", "lang-id"),
+    doc="Marker-lexicon language ID (argmax over per-language hit "
+    "counts; ties break lexicographically on the language code in both "
+    "engines' struct ordering).",
+)
+def q44_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    guess = guess_lang("text")
+    return d.select(
+        "doc_id", "lang", guess.alias("lang_guess"), (guess == F.col("lang")).alias("correct")
+    )
+
+
+# --------------------------------------------------------------------
+# L6: quality scoring
+# --------------------------------------------------------------------
+
+@query(
+    "q45_quality_score",
+    oracle="""
+WITH t AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks
+           FROM documents)
+SELECT doc_id,
+       ROUND(
+           CASE WHEN len(toks) BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END
+           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                    / greatest(CAST(len(toks) AS DOUBLE), 1.0))
+           + 0.3 * (1.0 - least(
+                 CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10, 1.0)),
+           6) AS quality,
+       (len(toks) BETWEEN 5 AND 10000) AS length_ok
+FROM t
+""",
+    tags=("llm", "L6", "quality"),
+    doc="Gopher/C4-style heuristic quality score: length gate + "
+    "distinct-token ratio + symbol-ratio penalty (operators/text.py).",
+)
+def q45_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(tokens("text"))
+    return d.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        ((n >= 5) & (n <= 10000)).alias("length_ok"),
+    )
+
+
+# --------------------------------------------------------------------
+# L3: similarity search
+# --------------------------------------------------------------------
+
+@query(
+    "q46_cosine_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+    SELECT qid, cid,
+           list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS cosine
+    FROM q, c WHERE qid != cid)
+SELECT qid, cid, ROUND(cosine, 8) AS cosine
+FROM (SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+      FROM scored)
+WHERE rn <= 5
+""",
+    tags=("llm", "L3", "similarity", "topk"),
+    doc="Exact cosine top-5 for 10 query vectors: broadcast query set, "
+    "JVM zip_with/aggregate dot products, corpus scanned once "
+    "(operators/similarity.py brute_force_topk).",
+)
+def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = brute_force_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), id_col="vec_id", k=5
+    )
+    return topk.select("qid", "cid", F.round("cosine", 8).alias("cosine"))
+
+
+@query(
+    "q47_embedding_stats",
+    oracle="""
+SELECT label, COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+           AS sum_dim0,
+       ROUND(CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[])))
+                           AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+    tags=("llm", "L3", "array-agg"),
+    doc="Per-label embedding stats: decimal-exact component sum + mean "
+    "L2 norm via higher-order dot product.",
+)
+def q47_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "ev", F.col("embedding").cast("array<double>")
+    )
+    norm = F.sqrt(
+        F.aggregate(F.zip_with("ev", "ev", lambda a, b: a * b), F.lit(0.0), lambda a, v: a + v)
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.element_at("embedding", 1).cast("decimal(18,9)"))
+            .cast("double")
+            .alias("sum_dim0"),
+            # Decimal-sum the per-row norms: a double AVG is partial-
+            # aggregation-order dependent and won't hash-match.
+            F.round(
+                F.sum(norm.cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+            ).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------
+# Approximate tier: rows-only registrations (recall tested in tests/)
+# --------------------------------------------------------------------
+
+@query(
+    "q48_minhash_neardup",
+    oracle=None,  # xxhash64-seeded sketch: not SQL-reproducible
+    tags=("llm", "L2", "minhash", "approx"),
+    doc="Banded MinHash-LSH near-dup pairs verified by exact Jaccard; "
+    "recall vs q42's exact pairs asserted in tests/test_llm_ops.py.",
+)
+def q48_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, "doc_id", "text", threshold=0.30).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "q49_simhash_sketch",
+    oracle=None,  # xxhash64-seeded sketch: not SQL-reproducible
+    tags=("llm", "L2", "simhash", "approx"),
+    doc="64-bit SimHash per document (operators/dedup.py simhash).",
+)
+def q49_simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "q50_lsh_ann_topk",
+    oracle=None,  # LSH bucketing: approximate by design
+    tags=("llm", "L3", "lsh", "approx"),
+    doc="Hyperplane-LSH ANN top-k; recall vs q46's exact top-k asserted "
+    "in tests/test_llm_ops.py.",
+)
+def q50_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), id_col="vec_id", dim=64, k=5
+    ).orderBy("qid", "cid")
