@@ -1,0 +1,122 @@
+"""LLM-operator property tests (SURVEY.md §5.2): approximate sketches
+(MinHash LSH, SimHash, hyperplane LSH) asserted against their exact
+counterparts — recall bounds instead of hash equality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from xlearning_spark.functions import tokens
+from xlearning_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_near_duplicates,
+    simhash,
+    simhash_candidates,
+)
+from xlearning_spark.operators.similarity import brute_force_topk, lsh_topk
+from xlearning_spark.sources import read_table
+
+
+def _docs(spark):
+    return read_table(spark, SF_SMOKE, "documents")
+
+
+def test_exact_dedup_deterministic_keeper(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y"), (5, "x")], ["doc_id", "text"]
+    )
+    kept = {r.text: r.doc_id for r in exact_dedup(df, ["text"], "doc_id").collect()}
+    assert kept == {"x": 1, "y": 2}
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    d = _docs(spark)
+    # Exact all-pairs truth in the pipeline's own similarity space:
+    # distinct 5-token shingle sets (what minhash_near_duplicates
+    # sketches and verifies). Bounded: all-pairs only at sf0.001.
+    from xlearning_spark.functions import shingles
+
+    t = d.select(
+        "doc_id", F.array_distinct(shingles("text", 5)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("sa", "sb"))
+            / F.size(F.array_union("sa", "sb")),
+        )
+    )
+    # At j >= 0.8 a 16-band/4-row LSH finds a pair w.p. ~0.9998 —
+    # recall is a near-certain property, not a statistical hope.
+    truth = {(r.id_a, r.id_b) for r in exact.filter(F.col("j") >= 0.8).collect()}
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(d, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert found <= {(ra, rb) for ra, rb in exact.select("id_a", "id_b").toPandas().itertuples(index=False, name=None)}
+    if truth:
+        recall = len(found & truth) / len(truth)
+        assert recall >= 0.8, f"recall {recall} over {len(truth)} true pairs"
+
+
+def test_minhash_pairs_are_verified_exact(spark):
+    d = _docs(spark)
+    pairs = minhash_near_duplicates(d, "doc_id", "text", threshold=0.3).collect()
+    for r in pairs:
+        assert r.jaccard >= 0.3  # verify step guarantees the floor
+
+
+def test_simhash_is_64_bit_and_deterministic(spark):
+    d = _docs(spark)
+    s1 = {r.doc_id: r.simhash for r in simhash(d, "doc_id", "text").collect()}
+    s2 = {r.doc_id: r.simhash for r in simhash(d, "doc_id", "text").collect()}
+    assert s1 == s2  # seeded -> reproducible
+    # bit 63 must be reachable (negative values exist iff sign bit set
+    # for some doc; over 50 random-ish docs this is overwhelmingly
+    # likely — the old implementation could never produce one).
+    assert any(v < 0 for v in s1.values())
+
+
+def test_simhash_candidates_near_identical_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely different words entirely")],
+        ["doc_id", "text"],
+    )
+    sig = simhash(df, "doc_id", "text")
+    cand = {(r.id_a, r.id_b) for r in simhash_candidates(sig, "doc_id").collect()}
+    assert (1, 2) in cand
+
+
+def test_connected_components_groups(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, id_col="vec_id", k=5).collect()
+    approx = lsh_topk(emb, q, id_col="vec_id", dim=64, k=5).collect()
+    exact_set = {(r.qid, r.cid) for r in exact}
+    approx_set = {(r.qid, r.cid) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"ANN recall {recall}"  # banding recall floor
+
+
+def test_exclude_self_flag(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings").limit(20)
+    with_self = brute_force_topk(emb, emb.limit(3), id_col="vec_id", k=1, exclude_self=False)
+    # With self included, every query's top-1 is itself (cosine 1.0).
+    for r in with_self.collect():
+        assert r.qid == r.cid and abs(r.cosine - 1.0) < 1e-9

@@ -1,0 +1,64 @@
+"""Multimodal column tests (SURVEY.md §2.12 L5): binaryFile ingest,
+magic-byte media typing, decode plumbing (stubbed decoder), frame
+sampling."""
+
+from __future__ import annotations
+
+import pytest
+
+from xlearning_spark.operators import multimodal as mm
+
+_PNG = bytes.fromhex("89504e470d0a1a0a") + b"fakepng-payload" * 10
+_JPG = bytes.fromhex("ffd8ffe0") + b"fakejpeg-payload" * 20
+_TXT = b"plain text, no magic"
+
+
+@pytest.fixture(scope="module")
+def media_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    (d / "a.png").write_bytes(_PNG)
+    (d / "b.jpg").write_bytes(_JPG)
+    (d / "c.txt").write_bytes(_TXT)
+    return str(d)
+
+
+def test_binary_file_ingest(spark, media_dir):
+    df = mm.read_binary_files(spark, media_dir)
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {"path", "modificationTime", "length", "content"} <= set(df.columns)
+    by_name = {r.path.rsplit("/", 1)[-1]: r for r in rows}
+    assert bytes(by_name["a.png"].content) == _PNG
+
+
+def test_media_type_sniffing(spark, media_dir):
+    df = mm.with_media_type(mm.read_binary_files(spark, media_dir))
+    types = {r.path.rsplit("/", 1)[-1]: r.media_type for r in df.collect()}
+    assert types == {
+        "a.png": "image/png",
+        "b.jpg": "image/jpeg",
+        "c.txt": "application/octet-stream",
+    }
+
+
+def test_decode_stage_schema_and_determinism(spark, media_dir):
+    df = mm.read_binary_files(spark, media_dir)
+    d1 = {r.path: r for r in mm.decode_image(df).collect()}
+    d2 = {r.path: r for r in mm.decode_image(df).collect()}
+    assert len(d1) == 3
+    for p, r in d1.items():
+        assert 16 <= r.width <= 255 and 16 <= r.height <= 255
+        assert len(r.feature) == 8
+        # stub is deterministic on content
+        assert (r.width, r.height, r.feature) == (d2[p].width, d2[p].height, d2[p].feature)
+
+
+def test_frame_sample_bounded(spark, media_dir):
+    df = mm.read_binary_files(spark, media_dir)
+    frames = mm.frame_sample(df, every_n_bytes=64, max_frames=4).collect()
+    per_path = {}
+    for r in frames:
+        per_path.setdefault(r.path, []).append(r.frame_no)
+    for path, nums in per_path.items():
+        assert 1 <= len(nums) <= 4
+        assert sorted(nums) == list(range(len(nums)))

@@ -1,0 +1,46 @@
+"""Oracle smoke (SURVEY.md §5.2 t1/t2): every registered query runs at
+sf0.001 and, when it has an oracle, hash-matches DuckDB — the same
+compare the driver applies at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from xlearning_spark.queries import registry
+import xlearning_spark.queries  # noqa: F401  (populates registry)
+from xlearning_spark.testing import compare_query
+
+
+def _specs():
+    return sorted(registry.specs().items())
+
+
+@pytest.mark.parametrize("name,spec", _specs(), ids=[n for n, _ in _specs()])
+def test_query_matches_oracle(spark, duck, name, spec):
+    ok, detail = compare_query(spark, duck, spec, SF_SMOKE)
+    assert ok, f"{name}: {detail}"
+
+
+def test_registry_covers_all_modules():
+    names = set(registry.specs())
+    # One canary per module: a missing module would silently shrink
+    # the corpus (this is exactly what round 1 shipped).
+    assert "q01_pricing_summary" in names
+    assert "q30_tumbling_hourly_counts" in names
+    assert "q40_exact_dedup" in names
+    assert "q60_pipe_wordcount" in names
+    assert len(names) >= 50
+
+
+def test_entry_point(spark):
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("__spark_entry__", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())

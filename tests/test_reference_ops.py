@@ -1,0 +1,133 @@
+"""Reference-semantics tests (SURVEY.md §5.2 item 4): behaviors of the
+XLearning data plane that aren't result sets — pipe round-trip, env
+contract, sharding allocation math, epoch replay, commit protocol."""
+
+from __future__ import annotations
+
+import gzip
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from xlearning_spark.operators.pipe import pipe_lines, pipe_progress_parse
+from xlearning_spark.operators import sharding
+from xlearning_spark.sources import read_table
+from xlearning_spark.sources.sinks import is_committed, write_gzip_text
+
+
+# ------------------------------------------------------------------ E1
+
+def test_pipe_identity_roundtrip(spark):
+    df = spark.range(100).select(F.concat(F.lit("row-"), F.col("id")).alias("l"))
+    out = pipe_lines(df, ["cat"], out_col="line")
+    got = sorted(r.line for r in out.collect())
+    assert got == sorted(f"row-{i}" for i in range(100))
+
+
+def test_pipe_env_index(spark):
+    # Each partition's child sees INDEX = its partition id
+    # (reference env contract: HboxContainer.java:939).
+    df = spark.range(8).repartition(4).select(F.col("id").cast("string").alias("l"))
+    out = pipe_lines(df, ["/bin/sh", "-c", 'while read x; do echo "$INDEX"; done'])
+    idx = {int(r.line) for r in out.collect()}
+    assert idx <= {0, 1, 2, 3} and len(idx) == 4
+
+
+def test_pipe_nonzero_exit_raises(spark):
+    df = spark.range(4).select(F.col("id").cast("string").alias("l"))
+    with pytest.raises(Exception, match="exit code"):
+        pipe_lines(df, ["/bin/sh", "-c", "exit 3"]).collect()
+
+
+def test_progress_protocol_parse():
+    assert pipe_progress_parse("reporter progress:0.42") == 0.42
+    assert pipe_progress_parse("reporter progress:abc") is None
+    assert pipe_progress_parse("something else") is None
+
+
+# --------------------------------------------------------------- P1-P5
+
+def test_round_robin_balance():
+    files = [f"f{i:03d}" for i in range(103)]
+    alloc = sharding.round_robin_assignment(files, 8)
+    sizes = [len(v) for v in alloc.values()]
+    assert max(sizes) - min(sizes) <= 1  # the P1 contract
+    assert sorted(sum(alloc.values(), [])) == sorted(files)
+
+
+def test_contiguous_blocks():
+    files = [f"f{i:03d}" for i in range(10)]
+    alloc = sharding.contiguous_assignment(files, 3)
+    assert alloc[0] == ["f000", "f001", "f002", "f003"]
+    assert alloc[1] == ["f004", "f005", "f006"]
+    assert alloc[2] == ["f007", "f008", "f009"]
+
+
+def test_chief_minimum():
+    files = [f"f{i}" for i in range(7)]
+    alloc = sharding.chief_minimum_assignment(files, 3, chief_min=1)
+    assert alloc[0] == ["f0"]  # chief pinned to minimum
+    assert sorted(alloc[1] + alloc[2]) == sorted(files[1:])
+
+
+def test_broadcast_all():
+    files = ["a", "b"]
+    alloc = sharding.broadcast_all(files, 3)
+    assert all(v == ["a", "b"] for v in alloc.values())
+
+
+# ------------------------------------------------------------------ P6
+
+def test_epoch_replay_counts(spark):
+    n = read_table(spark, SF_SMOKE, "nation")
+    replayed = sharding.epoch_replay(n, epochs=3, cache=False)
+    counts = {r.epoch: r.n for r in replayed.groupBy("epoch").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 25, 1: 25, 2: 25}
+
+
+# -------------------------------------------------------------- S7/S8
+
+def test_gzip_text_sink_and_commit(spark, tmp_path):
+    out = str(tmp_path / "gzout")
+    df = spark.range(50).select(F.concat(F.lit("line "), F.col("id")).alias("value"))
+    write_gzip_text(df, out)
+    assert is_committed(out)  # _SUCCESS marker (the S8 protocol)
+    parts = glob.glob(os.path.join(out, "part-*.txt.gz"))
+    assert parts
+    lines = []
+    for p in parts:
+        with gzip.open(p, "rt") as f:
+            lines += [l.rstrip("\n") for l in f]
+    assert sorted(lines) == sorted(f"line {i}" for i in range(50))
+
+
+def test_failed_write_leaves_no_success_marker(spark, tmp_path):
+    out = str(tmp_path / "failout")
+    df = spark.range(10).select(
+        F.when(F.col("id") < 5, F.col("id").cast("string"))
+        .otherwise(F.raise_error(F.lit("injected failure")))
+        .alias("value")
+    )
+    with pytest.raises(Exception):
+        write_gzip_text(df, out)
+    assert not is_committed(out)
+
+
+# ------------------------------------------------------------------ U4
+
+def test_python_udtf(spark):
+    # The real Python UDTF surface (1 row -> N rows); the JVM generator
+    # path (posexplode) is the scale path, oracle-checked as q65.
+    from pyspark.sql.functions import udtf, lit
+
+    @udtf(returnType="pos int, token string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split()):
+                yield i + 1, tok
+
+    rows = SplitWords(lit("alpha beta gamma")).collect()
+    assert [(r.pos, r.token) for r in rows] == [(1, "alpha"), (2, "beta"), (3, "gamma")]

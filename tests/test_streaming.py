@@ -1,0 +1,100 @@
+"""Streaming semantics (SURVEY.md §2.10): the Structured Streaming
+pipeline must produce the same results as its batch twin once the
+stream is drained (Trigger.AvailableNow over a file source)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from xlearning_spark import streaming as st
+from xlearning_spark.sources import read_table
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    # Re-write the fixture events as micro-timestamp parquet so the
+    # file stream source reads it with a plain schema.
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    read_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).coalesce(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _batch(spark, events_dir):
+    return spark.read.schema(st.EVENTS_SCHEMA).parquet(events_dir)
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir, tmp_path):
+    # complete mode emits open windows too -> exact batch equivalence
+    stream = st.tumbling_counts(st.read_events_stream(spark, events_dir))
+    got = st.run_available_now(stream, str(tmp_path / "ckpt"), out_mode="complete").collect()
+    want = st.tumbling_counts(_batch(spark, events_dir)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_tumbling_append_withholds_open_windows(spark, events_dir, tmp_path):
+    # T4 semantics: append mode only emits windows the watermark has
+    # closed; the missing rows must all sit within the lateness bound
+    # of the stream's end (watermark = 2 hours in tumbling_counts).
+    import datetime as dt
+
+    stream = st.tumbling_counts(st.read_events_stream(spark, events_dir))
+    got = st.run_available_now(stream, str(tmp_path / "ckpt")).collect()
+    want = st.tumbling_counts(_batch(spark, events_dir)).collect()
+    got_set, want_set = set(map(tuple, got)), set(map(tuple, want))
+    assert got_set <= want_set
+    max_ts = _batch(spark, events_dir).agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - dt.timedelta(hours=3)  # watermark + window length
+    for row in want_set - got_set:
+        assert row[0] >= cutoff, f"non-tail window withheld: {row}"
+
+
+def test_sliding_stream_equals_batch(spark, events_dir, tmp_path):
+    stream = st.sliding_stats(st.read_events_stream(spark, events_dir))
+    got = st.run_available_now(stream, str(tmp_path / "ckpt"), out_mode="complete").collect()
+    want = st.sliding_stats(_batch(spark, events_dir)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_session_windows_stream(spark, events_dir, tmp_path):
+    stream = st.session_windows(st.read_events_stream(spark, events_dir))
+    got = st.run_available_now(stream, str(tmp_path / "ckpt"), out_mode="complete").collect()
+    want = st.session_windows(_batch(spark, events_dir)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # Session count must also agree with the batch lag/cumsum
+    # formulation (q35), which is oracle-checked against DuckDB.
+    from xlearning_spark.queries.registry import get
+    import xlearning_spark.queries  # noqa: F401
+
+    q35 = get("q35_sessionization").spark(spark, SF_SMOKE)
+    assert len(got) == q35.count()
+
+
+def test_checkpoint_replay_is_incremental(spark, events_dir, tmp_path):
+    # T6: a second AvailableNow run over the same checkpoint sees no
+    # new data -> emits nothing new (exactly-once, no double replay).
+    # memory sink can't recover a checkpoint -> use the file sink,
+    # which is also the reference's actual output shape (S7).
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def drain() -> int:
+        q = (
+            st.tumbling_counts(st.read_events_stream(spark, events_dir))
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    first = drain()
+    second = drain()
+    assert first > 0
+    assert second == first  # no double replay: second drain adds nothing

@@ -248,12 +248,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
                 F.lit(1).cast("bigint"),
             ).otherwise(F.lit(0).cast("bigint"))
         )
+    # Bits 0..62 weight 2^i; bit 63 is encoded as -2^63 (two's
+    # complement), giving a true 64-bit sketch without bigint overflow.
+    # Max partial sum of the low bits is 2^63-1, so sequential addition
+    # stays in range; the sign bit lands last.
+    terms = [bit_cols[i] * F.lit(1 << i).cast("bigint") for i in range(bits - 1)]
+    terms.append(bit_cols[bits - 1] * F.lit(-(1 << 63)).cast("bigint"))
     sig = t.select(
         F.col(id_col),
-        sum(
-            [bit_cols[i] * F.lit(1 << i).cast("bigint") for i in range(bits - 1)],
-            F.lit(0).cast("bigint"),
-        ).alias("simhash"),
+        sum(terms, F.lit(0).cast("bigint")).alias("simhash"),
     )
     return sig
 

@@ -1,0 +1,125 @@
+"""Multimodal columns (SURVEY.md §2.12 L5): opaque binary payloads
+with typed metadata, processed by Arrow-batched Python stages.
+
+This is the Spark mapping of the reference's native data model — whole
+files as opaque bytes, never parsed by the platform itself (reference:
+InputInfo.java:16-24; DOWNLOAD delivery HboxContainer.java:292-344):
+
+  - ingest: ``spark.read.format("binaryFile")`` ->
+    (path, modificationTime, length, content binary)
+  - metadata: sniffed from magic bytes, pure column expressions
+  - decode / feature-extract: ``mapInPandas`` stages with explicit
+    output schemas and bounded Arrow batch sizes
+
+The actual pixel/sample decoding requires codec libraries that are not
+in this environment, so ``decode_image`` is a clearly marked STUB: the
+Spark-side plumbing (schema, batching, partitioning) is real and
+tested; the decoder body is a deterministic fake keyed on the content
+hash. Swap ``_fake_decode`` for a PIL/libav call in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Magic-byte prefixes -> media type (pure expression sniffing).
+_MAGIC = {
+    "89504e47": "image/png",
+    "ffd8ff": "image/jpeg",
+    "47494638": "image/gif",
+    "52494646": "audio/wav",  # RIFF (wav/avi family)
+    "494433": "audio/mp3",
+    "1a45dfa3": "video/webm",
+}
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """L5 ingest: opaque files as rows (binaryFile source)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def with_media_type(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Sniff media type from magic bytes — JVM-only, no Python."""
+    head = F.lower(F.hex(F.substring(F.col(content_col), 1, 4)))
+    expr = F.lit("application/octet-stream")
+    for magic, mtype in sorted(_MAGIC.items(), key=lambda kv: -len(kv[0])):
+        expr = F.when(head.startswith(magic), F.lit(mtype)).otherwise(expr)
+    return df.withColumn("media_type", expr)
+
+
+#: Output schema of the decode stage — fixed contract for downstream.
+DECODED_SCHEMA = (
+    "path string, media_type string, width int, height int, "
+    "n_channels int, feature array<double>"
+)
+
+
+def _fake_decode(content: bytes) -> tuple[int, int, int, list[float]]:
+    """STUB decoder: deterministic dimensions/features from a content
+    digest. Replace with a real codec (PIL / torchaudio / pyav) — the
+    surrounding plumbing does not change."""
+    import hashlib
+
+    h = hashlib.sha256(content or b"").digest()
+    width = 16 + h[0] % 240
+    height = 16 + h[1] % 240
+    channels = 1 + h[2] % 3
+    feature = [b / 255.0 for b in h[:8]]
+    return width, height, channels, feature
+
+
+def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """Decode/feature-extract stage over binary content via mapInPandas.
+
+    Arrow moves the bytes in columnar batches; each partition decodes
+    independently (map-only — at 100 TB this scales with executor
+    count, no shuffle). ``batch_rows`` bounds per-batch memory since
+    payloads can be many MB each.
+    """
+    df = with_media_type(df) if "media_type" not in df.columns else df
+    cols = df.select("path", "media_type", "content")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = {
+                    "path": [],
+                    "media_type": [],
+                    "width": [],
+                    "height": [],
+                    "n_channels": [],
+                    "feature": [],
+                }
+                for _, row in chunk.iterrows():
+                    w, h, c, feat = _fake_decode(row["content"])
+                    out["path"].append(row["path"])
+                    out["media_type"].append(row["media_type"])
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_channels"].append(c)
+                    out["feature"].append(feat)
+                yield pd.DataFrame(out)
+
+    return cols.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8) -> DataFrame:
+    """STUB frame sampler for video-ish payloads: emits (path, frame_no,
+    offset) rows — the 1->N row shape of real frame extraction, with
+    offsets standing in for decoded frames. JVM-only (no UDF)."""
+    n_frames = F.least(
+        F.greatest((F.col("length") / every_n_bytes).cast("int"), F.lit(1)),
+        F.lit(max_frames),
+    )
+    return df.select(
+        "path",
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no", "_f"),
+    ).select("path", "frame_no", (F.col("_f") * every_n_bytes).alias("offset"))

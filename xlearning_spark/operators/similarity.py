@@ -46,11 +46,17 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: (qid, cid, cosine), k rows per query.
 
     The query side is broadcast (small by contract); ranking ties break
     on candidate id so results are fully deterministic.
+
+    ``exclude_self`` drops candidates whose id equals the query id —
+    only meaningful when queries and corpus share an id space (as when
+    querying a corpus against itself); set False for unrelated id
+    spaces, where an accidental id collision must not drop a match.
     """
     q = queries.select(
         F.col(id_col).alias("qid"),
@@ -60,8 +66,9 @@ def brute_force_topk(
         F.col(id_col).alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
+    cond = F.col("qid") != F.col("cid") if exclude_self else F.lit(True)
     scored = (
-        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        c.join(F.broadcast(q), cond)
         .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (_norm("qv") * _norm("cv")))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
@@ -118,12 +125,14 @@ def lsh_topk(
     k: int = 5,
     num_planes: int = 16,
     bands: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ANN top-k: hyperplane-LSH bucket join, exact cosine re-rank.
 
     Bands of ``num_planes/bands`` bits each form bucket keys; a query
     meets a candidate iff they share any band — candidate volume is
     bucket-local, so the join stays sparse at corpus scale.
+    ``exclude_self`` as in :func:`brute_force_topk`.
     """
     width = num_planes // bands
     mask = (1 << width) - 1
@@ -145,12 +154,10 @@ def lsh_topk(
 
     qb = banded(queries, "q")
     cb = banded(corpus, "c")
-    cand = (
-        cb.join(F.broadcast(qb), ["band", "chunk"])
-        .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "qv", "cid", "cv")
-        .distinct()
-    )
+    cand = cb.join(F.broadcast(qb), ["band", "chunk"])
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("cid"))
+    cand = cand.select("qid", "qv", "cid", "cv").distinct()
     scored = cand.withColumn(
         "cosine", _dot(F.col("qv"), F.col("cv")) / (_norm("qv") * _norm("cv"))
     )

@@ -1,0 +1,140 @@
+"""Structured Streaming pipeline (SURVEY.md §2.10 T1-T7).
+
+The reference's live pipeline: containers report metric samples every
+1-3 s (reference: ContainerReporter.java:196-295), the AM maintains
+bounded sliding windows and running stats per metric
+(ApplicationContainerListener.java:597-745, 1090-1122), and a timeout
+monitor fails containers whose heartbeat gap exceeds a threshold
+(Listener:988-1023). Here the same behaviors are declared as
+Structured Streaming queries over an events-shaped stream:
+
+  T1 micro-batched source  -> readStream (file source; rate in tests)
+  T2 sliding windows       -> window(ts, length, slide) + watermark
+  T3 session/timeout       -> session_window(ts, gap)
+  T4 late data             -> withWatermark (explicit, unlike the
+                              reference's implicit arrival-order trust)
+  T5 incremental sink      -> foreachBatch / checkpointLocation
+  T6 epoch replay          -> Trigger.AvailableNow re-run
+  T7 tumbling windows      -> window(ts, length)
+
+Every transformation here is also runnable on a batch DataFrame (same
+column expressions), which is how tests/test_streaming.py proves the
+streaming results equal the batch oracle-checked ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: Schema of the events stream (fixture parity; ts as micro timestamp).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark, path: str, fmt: str = "parquet") -> DataFrame:
+    """T1: micro-batched file source over an events-shaped directory."""
+    return spark.readStream.format(fmt).schema(EVENTS_SCHEMA).load(path)
+
+
+def tumbling_counts(
+    events: DataFrame, window_len: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """T7 (+T4): tumbling per-type counts with explicit lateness bound.
+
+    The watermark bounds state exactly like the reference's bounded
+    deques (Listener:614-619) — windows older than the watermark are
+    finalized and evicted.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_stats(
+    events: DataFrame,
+    window_len: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """T2/A1: sliding per-key avg/max — the streaming form of the AM's
+    running metric statistics (Listener:1090-1122)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len, slide).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("value").alias("max_value"),
+            (
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count("*")
+            ).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "max_value",
+            "avg_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """T3: gap-based sessions per key — the timeout monitor's semantics
+    (Listener:988-1023) as a first-class streaming window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint_dir: str, out_mode: str = "append"):
+    """T5/T6: drain everything currently available into an in-memory
+    sink and return the collected rows. ``Trigger.AvailableNow`` is the
+    replay primitive: re-running against the same source re-delivers
+    from the checkpoint forward (epoch semantics without re-reads).
+    """
+    import uuid
+
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(out_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
