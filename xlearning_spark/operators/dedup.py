@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from xlearning_spark.functions import shingles, tokens
+from xlearning_spark.functions import tokens, with_shingle_hashes
 
 # Mersenne prime for the universal-hash family h_i(x) = (a_i*x + b_i) mod p.
 # p = 2^31 - 1 keeps a*x + b < 2^62: no bigint overflow under ANSI mode
@@ -58,21 +58,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, minhash array<bigint>) — map-side only, zero shuffles.
 
-    Each shingle is hashed once with xxhash64 (JVM, codegen'd), then
+    Shingle hashes are integer-combined per-token xxhash64 values
+    (functions.shingle_hashes — no per-shingle string is built), then
     the universal-hash family is applied with ``aggregate`` over the
-    shingle array — all per-row expressions, so the signature compute
+    hash array — all per-row expressions, so the signature compute
     parallelizes embarrassingly at any scale.
     """
     params = _hash_params(num_hashes)
-    sh = (
-        df.withColumn("__sh", shingles(text_col, shingle_size))
-        .filter(F.size("__sh") > 0)
-        .select(
-            F.col(id_col),
-            # Reduce each shingle hash below p so the universal-hash
-            # multiply never leaves 64 bits.
-            F.expr(f"transform(__sh, s -> pmod(xxhash64(s), {_P}L))").alias("__h"),
-        )
+    # Pre-filter on token count (cheap, pushdown-friendly) instead of
+    # post-filtering on the hash array: a filter on the computed column
+    # gets its defining expression inlined into the pushed-down
+    # predicate and re-evaluated per row (measured 40x slower).
+    eligible = df.filter(F.size(tokens(text_col)) >= shingle_size)
+    sh = with_shingle_hashes(eligible, text_col, "__h", shingle_size, _P).select(
+        F.col(id_col), F.col("__h")
     )
     mh = sh.select(
         F.col(id_col),
@@ -162,10 +161,15 @@ def minhash_near_duplicates(
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
     pairs = minhash_candidate_pairs(sigs, id_col, num_hashes, bands)
 
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(shingles(text_col, shingle_size)).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
+    # Exact Jaccard over distinct shingle-hash sets (identical to the
+    # string-shingle Jaccard modulo 2^-31 collision probability).
+    sh = with_shingle_hashes(
+        df.filter(F.size(tokens(text_col)) >= shingle_size),
+        text_col,
+        "__sh0",
+        shingle_size,
+        _P,
+    ).select(F.col(id_col), F.array_distinct("__sh0").alias("__sh"))
     pa = pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
     pab = pa.join(sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
     jac = pab.select(
@@ -226,39 +230,37 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     """64-bit SimHash over whitespace tokens -> (id, simhash bigint).
 
     Classic Charikar sketch: per bit, sum +1/-1 over token hashes and
-    take the sign. Implemented as per-row array expressions (zero
-    shuffles); banding for candidate generation reuses 16-bit chunks.
+    take the sign. Implemented as explode + partial/final hash
+    aggregation (whole-stage codegen) rather than 64 per-row
+    higher-order aggregates — measured ~2.5x faster; the shuffle
+    carries only the map-side-combined (id, 65 counters) rows, so the
+    shape holds at any corpus size. Bit i set iff 2*ones_i > n, which
+    equals the +1/-1 sign rule (ties -> 0).
     """
-    t = df.select(
-        F.col(id_col), F.transform(tokens(text_col), lambda x: F.xxhash64(x)).alias("__th")
+    th = df.select(
+        F.col(id_col),
+        F.explode(F.transform(tokens(text_col), lambda x: F.xxhash64(x))).alias("__h"),
     )
-    bit_cols = []
-    for i in range(bits):
-        bit_cols.append(
-            F.when(
-                F.aggregate(
-                    "__th",
-                    F.lit(0),
-                    lambda acc, h: acc
-                    + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                        -1
-                    ),
-                )
-                > 0,
-                F.lit(1).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
+    agg = th.groupBy(id_col).agg(
+        F.count("*").alias("__n"),
+        *[
+            F.sum(F.shiftright("__h", i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
+            for i in range(bits)
+        ],
+    )
+    bit = [
+        F.when(F.col(f"__b{i}") * 2 > F.col("__n"), F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
+        for i in range(bits)
+    ]
     # Bits 0..62 weight 2^i; bit 63 is encoded as -2^63 (two's
     # complement), giving a true 64-bit sketch without bigint overflow.
-    # Max partial sum of the low bits is 2^63-1, so sequential addition
-    # stays in range; the sign bit lands last.
-    terms = [bit_cols[i] * F.lit(1 << i).cast("bigint") for i in range(bits - 1)]
-    terms.append(bit_cols[bits - 1] * F.lit(-(1 << 63)).cast("bigint"))
-    sig = t.select(
-        F.col(id_col),
-        sum(terms, F.lit(0).cast("bigint")).alias("simhash"),
+    terms = [bit[i] * F.lit(1 << i).cast("bigint") for i in range(bits - 1)]
+    terms.append(bit[bits - 1] * F.lit(-(1 << 63)).cast("bigint"))
+    return agg.select(
+        F.col(id_col), sum(terms, F.lit(0).cast("bigint")).alias("simhash")
     )
-    return sig
 
 
 def simhash_candidates(sig: DataFrame, id_col: str, bands: int = 4) -> DataFrame:
