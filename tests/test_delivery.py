@@ -1,0 +1,126 @@
+"""Input-delivery strategy tests (S1/S3/S4/S9) + signals (E5) + the
+pipe progress protocol (E2)."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from xlearning_spark.operators.pipe import pipe_lines
+from xlearning_spark.sources import delivery
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tree")
+    (d / "a.txt").write_text("l1\nl2\n")
+    (d / "b.txt").write_text("l3\n")
+    sub = d / "sub"
+    sub.mkdir()
+    (sub / "c.txt").write_text("l4\nl5\nl6\n")
+    (d / "skip.dat").write_text("binary-ish")
+    return d
+
+
+# ------------------------------------------------------------------ S1
+
+def test_glob_files_flat(spark, tree):
+    got = delivery.glob_files(spark, f"file:{tree}/*.txt")
+    assert [p.rsplit("/", 1)[-1] for p in got] == ["a.txt", "b.txt"]
+
+
+def test_glob_files_recursive_through_dirs(spark, tree):
+    # a glob matching a directory recurses into it (the reference's
+    # listStatusRecursively behavior, Utilities.java:41-63)
+    got = delivery.glob_files(spark, f"file:{tree}/*")
+    names = [p.rsplit("/", 1)[-1] for p in got]
+    assert names == ["a.txt", "b.txt", "skip.dat", "c.txt"] or sorted(names) == [
+        "a.txt",
+        "b.txt",
+        "c.txt",
+        "skip.dat",
+    ]
+
+
+def test_glob_no_match_is_empty(spark, tree):
+    assert delivery.glob_files(spark, f"file:{tree}/nope-*.xyz") == []
+
+
+# ------------------------------------------------------------------ S3
+
+def test_read_records_lines(spark, tree):
+    df = delivery.read_records(spark, f"file:{tree}/*.txt")
+    lines = sorted(r.value for r in df.collect())
+    assert lines == ["l1", "l2", "l3"]
+
+
+# ------------------------------------------------------------------ S4
+
+def test_read_download_whole_files(spark, tree):
+    df = delivery.read_download(spark, f"file:{tree}", glob="*.txt")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.txt", "b.txt"}
+    assert bytes(rows["a.txt"].content) == b"l1\nl2\n"
+    assert rows["a.txt"].length == 6
+
+
+# ------------------------------------------------------------------ S9
+
+def test_distribute_cache_file(spark, tmp_path):
+    f = tmp_path / "side_input.txt"
+    f.write_text("cached-payload")
+    name = delivery.distribute_cache_file(spark, str(f))
+
+    def read_on_executor(_):
+        from pyspark import SparkFiles
+
+        with open(SparkFiles.get(name)) as fh:
+            return fh.read()
+
+    got = spark.sparkContext.parallelize([0, 1], 2).map(read_on_executor).collect()
+    assert got == ["cached-payload", "cached-payload"]
+
+
+# ------------------------------------------------------------------ E5
+
+def test_cancel_job_group_stops_job(spark):
+    sc = spark.sparkContext
+    err = []
+
+    def slow_job():
+        sc.setJobGroup("sig-test", "cancellable job")
+        try:
+            sc.parallelize(range(8), 8).map(lambda x: time.sleep(30) or x).collect()
+        except Exception as e:  # cancellation surfaces as a job failure
+            err.append(e)
+        finally:
+            sc.setJobGroup("", "")
+
+    t = threading.Thread(target=slow_job)
+    t.start()
+    time.sleep(2)  # let tasks start
+    delivery.cancel_job_group(spark, "sig-test")
+    t.join(timeout=30)
+    assert not t.is_alive(), "job did not stop after cancel signal"
+    assert err, "cancelled job should raise, not complete"
+
+
+# ------------------------------------------------------------------ E2
+
+def test_pipe_progress_protocol(spark):
+    acc = spark.sparkContext.accumulator(0.0)
+    df = spark.range(100).coalesce(2).select(F.col("id").cast("string").alias("l"))
+    child = [
+        "/bin/sh",
+        "-c",
+        'i=0; while read x; do echo "$x"; i=$((i+1)); '
+        'echo "reporter progress:0.$i" >&2; done; '
+        'echo "reporter progress:1.0" >&2',
+    ]
+    out = pipe_lines(df, child, progress=acc)
+    assert out.count() == 100
+    # each of the 2 partitions reported a final 1.0
+    assert acc.value == 2.0

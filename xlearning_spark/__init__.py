@@ -8,9 +8,14 @@ columns, text analysis) designed for 100 TB scale.
 
 Public surface:
     Engine            — session + table registry (xlearning_spark.engine)
-    operators.*       — dedup / similarity / text / asof / pipe / sharding
-    sources.*         — table registration + input-delivery strategies
-    streaming.*       — metrics pipeline (windows, watermark, timeout)
+    operators.*       — dedup / similarity / text / asof / pipe /
+                        sharding / multimodal
+    sources.*         — table loading, input-delivery strategies
+                        (delivery), sinks + commit protocol (sinks)
+    streaming.*       — metrics pipeline (windows, watermark, sessions,
+                        checkpointed replay)
+    ml                — barrier-mode ClusterSpec rendezvous + MLlib
+                        training analogue
     queries.registry  — the oracle-checked query corpus (SURVEY.md §2)
 """
 

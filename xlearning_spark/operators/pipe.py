@@ -36,6 +36,7 @@ def pipe_lines(
     env: dict[str, str] | None = None,
     input_files: dict[str, list[str]] | None = None,
     out_col: str = "line",
+    progress: "object | None" = None,
 ) -> DataFrame:
     """Pipe one text column through ``command``; stdout lines come back
     as a one-column DataFrame.
@@ -43,6 +44,12 @@ def pipe_lines(
     ``line_col`` defaults to the single column of ``df``. The child
     process env carries ``INDEX`` (= partition id) and
     ``INPUT_FILE_LIST`` (JSON), mirroring the reference contract.
+
+    ``progress`` (optional): a Spark accumulator. Each partition's
+    child may emit ``reporter progress:0.xx`` lines on stderr (the
+    reference protocol, HboxContainer.java:1294-1295); the final value
+    per partition is added to the accumulator — the heartbeat-borne
+    progress fraction (E2), surfaced Spark-style.
     """
     if line_col is None:
         if len(df.columns) != 1:
@@ -66,10 +73,11 @@ def pipe_lines(
             cmd,
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE if progress is not None else None,
             env=child_env,
             text=True,
         )
-        # Feed on a thread to avoid deadlock on large partitions
+        # Feed/drain on threads to avoid deadlock on large partitions
         # (child may block writing stdout while we block writing stdin).
         import threading
 
@@ -81,14 +89,28 @@ def pipe_lines(
             except BrokenPipeError:
                 pass
 
-        t = threading.Thread(target=feed, daemon=True)
-        t.start()
+        last_progress = [0.0]
+
+        def drain_stderr() -> None:
+            for err_line in proc.stderr:
+                p = pipe_progress_parse(err_line)
+                if p is not None:
+                    last_progress[0] = p
+
+        threads = [threading.Thread(target=feed, daemon=True)]
+        if progress is not None:
+            threads.append(threading.Thread(target=drain_stderr, daemon=True))
+        for t in threads:
+            t.start()
         for out_line in proc.stdout:
             yield (out_line.rstrip("\n"),)
-        t.join()
+        for t in threads:
+            t.join()
         rc = proc.wait()
         if rc != 0:
             raise RuntimeError(f"pipe command failed with exit code {rc}")
+        if progress is not None:
+            progress.add(last_progress[0])
 
     schema = StructType([StructField(out_col, StringType(), True)])
     return lines.rdd.mapPartitions(run_partition).toDF(schema)

@@ -525,6 +525,10 @@ SELECT c_custkey,
 FROM customer
 """,
     tags=("window", "ntile", "dense_rank"),
+    doc="SCALE NOTE: global ntile/dense_rank funnel the table through "
+    "one task by definition — kept for exact semantics parity at "
+    "bounded size; the scale-out formulation of quantile bucketing is "
+    "q28_quantile_buckets (agg + broadcast, no global window).",
 )
 def q20_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -534,6 +538,43 @@ def q20_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")))
         .alias("balance_quartile"),
         F.dense_rank().over(Window.orderBy("c_mktsegment")).alias("segment_rank"),
+    )
+
+
+@query(
+    "q28_quantile_buckets",
+    oracle="""
+WITH b AS (SELECT quantile_cont(c_acctbal, 0.25) AS q1,
+                  quantile_cont(c_acctbal, 0.50) AS q2,
+                  quantile_cont(c_acctbal, 0.75) AS q3
+           FROM customer)
+SELECT c.c_custkey,
+       CASE WHEN c.c_acctbal <= b.q1 THEN 1
+            WHEN c.c_acctbal <= b.q2 THEN 2
+            WHEN c.c_acctbal <= b.q3 THEN 3
+            ELSE 4 END AS acctbal_bucket
+FROM customer c CROSS JOIN b
+""",
+    tags=("window", "quantile", "scale-pattern"),
+    doc="Scale-out quantile bucketing: exact quartile boundaries via one "
+    "aggregation, broadcast back, bucket assignment map-side — the "
+    "100 TB replacement for a global ntile window (q20). Two passes, "
+    "zero global sorts.",
+)
+def q28_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    b = c.agg(
+        F.expr("percentile(c_acctbal, 0.25)").alias("q1"),
+        F.expr("percentile(c_acctbal, 0.50)").alias("q2"),
+        F.expr("percentile(c_acctbal, 0.75)").alias("q3"),
+    )
+    return c.crossJoin(F.broadcast(b)).select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") <= F.col("q1"), 1)
+        .when(F.col("c_acctbal") <= F.col("q2"), 2)
+        .when(F.col("c_acctbal") <= F.col("q3"), 3)
+        .otherwise(4)
+        .alias("acctbal_bucket"),
     )
 
 

@@ -41,6 +41,10 @@ _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one canonical table, normalizing fixture-specific types."""
+    # Engine contract: timestamp semantics are UTC. Pinned here (the
+    # single chokepoint every query loads through) so NTZ<->LTZ casts
+    # are value-stable even under a host session with another TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _read_events(spark, path)

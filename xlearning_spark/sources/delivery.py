@@ -1,0 +1,73 @@
+"""Input delivery strategies + job signals (SURVEY.md §2.1 S1-S5, S9;
+§2.3 E5).
+
+The reference delivers inputs three ways (doc/datamanage_cn.md:6-60):
+DOWNLOAD (whole files copied local), PLACEHOLDER (path lists in env),
+STREAM (records piped). Spark-native mapping, one function per mode,
+so the capability is auditable:
+
+  S1 glob/recursive listing -> Hadoop FileSystem.globStatus (the same
+     API the reference calls at ApplicationMaster.java:853)
+  S3 record scan            -> spark.read.text (TextInputFormat's
+     line = record contract, HboxConfiguration2.java:8-9)
+  S4 DOWNLOAD               -> binaryFile rows (whole-file bytes
+     delivered to the task, HboxContainer.java:292-344)
+  S5 PLACEHOLDER            -> operators/pipe.py make_input_file_list
+  S9 cache distribution     -> SparkContext.addFile + SparkFiles
+     (client/Client.java:699-806's staging dir, built in)
+  E5 signal forwarding      -> cancelJobGroup (AMWebServices.java:123-134)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def glob_files(spark: SparkSession, pattern: str) -> list[str]:
+    """S1: expand a glob against any Hadoop-supported filesystem
+    (file://, hdfs://, s3a:// — same URI surface as the reference)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = path.getFileSystem(conf)
+    statuses = fs.globStatus(path)
+    if statuses is None:
+        return []
+    out: list[str] = []
+    for st in statuses:
+        if st.isDirectory():
+            it = fs.listFiles(st.getPath(), True)  # recursive, AM:857
+            while it.hasNext():
+                out.append(it.next().getPath().toString())
+        else:
+            out.append(st.getPath().toString())
+    return sorted(out)
+
+
+def read_records(spark: SparkSession, path: str) -> DataFrame:
+    """S3: line = record (the reference's default TextInputFormat)."""
+    return spark.read.text(path)
+
+
+def read_download(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """S4: whole-file delivery — each row carries one complete file
+    (path, modificationTime, length, content)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def distribute_cache_file(spark: SparkSession, local_path: str) -> str:
+    """S9: ship a file to every executor's working dir; returns the
+    name tasks pass to ``SparkFiles.get`` to resolve it locally."""
+    import os
+
+    spark.sparkContext.addFile(local_path)
+    return os.path.basename(local_path)
+
+
+def cancel_job_group(spark: SparkSession, group_id: str) -> None:
+    """E5: deliver a stop signal to every task of a job group — the
+    engine's analogue of the reference's REST signal endpoint."""
+    spark.sparkContext.cancelJobGroup(group_id)
