@@ -45,6 +45,31 @@ _DEFAULT_CONF = {
 }
 
 
+def fault_tolerance_conf() -> dict[str, str]:
+    """Cluster-mode fault-tolerance knobs (SURVEY.md §2.2 P7, §4.1).
+
+    The reference blacklists over-failing hosts, kills stragglers by
+    timeout, and bounds the failed-container rate (reference:
+    AM/RMCallbackHandler.java:20-120; ApplicationContainerListener.java:
+    988-1023, 395-440). Spark's equivalents are configuration, not
+    code — returned here as an explicit dict so deployments apply them
+    deliberately (they're no-ops on local[*], where there is a single
+    executor to exclude):
+
+      excludeOnFailure  = the host/executor blacklist
+      speculation       = the straggler re-launch policy
+      task.maxFailures  = the per-task failure budget
+    """
+    return {
+        "spark.excludeOnFailure.enabled": "true",
+        "spark.excludeOnFailure.task.maxTaskAttemptsPerExecutor": "2",
+        "spark.excludeOnFailure.stage.maxFailedTasksPerExecutor": "2",
+        "spark.speculation": "true",
+        "spark.speculation.multiplier": "3",
+        "spark.task.maxFailures": "4",
+    }
+
+
 def build_session(
     app_name: str = "xlearning_spark",
     master: str | None = None,

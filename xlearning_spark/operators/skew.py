@@ -1,0 +1,85 @@
+"""Skew mitigation (SURVEY.md §2.2 P2 analogue, §4.3).
+
+AQE's skew-join splitting handles most cases at runtime (enabled in
+engine defaults). This module is the explicit fallback for the cases
+AQE can't fix — e.g. a single hot key in a shuffle aggregation, or a
+skewed join against a side too large to broadcast:
+
+  salted_agg:  two-stage aggregation — key+salt partial, then key final.
+  salted_join: replicate the small(er) side per salt so the hot key's
+               rows spread over ``salt`` reducers.
+
+Both keep results exactly equal to the unsalted plan; tests assert
+equality row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for hot grouping keys.
+
+    ``aggs`` maps column -> one of sum/count/min/max (the mergeable
+    aggregates). Stage 1 groups on (keys + salt) spreading a hot key
+    over ``salt`` reducers; stage 2 merges partials per key. Results
+    are exactly the single-stage ones.
+    """
+    merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for fn in aggs.values():
+        if fn not in merge:
+            raise ValueError(f"non-mergeable aggregate: {fn}")
+    salted = df.withColumn(_SALT, F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt)))
+    partial = salted.groupBy(*keys, _SALT).agg(
+        *[first[fn](c).alias(f"__p_{c}_{fn}") for c, fn in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge[fn](f"__p_{c}_{fn}").alias(f"{c}_{fn}") for c, fn in aggs.items()]
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi join with the big side salted and the small side replicated.
+
+    Each big-side row gets a random-ish salt in [0, salt); the small
+    side is exploded ``salt`` times so every (key, salt) bucket can
+    match. A hot key's rows then occupy ``salt`` reducers instead of
+    one. Use when the small side is too big to broadcast but small
+    enough to replicate ``salt`` times (the classic middle ground).
+    """
+    big_s = big.withColumn(
+        _SALT, F.pmod(F.xxhash64(*big.columns), F.lit(salt)).cast("int")
+    )
+    small_s = small.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = big_s.join(small_s, [on, _SALT], how)
+    return out.drop(_SALT)
+
+
+def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
+    """Skew diagnosis: the top-N heaviest keys with their share."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("n"))
+        .withColumn("share", F.col("n") / F.lit(total))
+        .orderBy(F.col("n").desc())
+        .limit(top)
+    )

@@ -119,6 +119,37 @@ def session_windows(
     )
 
 
+def incremental_save(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    out_mode: str = "append",
+):
+    """T5: the save-model path — drain currently-available data into a
+    versioned subdirectory per micro-batch via foreachBatch, mirroring
+    the reference's ``interResult_<timestamp>/<container>`` incremental
+    uploads (Heartbeat.java:150-242): each invocation persists only
+    what arrived since the last checkpointed batch.
+
+    Returns the list of batch ids written this invocation.
+    """
+    written: list[int] = []
+
+    def save_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_{batch_id:08d}")
+        written.append(batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(save_batch)
+        .outputMode(out_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return written
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str, out_mode: str = "append"):
     """T5/T6: drain everything currently available into an in-memory
     sink and return the collected rows. ``Trigger.AvailableNow`` is the
