@@ -265,6 +265,45 @@ def q35_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Range frames: trailing time-window aggregates per key
+# --------------------------------------------------------------------
+
+@query(
+    "q38_trailing_hour_range_frame",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4)))
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS trailing_1h_value,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+           AS trailing_1h_events
+FROM events
+""",
+    tags=("window", "range-frame", "A2"),
+    doc="Value-based (RANGE) frame: trailing 1-hour per-key aggregates "
+    "— the time-bounded form of the reference's bounded metric windows "
+    "(vs q33's count-bounded form). Keyed shuffle only, no global sort.",
+)
+def q38_trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).withColumn("__us", _us("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias(
+            "trailing_1h_value"
+        ),
+        F.count("*").over(w).alias("trailing_1h_events"),
+    )
+
+
+# --------------------------------------------------------------------
 # A3: failure-rate aggregate
 # --------------------------------------------------------------------
 

@@ -308,6 +308,35 @@ def q10_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q04_customer_order_counts",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=("join", "J1", "outer", "agg"),
+    doc="TPC-H Q13 shape: left outer join preserving zero-order "
+    "customers, double aggregation.",
+)
+def q04_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
 # --------------------------------------------------------------------
 # Aggregation surface (A5-A8)
 # --------------------------------------------------------------------
@@ -430,6 +459,33 @@ def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@query(
+    "q29_pivot_status_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("agg", "pivot"),
+    doc="Pivot (wide aggregation): one column per status value. The "
+    "pivoted value set is declared, so this stays a single hash "
+    "aggregation — no second pass to discover columns.",
+)
+def q29_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("o_orderpriority")
     )
 
 
