@@ -114,6 +114,26 @@ def test_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.3, f"ANN recall {recall}"  # banding recall floor
 
 
+def test_ivf_recall_vs_brute_force(spark):
+    from xlearning_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.qid, r.cid) for r in brute_force_topk(emb, q, id_col="vec_id", k=5).collect()}
+    approx = {
+        (r.qid, r.cid)
+        for r in ivf_topk(emb, q, id_col="vec_id", k=5, n_cells=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing half the cells must recover well over half the true top-k
+    assert recall >= 0.5, f"IVF recall {recall}"
+    # every query still gets k results
+    per_q = {}
+    for qid, _ in approx:
+        per_q[qid] = per_q.get(qid, 0) + 1
+    assert all(v == 5 for v in per_q.values())
+
+
 def test_exclude_self_flag(spark):
     emb = read_table(spark, SF_SMOKE, "embeddings").limit(20)
     with_self = brute_force_topk(emb, emb.limit(3), id_col="vec_id", k=1, exclude_self=False)

@@ -116,6 +116,75 @@ def hyperplane_signature(
     return df.withColumn("sig", sig)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ANN top-k via IVF (inverted file) coarse quantization.
+
+    Scale shape: KMeans learns ``n_cells`` centroids (spark.ml,
+    distributed); every corpus vector is assigned to its nearest cell
+    once (map-side after centroid broadcast). A query then scans only
+    its ``n_probe`` nearest cells — candidate volume is
+    ~corpus * n_probe / n_cells instead of the full corpus, and the
+    cell assignment is reusable across query batches (the classic IVF
+    index build/probe split).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("features", array_to_vector("cv"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(c)
+    c_cells = model.transform(c).select("cid", "cv", "cell")
+
+    # Query-side probe list: distance to each centroid, keep n_probe.
+    centroids = [list(map(float, ct)) for ct in model.clusterCenters()]
+    cent_df = queries.sparkSession.createDataFrame(
+        [(i, centroids[i]) for i in range(len(centroids))], ["cell", "centroid"]
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with("qv", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("d2", dist2)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("qid", "qv", "cell")
+    )
+
+    cand = c_cells.join(F.broadcast(probes), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("cid"))
+    scored = cand.withColumn(
+        "cosine", _dot(F.col("qv"), F.col("cv")) / (_norm("qv") * _norm("cv"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "cosine")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

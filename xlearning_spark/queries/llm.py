@@ -32,7 +32,7 @@ from xlearning_spark.operators.dedup import (
     minhash_near_duplicates,
     simhash,
 )
-from xlearning_spark.operators.similarity import brute_force_topk, lsh_topk
+from xlearning_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from xlearning_spark.operators.text import guess_lang, quality_score
 from xlearning_spark.queries.registry import query
 from xlearning_spark.sources import read_table as _t
@@ -338,6 +338,61 @@ def q48_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q49_simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return simhash(d, "doc_id", "text").orderBy("doc_id")
+
+
+#: GPT-2-style pre-tokenizer core, restricted to RE2-compatible syntax
+#: (no lookahead) so Spark and DuckDB extract identical tokens.
+_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@query(
+    "q51_bpe_token_counting",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT) AS n_bpe_tokens,
+       CAST(len(string_split_regex(text, '\\s+')) AS INT) AS n_ws_tokens,
+       ROUND(CAST(length(text) AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, '{_BPE_RE}')), 1), 6)
+           AS chars_per_token
+FROM documents
+""",
+    tags=("llm", "L4", "tokenizer"),
+    doc="Token counting both ways (SURVEY.md §2.12 L4): whitespace and "
+    "a BPE-ish pre-tokenizer regex (word/number/punct runs with "
+    "leading-space attachment). chars-per-token is the standard "
+    "budget-estimation column for LLM data pipelines.",
+)
+def q51_bpe_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(tokens("text")).alias("n_ws_tokens"),
+        F.round(
+            F.length("text").cast("double") / F.greatest(F.size(bpe), F.lit(1)), 6
+        ).alias("chars_per_token"),
+    )
+
+
+@query(
+    "q52_ivf_ann_topk",
+    oracle=None,  # KMeans cell assignment: approximate by design
+    tags=("llm", "L3", "ivf", "approx"),
+    doc="IVF (inverted-file) ANN top-k: KMeans coarse cells + n_probe "
+    "cell scan + exact re-rank (operators/similarity.py ivf_topk); "
+    "recall vs q46 asserted in tests/test_llm_ops.py.",
+)
+def q52_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        k=5,
+        n_cells=16,
+        n_probe=4,
+    ).orderBy("qid", "cid")
 
 
 @query(
