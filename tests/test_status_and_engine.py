@@ -1,0 +1,126 @@
+"""§3.3 status surface + Engine facade tests + property-based checks
+(hypothesis) for the algorithmic operators."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from tests.conftest import SF_SMOKE
+from xlearning_spark import status
+from xlearning_spark.engine import Engine
+from xlearning_spark.operators import sharding
+
+
+# ----------------------------------------------------------- status
+
+def test_app_info(spark):
+    info = status.app_info(spark)
+    assert info["app_id"]
+    assert info["master"].startswith("local")
+    assert info["spark_version"].startswith("4.")
+
+
+def test_executor_table(spark):
+    spark.range(10).count()  # ensure task counters exist
+    rows = status.executor_table(spark).collect()
+    assert len(rows) >= 1  # local mode: the driver-executor
+    assert all(r.total_cores >= 0 for r in rows)
+    assert any(r.completed_tasks > 0 for r in rows)
+
+
+def test_job_table_after_job(spark):
+    spark.range(100).count()  # ensure at least one job ran
+    df = status.job_table(spark)
+    assert {"job_id", "status", "stage_ids"} <= set(df.columns)
+    assert df.count() >= 1
+
+
+def test_progress_summary_idle(spark):
+    s = status.progress_summary(spark)
+    assert s["active_jobs"] == 0
+
+
+# ----------------------------------------------------------- Engine
+
+def test_engine_registers_views_and_sql(spark):
+    eng = Engine(spark=spark, sf_dir=SF_SMOKE)
+    tables = eng.register_tables()
+    assert "lineitem" in tables and "events" in tables
+    # events loads through the nanos normalization
+    assert dict(tables["events"].dtypes)["ts"] == "timestamp_ntz"
+    n = eng.sql("SELECT COUNT(*) AS n FROM nation").collect()[0].n
+    assert n == 25
+    assert eng.table("region").count() == 5
+
+
+# ------------------------------------------------- property tests
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n_files=st.integers(min_value=0, max_value=200),
+    n_workers=st.integers(min_value=1, max_value=32),
+)
+def test_round_robin_properties(n_files, n_workers):
+    files = [f"f{i:04d}" for i in range(n_files)]
+    alloc = sharding.round_robin_assignment(files, n_workers)
+    sizes = [len(v) for v in alloc.values()]
+    # P1 contract: balanced to within one file, exhaustive, disjoint
+    assert max(sizes) - min(sizes) <= 1 if sizes else True
+    flat = sum(alloc.values(), [])
+    assert sorted(flat) == sorted(files)
+    assert len(set(flat)) == len(flat)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n_files=st.integers(min_value=0, max_value=200),
+    n_workers=st.integers(min_value=1, max_value=32),
+)
+def test_contiguous_properties(n_files, n_workers):
+    files = [f"f{i:04d}" for i in range(n_files)]
+    alloc = sharding.contiguous_assignment(files, n_workers)
+    flat = sum((alloc[w] for w in range(n_workers)), [])
+    assert flat == sorted(files)  # order-preserving concatenation
+    sizes = [len(alloc[w]) for w in range(n_workers)]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_connected_components_vs_union_find(spark):
+    # Randomized (seeded) graph: the Spark min-label propagation must
+    # induce exactly the same partition as a union-find oracle.
+    import random
+
+    from xlearning_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = set()
+    while len(edges) < 40:
+        a, b = rng.randrange(60), rng.randrange(60)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(sorted(edges), ["id_a", "id_b"])
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {}
+    for x in parent:
+        want.setdefault(find(x), set()).add(x)
+    want_partition = sorted(frozenset(s) for s in want.values())
+
+    got = {}
+    for r in connected_components(pairs).collect():
+        got.setdefault(r.component, set()).add(r.id)
+    got_partition = sorted(frozenset(s) for s in got.values())
+    assert got_partition == want_partition
+    # min-label: each component is labeled by its smallest member
+    for label, members in got.items():
+        assert label == min(members)

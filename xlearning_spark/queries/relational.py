@@ -634,6 +634,33 @@ def q28_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q39_correlated_max_order",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                        WHERE o2.o_custkey = o.o_custkey)
+""",
+    tags=("subquery", "correlated", "window"),
+    doc="Correlated scalar subquery (each customer's priciest orders). "
+    "Declared via SQL so Catalyst's subquery decorrelation rewrites it "
+    "into the aggregate+join the oracle's executor also picks — the "
+    "engine's parser/optimizer path, not hand-lowered.",
+)
+def q39_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__corr_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM __corr_orders o
+        WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice)
+                                FROM __corr_orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
 # --------------------------------------------------------------------
 # Set operations (§2.9)
 # --------------------------------------------------------------------
