@@ -194,6 +194,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # Materialize once: the edge list is re-joined every iteration
+        # (plus the convergence probe), and an expensive upstream plan
+        # (e.g. a similarity join) would otherwise re-execute per round.
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")

@@ -87,6 +87,15 @@ def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
     cols = df.select("path", "media_type", "content")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        # _fake_decode's body, inlined: the shipped closure must be
+        # self-contained — a module-global call pickles by reference
+        # and fails on executors without xlearning_spark on PYTHONPATH.
+        def fake(content: bytes):
+            h = hashlib.sha256(content or b"").digest()
+            return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 3, [b / 255.0 for b in h[:8]]
+
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
@@ -99,7 +108,7 @@ def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                     "feature": [],
                 }
                 for _, row in chunk.iterrows():
-                    w, h, c, feat = _fake_decode(row["content"])
+                    w, h, c, feat = fake(row["content"])
                     out["path"].append(row["path"])
                     out["media_type"].append(row["media_type"])
                     out["width"].append(w)

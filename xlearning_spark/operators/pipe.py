@@ -92,10 +92,18 @@ def pipe_lines(
         last_progress = [0.0]
 
         def drain_stderr() -> None:
+            # Progress parse inlined (not a call to the module-level
+            # helper): this closure ships to executors by value, and a
+            # module-global reference would require xlearning_spark to
+            # be importable on every worker's PYTHONPATH.
+            prefix = "reporter progress:"
             for err_line in proc.stderr:
-                p = pipe_progress_parse(err_line)
-                if p is not None:
-                    last_progress[0] = p
+                s = err_line.strip()
+                if s.startswith(prefix):
+                    try:
+                        last_progress[0] = float(s[len(prefix):])
+                    except ValueError:
+                        pass
 
         threads = [threading.Thread(target=feed, daemon=True)]
         if progress is not None:

@@ -340,6 +340,38 @@ def q49_simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(d, "doc_id", "text").orderBy("doc_id")
 
 
+@query(
+    "q53_neardup_components",
+    oracle=f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, source, list_distinct({_TOKS}) AS toks FROM documents),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / len(list_distinct(a.toks || b.toks)) >= 0.30),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT src AS id, dst AS r FROM edges
+          UNION
+          SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+SELECT id, CAST(LEAST(id, MIN(r)) AS BIGINT) AS component
+FROM reach GROUP BY id
+""",
+    tags=("llm", "L2", "connected-components", "graph"),
+    doc="Duplicate-group clustering: min-label connected components "
+    "over the exact near-dup pair graph (operators/dedup.py "
+    "connected_components — iterative label propagation, one bounded "
+    "shuffle per round), oracle-checked against a DuckDB recursive-CTE "
+    "transitive closure of the same edges.",
+)
+def q53_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.dedup import connected_components
+
+    pairs = q42_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs).select("id", "component")
+
+
 #: GPT-2-style pre-tokenizer core, restricted to RE2-compatible syntax
 #: (no lookahead) so Spark and DuckDB extract identical tokens.
 _BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
