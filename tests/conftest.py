@@ -27,3 +27,10 @@ def duck():
     from xlearning_spark.testing import duckdb_con
 
     return duckdb_con(SF_SMOKE)
+
+
+def plan_string(df) -> str:
+    """Formatted physical plan of a DataFrame (shared test helper)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )

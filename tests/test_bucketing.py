@@ -4,52 +4,47 @@ physical patterns the engine relies on at 100 TB."""
 
 from __future__ import annotations
 
-import pytest
+import uuid
+
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, plan_string as _plan
 from xlearning_spark.sources import read_table
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-
-
-@pytest.fixture(scope="module")
-def warehouse(spark, tmp_path_factory):
-    # saveAsTable needs a warehouse; session fixture already has one —
-    # use unique table names instead of reconfiguring.
-    return spark
 
 
 def test_bucketed_join_has_no_shuffle(spark):
     o = read_table(spark, SF_SMOKE, "orders")
     c = read_table(spark, SF_SMOKE, "customer")
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_customer")
-    (
-        o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .mode("overwrite").saveAsTable("b_orders")
-    )
-    (
-        c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .mode("overwrite").saveAsTable("b_customer")
-    )
-    joined = (
-        spark.table("b_orders")
-        .join(
-            spark.table("b_customer").hint("merge"),
-            F.col("o_custkey") == F.col("c_custkey"),
+    # Unique names per run: the managed-table directory outlives the
+    # in-memory catalog, so a fixed name + DROP IF EXISTS fails with
+    # LOCATION_ALREADY_EXISTS on every run after the first.
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_c = f"b_orders_{tag}", f"b_customer_{tag}"
+    try:
+        (
+            o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .mode("overwrite").saveAsTable(t_o)
         )
-        .select("o_orderkey", "c_name")
-    )
-    plan = _plan(joined)
-    # co-located bucket join: zero exchanges in the tree
-    tree = plan.split("\n\n")[0]
-    assert "Exchange" not in tree, tree
-    assert joined.count() > 0
+        (
+            c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+            .mode("overwrite").saveAsTable(t_c)
+        )
+        joined = (
+            spark.table(t_o)
+            .join(
+                spark.table(t_c).hint("merge"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select("o_orderkey", "c_name")
+        )
+        plan = _plan(joined)
+        # co-located bucket join: zero exchanges in the tree
+        tree = plan.split("\n\n")[0]
+        assert "Exchange" not in tree, tree
+        assert joined.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
 
 
 def test_partition_pruning(spark, tmp_path):

@@ -6,16 +6,13 @@ them at sf0.001 proves them at any scale factor."""
 
 from __future__ import annotations
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, plan_string
 from xlearning_spark.queries import registry
 import xlearning_spark.queries  # noqa: F401
 
 
 def _plan(spark, name: str) -> str:
-    df = registry.get(name).spark(spark, SF_SMOKE)
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    return plan_string(registry.get(name).spark(spark, SF_SMOKE))
 
 
 def _n_nodes(plan: str, op: str) -> int:
