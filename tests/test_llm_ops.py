@@ -140,3 +140,19 @@ def test_exclude_self_flag(spark):
     # With self included, every query's top-1 is itself (cosine 1.0).
     for r in with_self.collect():
         assert r.qid == r.cid and abs(r.cosine - 1.0) < 1e-9
+
+
+def test_cosine_neardup_pairs_properties(spark):
+    from xlearning_spark.operators.similarity import cosine_neardup_pairs
+    from xlearning_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    pairs = cosine_neardup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
+    ).collect()
+    assert pairs, "fixture must yield at least one pair at threshold 0.35"
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in pairs:
+        assert r.id_a < r.id_b  # canonical orientation, no self/dup pairs
+        assert labels[r.id_a] == labels[r.id_b]  # block-local only
+        assert r.cosine >= 0.35

@@ -79,6 +79,52 @@ def brute_force_topk(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks (L2 variant).
+
+    Emits ``(id_a, id_b, cosine)`` with ``id_a < id_b`` and
+    ``cosine >= threshold``, pairing only rows that share ``block_col``
+    — the same group-local blocking discipline as the exact Jaccard
+    pair query, so the pair space never goes all-pairs. Norms are
+    computed once per row *before* the self-join (O(n) norm work, not
+    O(pairs)); only the dot product runs per pair, as a JVM
+    higher-order function inside codegen.
+
+    At production near-dup thresholds (>= 0.9) the blocking column is
+    replaced by hyperplane-LSH band buckets (``hyperplane_signature``)
+    + exact verify — the fixture embeddings top out near cosine 0.5,
+    so the oracle-checked form exercises the operator with a
+    deterministic attribute block instead.
+    """
+    e = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(block_col).alias("blk"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+    )
+    a = e.select(
+        F.col("id").alias("id_a"), "blk", F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("id").alias("id_b"), "blk", F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def hyperplane_signature(
     df: DataFrame,
     vec_col: str,

@@ -32,7 +32,12 @@ from xlearning_spark.operators.dedup import (
     minhash_near_duplicates,
     simhash,
 )
-from xlearning_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from xlearning_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 from xlearning_spark.operators.text import guess_lang, quality_score
 from xlearning_spark.queries.registry import query
 from xlearning_spark.sources import read_table as _t
@@ -126,6 +131,33 @@ def q42_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.30)
         .select("id_a", "id_b", F.round("jaccard", 8).alias("jaccard"))
     )
+
+
+@query(
+    "q54_embedding_neardup",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 8) AS cosine
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+""",
+    tags=("llm", "L2", "cosine", "dedup"),
+    doc="Embedding-cosine near-duplicate pairs, label-blocked: norms "
+    "precomputed per row before the self-join, only the dot product "
+    "runs per pair (operators/similarity.py cosine_neardup_pairs). "
+    "Threshold 0.35 because the fixture has no true near-dups (max "
+    "pairwise cosine ~0.5); at production thresholds the block key is "
+    "an LSH band bucket.",
+)
+def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 8).alias("cosine"))
 
 
 # --------------------------------------------------------------------
