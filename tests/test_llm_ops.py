@@ -156,3 +156,33 @@ def test_cosine_neardup_pairs_properties(spark):
         assert r.id_a < r.id_b  # canonical orientation, no self/dup pairs
         assert labels[r.id_a] == labels[r.id_b]  # block-local only
         assert r.cosine >= 0.35
+
+
+def test_shingle_hashes_short_and_null_docs(spark):
+    from xlearning_spark.functions import with_shingle_hashes
+
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, None), (3, "a b c d e f")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["__h"] for r in with_shingle_hashes(df, "text", n=5).collect()}
+    assert out[1] == []  # fewer than n tokens: empty, not a crash
+    assert out[2] == []  # null text
+    assert len(out[3]) == 2  # 6 tokens -> 2 shingles
+
+
+def test_simhash_keeps_null_token_rows(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma"), (2, None)], ["doc_id", "text"])
+    sigs = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    assert set(sigs) == {1, 2}
+    assert sigs[2] == 0
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)

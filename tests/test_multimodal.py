@@ -62,3 +62,16 @@ def test_frame_sample_bounded(spark, media_dir):
     for path, nums in per_path.items():
         assert 1 <= len(nums) <= 4
         assert sorted(nums) == list(range(len(nums)))
+
+
+def test_media_type_longest_magic_wins(spark, monkeypatch):
+    # A refining 8-byte magic (RIFF+WAVE-style) must beat its 4-byte
+    # generic prefix — regression for inverted when/otherwise order.
+    monkeypatch.setitem(mm._MAGIC, "52494646f0f1f2f3", "video/avi-ish")
+    df = spark.createDataFrame(
+        [("x", bytes.fromhex("52494646f0f1f2f3") + b"rest"),
+         ("y", bytes.fromhex("52494646") + b"0000rest")],
+        ["path", "content"],
+    )
+    got = {r.path: r.media_type for r in mm.with_media_type(df).collect()}
+    assert got == {"x": "video/avi-ish", "y": "audio/wav"}

@@ -123,3 +123,31 @@ def test_fault_tolerance_conf_applies(spark):
     # applying it must be a valid session config set
     s = build_session(extra_conf=conf)
     assert s.conf.get("spark.task.maxFailures") == "4"
+
+
+def test_salted_join_rejects_small_side_preserving_types(spark):
+    import pytest
+
+    big = _skewed(spark)
+    small = spark.createDataFrame([("hot", 1.0)], ["k", "w"])
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            skew.salted_join(big, small, "k", salt=8, how=how)
+
+
+def test_salted_join_spreads_duplicate_hot_rows(spark):
+    # Exact-duplicate rows of the hot key (the canonical skew case)
+    # must land in more than one salt bucket.
+    big = spark.createDataFrame([("hot", "same")] * 400, ["k", "v"])
+    small = spark.createDataFrame([("hot", 1.0)], ["k", "w"])
+    out = skew.salted_join(big, small, "k", salt=8)
+    assert out.count() == 400
+    from pyspark.sql import functions as FF
+
+    salted = big.withColumn(
+        "s",
+        FF.pmod(
+            FF.spark_partition_id() + FF.monotonically_increasing_id(), FF.lit(8)
+        ).cast("int"),
+    )
+    assert salted.select("s").distinct().count() > 1

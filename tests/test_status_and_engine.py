@@ -124,3 +124,14 @@ def test_connected_components_vs_union_find(spark):
     # min-label: each component is labeled by its smallest member
     for label, members in got.items():
         assert label == min(members)
+
+
+def test_pandas_rows_handles_numpy_arrays():
+    import numpy as np
+    import pandas as pd
+
+    from xlearning_spark.testing import pandas_rows
+
+    pdf = pd.DataFrame({"a": [np.int64(3)], "b": [np.array([1.0, 2.0])]})
+    rows = pandas_rows(pdf)
+    assert rows == [(3, [1.0, 2.0])]

@@ -103,8 +103,13 @@ def with_shingle_hashes(
     acc = f"{tmp}[i-1]"
     for j in range(1, n):
         acc = f"pmod({acc}*31 + {tmp}[i-1+{j}], {mod}L)"
+    # sequence(1, 0) is NOT empty (it steps downward to [1, 0]), so a
+    # doc with < n tokens must short-circuit to an empty array — the
+    # guarded branch also absorbs null token arrays (size = -1).
     combine = (
-        f"transform(sequence(1, greatest(size({tmp}) - {n - 1}, 0)), i -> {acc})"
+        f"CASE WHEN size({tmp}) >= {n} "
+        f"THEN transform(sequence(1, size({tmp}) - {n - 1}), i -> {acc}) "
+        f"ELSE cast(array() as array<bigint>) END"
     )
     return (
         df.withColumn(

@@ -188,7 +188,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Iterative small-join algorithm, bounded iterations (components in
     dedup graphs are shallow). Each iteration is one shuffle over the
-    edge list.
+    edge list. Propagation advances one hop per iteration, so a
+    component whose diameter exceeds ``max_iter`` cannot converge —
+    that raises instead of returning wrong groups.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -217,17 +219,25 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 ).alias("component"),
             )
         )
+        # Checkpoint BEFORE the convergence probe: the probe executes
+        # the label join, and an eager checkpoint afterwards would
+        # execute it a second time — probing the checkpointed frame
+        # makes each iteration run its join exactly once.
+        new_ck = new_labels.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
+            new_ck.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
         if not changed:
-            break
-    return labels
+            return new_ck
+        labels = new_ck
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iter} iterations "
+        "(a component's diameter exceeds it); raise max_iter"
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
@@ -262,8 +272,20 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     # complement), giving a true 64-bit sketch without bigint overflow.
     terms = [bit[i] * F.lit(1 << i).cast("bigint") for i in range(bits - 1)]
     terms.append(bit[bits - 1] * F.lit(-(1 << 63)).cast("bigint"))
-    return agg.select(
+    sigs = agg.select(
         F.col(id_col), sum(terms, F.lit(0).cast("bigint")).alias("simhash")
+    )
+    # explode emits nothing for null/empty token arrays, which would
+    # silently drop those documents; re-anchor on the id set and give
+    # them the all-zero sketch (what the sign rule yields at n=0).
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(sigs, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash"),
+        )
     )
 
 

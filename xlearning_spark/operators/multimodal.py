@@ -47,11 +47,18 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
 
 def with_media_type(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Sniff media type from magic bytes — JVM-only, no Python."""
-    head = F.lower(F.hex(F.substring(F.col(content_col), 1, 4)))
-    expr = F.lit("application/octet-stream")
+    # Sniff as many bytes as the longest registered magic needs.
+    max_bytes = max(len(m) for m in _MAGIC) // 2
+    head = F.lower(F.hex(F.substring(F.col(content_col), 1, max_bytes)))
+    # Chain WHENs longest-magic-first so a refining entry (e.g. a
+    # RIFF+WAVE 8-byte magic) wins over a shorter generic prefix.
+    expr = None
     for magic, mtype in sorted(_MAGIC.items(), key=lambda kv: -len(kv[0])):
-        expr = F.when(head.startswith(magic), F.lit(mtype)).otherwise(expr)
-    return df.withColumn("media_type", expr)
+        cond = head.startswith(magic)
+        expr = F.when(cond, F.lit(mtype)) if expr is None else expr.when(cond, F.lit(mtype))
+    return df.withColumn(
+        "media_type", expr.otherwise(F.lit("application/octet-stream"))
+    )
 
 
 #: Output schema of the decode stage — fixed contract for downstream.
@@ -80,8 +87,11 @@ def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
 
     Arrow moves the bytes in columnar batches; each partition decodes
     independently (map-only — at 100 TB this scales with executor
-    count, no shuffle). ``batch_rows`` bounds per-batch memory since
-    payloads can be many MB each.
+    count, no shuffle). ``batch_rows`` bounds the *output* frame size
+    only — each incoming Arrow batch is already materialized as one
+    pandas frame before slicing, so per-batch input memory is governed
+    by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (default
+    10000); lower it for many-MB payloads.
     """
     df = with_media_type(df) if "media_type" not in df.columns else df
     cols = df.select("path", "media_type", "content")

@@ -57,14 +57,27 @@ def salted_join(
 ) -> DataFrame:
     """Equi join with the big side salted and the small side replicated.
 
-    Each big-side row gets a random-ish salt in [0, salt); the small
-    side is exploded ``salt`` times so every (key, salt) bucket can
-    match. A hot key's rows then occupy ``salt`` reducers instead of
-    one. Use when the small side is too big to broadcast but small
-    enough to replicate ``salt`` times (the classic middle ground).
+    Each big-side row gets a row-position salt in [0, salt) — NOT a
+    hash of its values, so even exact-duplicate rows of a hot key (the
+    canonical skew case) spread across reducers. The small side is
+    exploded ``salt`` times so every (key, salt) bucket can match. Use
+    when the small side is too big to broadcast but small enough to
+    replicate ``salt`` times (the classic middle ground).
+
+    Only big-side-preserving join types are supported: replicating the
+    small side would emit unmatched small rows ``salt`` times under
+    right/full outer semantics.
     """
+    normalized = how.lower().replace("_", "")
+    if normalized not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "the replicated small side would duplicate unmatched rows "
+            "under right/full outer semantics"
+        )
     big_s = big.withColumn(
-        _SALT, F.pmod(F.xxhash64(*big.columns), F.lit(salt)).cast("int")
+        _SALT,
+        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt)).cast("int"),
     )
     small_s = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

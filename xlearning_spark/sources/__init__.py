@@ -44,6 +44,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Engine contract: timestamp semantics are UTC. Pinned here (the
     # single chokepoint every query loads through) so NTZ<->LTZ casts
     # are value-stable even under a host session with another TZ.
+    # Deliberate session-level side effect: a host app needing another
+    # session TZ must re-set it after engine reads.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -52,8 +54,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
-    # Runtime-settable in Spark 4; scoped to this read — harmless for
-    # the other tables (they carry micro timestamps).
+    # Runtime-settable in Spark 4. Session-level side effect: it stays
+    # set after this read. Harmless for the canonical tables (they
+    # carry micro timestamps, which the flag doesn't touch), but a host
+    # app reading its own nano-parquet would see bigint columns.
     spark.conf.set(_NANOS_CONF, "true")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":

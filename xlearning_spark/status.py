@@ -66,11 +66,21 @@ def executor_table(spark: SparkSession) -> DataFrame:
     )
 
 
-def job_table(spark: SparkSession) -> DataFrame:
-    """Active/recent job state (ids + stage ids + status), queryable."""
+def job_table(spark: SparkSession, groups: list[str] | None = None) -> DataFrame:
+    """Active/recent job state (ids + stage ids + status), queryable.
+
+    ``getJobIdsForGroup(None)`` only lists jobs submitted *without* a
+    job group, and the public StatusTracker has no all-groups listing —
+    so active jobs are always merged in via ``getActiveJobsIds()``, and
+    completed grouped jobs appear only when their group ids are passed
+    in ``groups``.
+    """
     status = spark.sparkContext.statusTracker()
+    jids = set(status.getJobIdsForGroup(None)) | set(status.getActiveJobsIds())
+    for g in groups or ():
+        jids |= set(status.getJobIdsForGroup(g))
     rows = []
-    for jid in status.getJobIdsForGroup(None):
+    for jid in sorted(jids):
         info = status.getJobInfo(jid)
         if info is None:
             continue

@@ -10,6 +10,11 @@ import hashlib
 import math
 import os
 
+try:
+    import numpy as _np
+except ImportError:  # pragma: no cover - numpy is baked into the env
+    _np = None
+
 
 def canon(v) -> str:
     """Canonical, type-tagged string for one value."""
@@ -54,10 +59,12 @@ def pandas_rows(pdf):
                 v = v.to_pydatetime()
             elif isinstance(v, float) and math.isnan(v):
                 v = None
+            elif _np is not None and isinstance(v, _np.ndarray):
+                # Must precede the scalar branch: ndarray also has
+                # .item, which throws on size > 1.
+                v = [x.item() if hasattr(x, "item") else x for x in v]
             elif hasattr(v, "item") and type(v).__module__ == "numpy":
                 v = v.item()
-            elif type(v).__module__ == "numpy":  # numpy array
-                v = [x.item() if hasattr(x, "item") else x for x in v]
             if isinstance(v, _dt.datetime) and v.tzinfo is not None:
                 v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
             row.append(v)
