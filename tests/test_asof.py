@@ -55,3 +55,17 @@ def test_asof_carries_value_columns(spark):
     assert out[1] == (8, 1.5)    # latest right at t<=10 is t=8
     assert out[2] == (20, 2.5)   # t<=25 -> t=20
     assert out[3] == (None, None)  # no right row at t<=5 for k=b
+
+
+def test_asof_join_tie_on_timestamp_is_deterministic(spark):
+    from xlearning_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, 100, "A"), (1, 100, "B")], ["k", "ts", "val"]
+    )
+    for _ in range(3):
+        row = asof_join(
+            left, right, by=["k"], left_on="ts", right_on="ts", value_cols=["val"]
+        ).collect()[0]
+        assert row.val == "B"  # greatest value tuple wins the tie

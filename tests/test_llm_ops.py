@@ -186,3 +186,22 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
+
+
+def test_simhash_narrow_bits_stay_in_range(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zeta eta theta")], ["doc_id", "text"]
+    )
+    sigs = [r.simhash for r in simhash(df, "doc_id", "text", bits=16).collect()]
+    assert all(0 <= s < (1 << 16) for s in sigs)
+
+
+def test_hyperplane_signature_dim_mismatch_raises(spark):
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from xlearning_spark.operators.similarity import hyperplane_signature
+
+    df = spark.createDataFrame([(1, [0.1, 0.2])], ["vec_id", "embedding"])
+    with pytest.raises(PySparkException, match="dim=64"):
+        hyperplane_signature(df, "embedding", dim=64).collect()

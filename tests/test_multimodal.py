@@ -64,14 +64,20 @@ def test_frame_sample_bounded(spark, media_dir):
         assert sorted(nums) == list(range(len(nums)))
 
 
-def test_media_type_longest_magic_wins(spark, monkeypatch):
-    # A refining 8-byte magic (RIFF+WAVE-style) must beat its 4-byte
-    # generic prefix — regression for inverted when/otherwise order.
-    monkeypatch.setitem(mm._MAGIC, "52494646f0f1f2f3", "video/avi-ish")
+def test_media_type_riff_subtype_discrimination(spark):
+    # RIFF containers discriminate on bytes 8-11: WAVE -> audio/wav,
+    # 'AVI ' -> video/avi, unknown subtype -> octet-stream (regression
+    # for the generic RIFF prefix mislabeling AVI as audio and for
+    # inverted when/otherwise precedence).
+    wav = b"RIFF" + b"\x24\x08\x00\x00" + b"WAVE" + b"fmt rest"
+    avi = b"RIFF" + b"\x10\x20\x00\x00" + b"AVI " + b"LIST rest"
+    riff_unknown = b"RIFF" + b"\x00\x00\x00\x00" + b"XXXX" + b"rest"
     df = spark.createDataFrame(
-        [("x", bytes.fromhex("52494646f0f1f2f3") + b"rest"),
-         ("y", bytes.fromhex("52494646") + b"0000rest")],
-        ["path", "content"],
+        [("w", wav), ("a", avi), ("u", riff_unknown)], ["path", "content"]
     )
     got = {r.path: r.media_type for r in mm.with_media_type(df).collect()}
-    assert got == {"x": "video/avi-ish", "y": "audio/wav"}
+    assert got == {
+        "w": "audio/wav",
+        "a": "video/avi",
+        "u": "application/octet-stream",
+    }

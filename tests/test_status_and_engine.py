@@ -135,3 +135,26 @@ def test_pandas_rows_handles_numpy_arrays():
     pdf = pd.DataFrame({"a": [np.int64(3)], "b": [np.array([1.0, 2.0])]})
     rows = pandas_rows(pdf)
     assert rows == [(3, [1.0, 2.0])]
+
+
+def test_df_hash_delimiter_injection_resistant():
+    from xlearning_spark.testing import df_hash
+
+    # Values containing the join delimiters must not collide across
+    # column boundaries (regression: 'a|s:b','c' == 'a','b|s:c').
+    n1, c1, h1 = df_hash(["x", "y"], [("a|s:b", "c")])
+    n2, c2, h2 = df_hash(["x", "y"], [("a", "b|s:c")])
+    assert h1 != h2
+    n3, _, h3 = df_hash(["x"], [("a\nb",), ("c",)])
+    n4, _, h4 = df_hash(["x"], [("a",), ("b\nc",)])
+    assert h3 != h4
+
+
+def test_table_exists_handles_schemes(spark):
+    from xlearning_spark.sources import table_exists
+
+    local = "/root/testdata/sf0.001/nation.parquet"
+    assert table_exists(spark, local)
+    assert table_exists(spark, "file:" + local)
+    assert not table_exists(spark, "file:/nonexistent/nowhere.parquet")
+    assert not table_exists(spark, "/nonexistent/nowhere.parquet")

@@ -21,7 +21,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from xlearning_spark.sources import TABLES, read_table
+from xlearning_spark.sources import TABLES, read_table  # noqa: F401  (re-export)
+from xlearning_spark.sources import load_tables as _load_tables
 
 _DEFAULT_CONF = {
     # Let Catalyst re-plan at runtime: coalesce small partitions, split
@@ -108,11 +109,7 @@ class Engine:
     def register_tables(self, sf_dir: str | None = None) -> dict[str, DataFrame]:
         """Register every canonical parquet table as a temp view."""
         sf_dir = sf_dir or self.sf_dir
-        for name in TABLES:
-            path = os.path.join(sf_dir, f"{name}.parquet")
-            if not os.path.exists(path):
-                continue
-            df = read_table(self.spark, sf_dir, name)
+        for name, df in _load_tables(self.spark, sf_dir).items():
             df.createOrReplaceTempView(name)
             self._registered[name] = df
         return self._registered
@@ -128,11 +125,6 @@ class Engine:
         return self.spark.sql(query)
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Functional helper used by the query corpus: name -> DataFrame."""
-    out: dict[str, DataFrame] = {}
-    for name in TABLES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            out[name] = read_table(spark, sf_dir, name)
-    return out
+#: Re-export: the canonical implementation lives in sources (it also
+#: handles scheme-qualified hdfs://, s3a:// and file: paths).
+load_tables = _load_tables

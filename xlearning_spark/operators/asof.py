@@ -38,6 +38,10 @@ def asof_join(
     Returns all ``left`` columns plus each of ``value_cols`` and an
     ``asof_ts`` column (the matched right timestamp), null when no
     right row precedes the left row.
+
+    Ties: when several right rows share (key, ts), the greatest
+    ``value_cols`` tuple wins — the window orders by them as final
+    tiebreakers, keeping the result deterministic across runs.
     """
     left_cols = left.columns
     l = (
@@ -61,7 +65,7 @@ def asof_join(
 
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(_TS), F.col(_SIDE))
+        .orderBy(F.col(_TS), F.col(_SIDE), *[F.col(v) for v in value_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

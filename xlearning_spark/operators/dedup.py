@@ -268,10 +268,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         )
         for i in range(bits)
     ]
-    # Bits 0..62 weight 2^i; bit 63 is encoded as -2^63 (two's
-    # complement), giving a true 64-bit sketch without bigint overflow.
+    # Bits 0..bits-2 weight 2^i. At bits=64 the top bit is encoded as
+    # -2^63 (two's complement) to avoid bigint overflow; narrower
+    # sketches fit in bigint directly.
     terms = [bit[i] * F.lit(1 << i).cast("bigint") for i in range(bits - 1)]
-    terms.append(bit[bits - 1] * F.lit(-(1 << 63)).cast("bigint"))
+    top = -(1 << 63) if bits == 64 else (1 << (bits - 1))
+    terms.append(bit[bits - 1] * F.lit(top).cast("bigint"))
     sigs = agg.select(
         F.col(id_col), sum(terms, F.lit(0).cast("bigint")).alias("simhash")
     )
@@ -289,10 +291,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     )
 
 
-def simhash_candidates(sig: DataFrame, id_col: str, bands: int = 4) -> DataFrame:
-    """Band the 64-bit simhash into 16-bit chunks; same-chunk docs are
-    candidates (Hamming distance <= 3 guaranteed found with 4 bands)."""
-    width = 64 // bands
+def simhash_candidates(
+    sig: DataFrame, id_col: str, bands: int = 4, bits: int = 64
+) -> DataFrame:
+    """Band the ``bits``-bit simhash into ``bits/bands``-bit chunks;
+    same-chunk docs are candidates (Hamming distance <= bands-1
+    guaranteed found)."""
+    width = bits // bands
     mask = (1 << width) - 1
     banded = sig.select(
         F.col(id_col),

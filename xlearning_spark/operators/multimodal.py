@@ -26,23 +26,27 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Magic-byte prefixes -> media type (pure expression sniffing).
+#: Magic-byte hex patterns -> media type (pure expression sniffing).
+#: Patterns are regexes over the lowercase hex of the file head, so a
+#: container format can refine on bytes past a shared prefix — RIFF
+#: discriminates on bytes 8-11 ('WAVE' vs 'AVI ').
 _MAGIC = {
     "89504e47": "image/png",
     "ffd8ff": "image/jpeg",
     "47494638": "image/gif",
-    "52494646": "audio/wav",  # RIFF (wav/avi family)
+    "52494646........57415645": "audio/wav",  # RIFF....WAVE
+    "52494646........41564920": "video/avi",  # RIFF....AVI<sp>
     "494433": "audio/mp3",
     "1a45dfa3": "video/webm",
 }
 
 
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
-    """L5 ingest: opaque files as rows (binaryFile source)."""
-    reader = spark.read.format("binaryFile")
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
-    return reader.load(path)
+    """L5 ingest: opaque files as rows — same reader as the S4
+    whole-file delivery strategy (single implementation)."""
+    from xlearning_spark.sources.delivery import read_download
+
+    return read_download(spark, path, glob)
 
 
 def with_media_type(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -50,11 +54,11 @@ def with_media_type(df: DataFrame, content_col: str = "content") -> DataFrame:
     # Sniff as many bytes as the longest registered magic needs.
     max_bytes = max(len(m) for m in _MAGIC) // 2
     head = F.lower(F.hex(F.substring(F.col(content_col), 1, max_bytes)))
-    # Chain WHENs longest-magic-first so a refining entry (e.g. a
-    # RIFF+WAVE 8-byte magic) wins over a shorter generic prefix.
+    # Chain WHENs longest-magic-first so a refining entry (RIFF+WAVE)
+    # wins over any shorter prefix of it that may be registered.
     expr = None
     for magic, mtype in sorted(_MAGIC.items(), key=lambda kv: -len(kv[0])):
-        cond = head.startswith(magic)
+        cond = head.rlike("^" + magic)
         expr = F.when(cond, F.lit(mtype)) if expr is None else expr.when(cond, F.lit(mtype))
     return df.withColumn(
         "media_type", expr.otherwise(F.lit("application/octet-stream"))

@@ -134,7 +134,13 @@ def hyperplane_signature(
 ) -> DataFrame:
     """Random-hyperplane signature: ``num_planes`` sign bits packed into
     one bigint column ``sig``. Hyperplanes are a deterministic LCG draw
-    so signatures are reproducible across runs/executors."""
+    so signatures are reproducible across runs/executors.
+
+    ``dim`` must match the actual vector length: a mismatch would make
+    every plane dot product null (zip_with pads with nulls), every sign
+    bit 0, and the LSH bucket join a silent all-pairs cross product —
+    so it raises at execution instead.
+    """
     import math
 
     state = seed
@@ -159,7 +165,15 @@ def hyperplane_signature(
         sig = sig + F.when(dot > 0, F.lit(1 << p).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
-    return df.withColumn("sig", sig)
+    guarded = F.when(F.size(F.col(vec_col)) == dim, sig).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"hyperplane_signature: dim={dim} but vector has %s elements",
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
+    return df.withColumn("sig", guarded)
 
 
 def ivf_topk(

@@ -87,12 +87,18 @@ def salted_join(
 
 
 def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
-    """Skew diagnosis: the top-N heaviest keys with their share."""
-    total = df.count()
+    """Skew diagnosis: the top-N heaviest keys with their share.
+
+    Single-pass: the total comes from a global window over the
+    already-grouped (key, n) frame — one row per distinct key, far
+    smaller than df — instead of a second full scan via count().
+    """
+    from pyspark.sql import Window
+
+    grouped = df.groupBy(key).agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
     return (
-        df.groupBy(key)
-        .agg(F.count("*").alias("n"))
-        .withColumn("share", F.col("n") / F.lit(total))
+        grouped.withColumn("share", F.col("n") / total)
         .orderBy(F.col("n").desc())
         .limit(top)
     )

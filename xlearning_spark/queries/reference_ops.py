@@ -33,10 +33,15 @@ from xlearning_spark.sources import read_table as _t
 
 #: Child program for the pipe round-trip: token count per stdin line.
 #: sys.executable keeps the query runnable on any host with this venv.
+#: re.split(r"\s+") (not str.split()) to match the oracle's
+#: string_split_regex semantics: empty/trailing-whitespace lines count
+#: boundary empty tokens identically on both sides.
 _PIPE_CHILD = [
     sys.executable,
     "-c",
-    "import sys\nfor line in sys.stdin:\n    print(len(line.split()))",
+    "import sys, re\n"
+    "for line in sys.stdin:\n"
+    "    print(len(re.split(r'\\s+', line.rstrip('\\n'))))",
 ]
 
 
@@ -48,7 +53,8 @@ _PIPE_CHILD = [
     "q60_pipe_wordcount",
     oracle="""
 SELECT COUNT(*) AS n_docs,
-       CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_tokens
+       CAST(SUM(len(string_split_regex(coalesce(text, ''), '\\s+'))) AS BIGINT)
+           AS total_tokens
 FROM documents
 """,
     tags=("pipe", "E1", "U1"),
@@ -57,7 +63,11 @@ FROM documents
     "contract (HboxContainer.java:1145-1257) with oracle parity.",
 )
 def q60_pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select("text")
+    # Null-safe: a null text must still produce a stdin line (the
+    # oracle coalesces identically).
+    d = _t(spark, sf_dir, "documents").select(
+        F.coalesce("text", F.lit("")).alias("text")
+    )
     counts = pipe_lines(d, _PIPE_CHILD, out_col="n_tokens")
     return counts.agg(
         F.count("*").alias("n_docs"),
@@ -124,7 +134,8 @@ def q62_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q63_pandas_udf_tokens",
     oracle="""
 SELECT doc_id,
-       CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens_udf
+       CAST(len(string_split_regex(coalesce(text, ''), '\\s+')) AS BIGINT)
+           AS n_tokens_udf
 FROM documents
 """,
     tags=("udf", "U2", "pandas-udf"),
@@ -134,7 +145,10 @@ FROM documents
 def q63_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("long")
     def n_tokens_udf(s: pd.Series) -> pd.Series:
-        return s.str.split().str.len().astype("int64")
+        # separator-count + 1 == len(re.split(r"\s+", text)): exact
+        # string_split_regex parity incl. empty strings and boundary
+        # whitespace (str.split() would drop empty tokens); null-safe.
+        return (s.fillna("").str.count(r"\s+") + 1).astype("int64")
 
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", n_tokens_udf("text").alias("n_tokens_udf"))

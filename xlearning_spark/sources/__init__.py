@@ -67,10 +67,25 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check that works for any Hadoop-visible path.
+
+    ``os.path.exists`` is always False for ``hdfs://``/``s3a://``/
+    ``file:`` URIs, which would silently skip every remote table — so
+    scheme-qualified paths go through the Hadoop FileSystem API.
+    """
+    if "://" not in path and not path.startswith("file:"):
+        return os.path.exists(path)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(jpath)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """name -> DataFrame for every canonical table present in sf_dir."""
     out: dict[str, DataFrame] = {}
     for name in TABLES:
-        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+        if table_exists(spark, os.path.join(sf_dir, f"{name}.parquet")):
             out[name] = read_table(spark, sf_dir, name)
     return out

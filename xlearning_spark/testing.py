@@ -38,7 +38,14 @@ def canon(v) -> str:
         return "[" + ",".join(canon(x) for x in v) + "]"
     if isinstance(v, bytes):
         return "b:" + v.hex()
-    return "s:" + str(v)
+    # Escape the delimiters the hasher joins with ('|' between columns,
+    # '\n' between rows, ',' and brackets inside lists): without this,
+    # values containing a delimiter can collide across column/row
+    # boundaries and hash a wrong result as equal.
+    s = str(v)
+    for ch in ("\\", "|", "\n", ",", "[", "]"):
+        s = s.replace(ch, "\\" + ch)
+    return "s:" + s
 
 
 def df_hash(cols, rows):
