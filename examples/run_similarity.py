@@ -1,0 +1,43 @@
+"""Similarity-search demo over `embeddings`: exact broadcast top-k,
+then the two ANN scale paths (hyperplane LSH, IVF) with their recall
+against the exact answer.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+
+def main(spark, sf_dir: str = DEFAULT_SF) -> None:
+    from pyspark.sql import functions as F
+
+    from xlearning_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+    from xlearning_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    exact = {(r.qid, r.cid) for r in brute_force_topk(emb, queries, k=5).collect()}
+    lsh = {(r.qid, r.cid) for r in lsh_topk(emb, queries, dim=64, k=5).collect()}
+    ivf = {
+        (r.qid, r.cid)
+        for r in ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4).collect()
+    }
+    print(f"exact top-5 pairs: {len(exact)}")
+    print(f"LSH recall: {len(exact & lsh) / len(exact):.2f}")
+    print(f"IVF recall: {len(exact & ivf) / len(exact):.2f}")
+
+
+if __name__ == "__main__":
+    from xlearning_spark.engine import build_session
+
+    main(build_session(app_name="example-similarity"))

@@ -1,0 +1,34 @@
+"""Smoke-run every example in one Spark session (SURVEY.md §5.1's
+example-driven validation, our analogue of the reference's
+examples/*/run.sh scripts)."""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+EXAMPLES_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+
+
+@pytest.mark.parametrize(
+    "mod_name",
+    [
+        "run_relational",
+        "run_pipe_sharding",
+        "run_dedup_pipeline",
+        "run_similarity",
+        "run_streaming_monitor",
+    ],
+)
+def test_example_runs(spark, mod_name, capsys):
+    if EXAMPLES_DIR not in sys.path:
+        sys.path.insert(0, EXAMPLES_DIR)
+    mod = importlib.import_module(mod_name)
+    mod.main(spark, SF_SMOKE)
+    out = capsys.readouterr().out
+    assert out.strip(), f"{mod_name} printed nothing"
