@@ -1,0 +1,104 @@
+"""Submit-style job lifecycle tests (SURVEY.md §3.1-3.2 analogue):
+validation, the three delivery strategies, epochs, pipe execution,
+commit marker."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from xlearning_spark.job import JobSpec, submit
+
+_UPPER = [
+    sys.executable,
+    "-c",
+    "import sys\nfor line in sys.stdin:\n    sys.stdout.write(line.upper())",
+]
+
+
+@pytest.fixture()
+def text_input(spark, tmp_path):
+    p = str(tmp_path / "in")
+    spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], ["value"]).coalesce(
+        1
+    ).write.text(p)
+    return p
+
+
+def test_validate_missing_input(spark):
+    with pytest.raises(FileNotFoundError, match="matches no files"):
+        submit(spark, JobSpec(inputs={"x": "/nonexistent/nowhere*"}))
+
+
+def test_validate_existing_output_refused(spark, text_input, tmp_path):
+    out = str(tmp_path / "out")
+    spec = JobSpec(inputs={"t": text_input}, output=out)
+    submit(spark, spec)
+    with pytest.raises(FileExistsError, match="already exists"):
+        submit(spark, spec)
+
+
+def test_validate_bad_strategy(spark, text_input):
+    with pytest.raises(ValueError, match="input_strategy"):
+        submit(spark, JobSpec(inputs={"t": text_input}, input_strategy="TELEPORT"))
+
+
+def test_stream_pipe_to_gzip_commit(spark, text_input, tmp_path):
+    out = str(tmp_path / "out")
+    res = submit(
+        spark,
+        JobSpec(inputs={"t": text_input}, command=_UPPER, output=out),
+    )
+    assert res.committed
+    assert res.n_records_out == 3
+    got = {r.value for r in spark.read.text(out).collect()}
+    assert got == {"ALPHA", "BETA", "GAMMA"}
+    # gzip codec actually applied (S7)
+    import glob
+
+    assert glob.glob(out + "/part-*.gz")
+
+
+def test_stream_epochs_multiply_records(spark, text_input):
+    res = submit(spark, JobSpec(inputs={"t": text_input}, epochs=3))
+    assert res.n_records_out == 9
+
+
+def test_placeholder_child_sees_file_list(spark, text_input, tmp_path):
+    out = str(tmp_path / "out")
+    child = [
+        sys.executable,
+        "-c",
+        "import os, sys, json\n"
+        "files = json.loads(os.environ['INPUT_FILE_LIST'])\n"
+        "sys.stdin.read()\n"
+        "print(len(files['t']))",
+    ]
+    res = submit(
+        spark,
+        JobSpec(
+            inputs={"t": text_input},
+            input_strategy="PLACEHOLDER",
+            command=child,
+            output=out,
+            output_format="parquet",
+        ),
+    )
+    assert res.committed
+    vals = {int(r.line) for r in spark.read.parquet(out).collect()}
+    assert vals == {len(res.input_files["t"])}
+    assert len(res.input_files["t"]) >= 1
+
+
+def test_download_inventory(spark, tmp_path):
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"12345")
+    (d / "b.bin").write_bytes(b"678")
+    res = submit(
+        spark, JobSpec(inputs={"b": str(d) + "/*"}, input_strategy="DOWNLOAD")
+    )
+    assert res.n_records_out == 2
+    assert sorted(res.input_files["b"])[0].endswith("a.bin")

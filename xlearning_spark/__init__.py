@@ -8,6 +8,9 @@ columns, text analysis) designed for 100 TB scale.
 
 Public surface:
     Engine            — session + table registry (xlearning_spark.engine)
+    job.submit        — hbox-submit-style job lifecycle: validate ->
+                        deliver (DOWNLOAD/PLACEHOLDER/STREAM) -> pipe
+                        -> commit (xlearning_spark.job)
     operators.*       — dedup / similarity / text / asof / pipe /
                         sharding / multimodal
     sources.*         — table loading, input-delivery strategies

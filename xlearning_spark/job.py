@@ -1,0 +1,134 @@
+"""Submit-style batch-job API: the engine's `hbox-submit` analogue
+(SURVEY.md §7 architecture item 3).
+
+One call reproduces the reference's job lifecycle
+(client/Client.java submit -> AM plan -> container execute -> commit,
+SURVEY.md §3.1-3.2) on Spark:
+
+  1. validate  — inputs must exist, output must not
+     (Client.java:298-374's checks);
+  2. deliver   — DOWNLOAD (whole-file rows), PLACEHOLDER (path list in
+     the child's INPUT_FILE_LIST env), or STREAM (line records piped
+     to the child), per doc/datamanage_cn.md:6-60;
+  3. execute   — the user command over stdin/stdout lines with the
+     reference env contract (INDEX per partition), multi-epoch with
+     cache (HboxContainer.java:1145-1257, 1158-1199);
+  4. commit    — gzip-text or parquet sink through Spark's
+     FileOutputCommitter (the reference's staging->rename->_SUCCESS
+     protocol, ApplicationMaster.java:3106-3172).
+
+Everything composes the per-capability operators (sources.delivery,
+operators.pipe, operators.sharding, sources.sinks) — this module adds
+only the lifecycle, no new data-plane code.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xlearning_spark.operators.pipe import pipe_lines
+from xlearning_spark.operators.sharding import epoch_replay
+from xlearning_spark.sources import table_exists
+from xlearning_spark.sources.delivery import glob_files, read_download, read_records
+from xlearning_spark.sources.sinks import is_committed, write_gzip_text, write_parquet
+
+_STRATEGIES = ("DOWNLOAD", "PLACEHOLDER", "STREAM")
+_FORMATS = ("text.gz", "parquet")
+
+
+@dataclass
+class JobSpec:
+    """Declarative job description — the ClientArguments analogue."""
+
+    inputs: dict[str, str]  # alias -> path or glob
+    command: list[str] | None = None  # child argv (None = identity)
+    input_strategy: str = "STREAM"
+    output: str | None = None
+    output_format: str = "text.gz"
+    epochs: int = 1
+    env: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class JobResult:
+    output_path: str | None
+    n_records_out: int
+    committed: bool
+    input_files: dict[str, list[str]]
+
+
+def _validate(spark: SparkSession, spec: JobSpec) -> dict[str, list[str]]:
+    if spec.input_strategy not in _STRATEGIES:
+        raise ValueError(f"input_strategy must be one of {_STRATEGIES}")
+    if spec.output_format not in _FORMATS:
+        raise ValueError(f"output_format must be one of {_FORMATS}")
+    if spec.epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    def _visible(fs: list[str]) -> list[str]:
+        # Drop _SUCCESS/.hidden entries: Hadoop's record readers skip
+        # them, so the PLACEHOLDER list must match what STREAM reads.
+        return [f for f in fs if not os.path.basename(f).startswith(("_", "."))]
+
+    files = {alias: _visible(glob_files(spark, p)) for alias, p in spec.inputs.items()}
+    for alias, fs in files.items():
+        if not fs:
+            raise FileNotFoundError(
+                f"input {alias!r} matches no files: {spec.inputs[alias]}"
+            )
+    if spec.output is not None and table_exists(spark, spec.output):
+        # The reference refuses to clobber outputs (Client.java:298-302).
+        raise FileExistsError(f"output already exists: {spec.output}")
+    return files
+
+
+def submit(spark: SparkSession, spec: JobSpec) -> JobResult:
+    """Run the full job lifecycle; returns counts + commit status."""
+    files = _validate(spark, spec)
+
+    if spec.input_strategy == "DOWNLOAD":
+        # Whole files as rows; the command (if any) sees one line per
+        # file: "<path>\t<length>" — the localized-file inventory.
+        rows: DataFrame = read_download(
+            spark, list(spec.inputs.values())[0]
+        ).select(
+            F.concat_ws("\t", F.col("path"), F.col("length").cast("string")).alias(
+                "line"
+            )
+        )
+    elif spec.input_strategy == "PLACEHOLDER":
+        # The child reads paths from INPUT_FILE_LIST, not stdin: feed
+        # one line per assigned file so partition counts stay honest.
+        all_files = [f for fs in files.values() for f in fs]
+        rows = spark.createDataFrame([(f,) for f in all_files], ["line"])
+    else:  # STREAM
+        rows = read_records(spark, list(spec.inputs.values())[0]).withColumnRenamed(
+            "value", "line"
+        )
+
+    if spec.epochs > 1:
+        rows = epoch_replay(rows, spec.epochs).drop("epoch")
+
+    if spec.command is not None:
+        out = pipe_lines(
+            rows,
+            spec.command,
+            env=spec.env,
+            input_files=files if spec.input_strategy == "PLACEHOLDER" else None,
+            out_col="line",
+        )
+    else:
+        out = rows
+
+    if spec.output is None:
+        return JobResult(None, out.count(), False, files)
+
+    if spec.output_format == "parquet":
+        write_parquet(out, spec.output)
+    else:
+        write_gzip_text(out.select(F.col("line").cast("string")), spec.output)
+    n = spark.read.parquet(spec.output).count() if spec.output_format == "parquet" else spark.read.text(spec.output).count()
+    return JobResult(spec.output, n, is_committed(spec.output, spark), files)

@@ -39,8 +39,14 @@ def write_csv(df: DataFrame, path: str, mode: str = "error", header: bool = True
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
-def is_committed(path: str) -> bool:
+def is_committed(path: str, spark=None) -> bool:
     """S8: job-commit check — the ``_SUCCESS`` marker the reference's
     AM writes after the staging rename (ApplicationMaster.java:3128).
-    Spark's FileOutputCommitter produces the identical marker."""
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+    Spark's FileOutputCommitter produces the identical marker. Pass
+    ``spark`` to check scheme-qualified (hdfs://, s3a://) paths."""
+    marker = os.path.join(path, "_SUCCESS")
+    if spark is not None:
+        from xlearning_spark.sources import table_exists
+
+        return table_exists(spark, marker)
+    return os.path.exists(marker)
