@@ -158,3 +158,32 @@ def test_table_exists_handles_schemes(spark):
     assert table_exists(spark, "file:" + local)
     assert not table_exists(spark, "file:/nonexistent/nowhere.parquet")
     assert not table_exists(spark, "/nonexistent/nowhere.parquet")
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab|,\\[]\n", max_size=6),
+            st.text(alphabet="cd|,\\[]\n", max_size=6),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab|,\\[]\n", max_size=6),
+            st.text(alphabet="cd|,\\[]\n", max_size=6),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_df_hash_injective_over_delimiter_rich_strings(rows1, rows2):
+    # The gate's value hash must be injective up to row multiset
+    # equality, even when values are built from the join delimiters.
+    from xlearning_spark.testing import df_hash
+
+    _, _, h1 = df_hash(["x", "y"], rows1)
+    _, _, h2 = df_hash(["x", "y"], rows2)
+    assert (h1 == h2) == (sorted(rows1) == sorted(rows2))
