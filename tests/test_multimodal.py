@@ -81,3 +81,18 @@ def test_media_type_riff_subtype_discrimination(spark):
         "a": "video/avi",
         "u": "application/octet-stream",
     }
+
+
+def test_resize_stage_schema_and_scaling(spark, media_dir):
+    decoded = mm.decode_image(mm.read_binary_files(spark, media_dir))
+    resized = mm.resize_image(decoded, target_width=64, target_height=32)
+    rows = {r.path: r for r in resized.collect()}
+    orig = {r.path: r for r in decoded.collect()}
+    assert set(rows) == set(orig)
+    for p, r in rows.items():
+        assert (r.width, r.height) == (64, 32)
+        o = orig[p]
+        s = (64 * 32) / (o.width * o.height)
+        assert all(
+            abs(rv - ov * s) < 1e-9 for rv, ov in zip(r.feature, o.feature)
+        )

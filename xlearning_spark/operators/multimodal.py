@@ -146,3 +146,45 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8) 
         "path",
         F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no", "_f"),
     ).select("path", "frame_no", (F.col("_f") * every_n_bytes).alias("offset"))
+
+
+#: Output schema of the resize stage.
+RESIZED_SCHEMA = (
+    "path string, media_type string, width int, height int, "
+    "n_channels int, feature array<double>"
+)
+
+
+def resize_image(
+    df: DataFrame, target_width: int = 224, target_height: int = 224
+) -> DataFrame:
+    """STUB resize stage over decoded rows (DECODED_SCHEMA in, same
+    shape out with width/height set to the target).
+
+    Real implementation point: a PIL/opencv call on the pixel buffer.
+    The stub renormalizes the feature vector by the scale factor so
+    the stage is observable and deterministic; the Spark plumbing —
+    mapInPandas over Arrow batches, map-only, explicit schema — is the
+    production shape (one executor pass, no shuffle, scales with
+    cluster width at 100 TB).
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            scale = [
+                (target_width * target_height) / max(w * h, 1)
+                for w, h in zip(pdf["width"], pdf["height"])
+            ]
+            out = pdf.copy()
+            out["width"] = target_width
+            out["height"] = target_height
+            out["feature"] = [
+                [x * s for x in feat] for feat, s in zip(pdf["feature"], scale)
+            ]
+            yield out
+
+    return df.select(
+        "path", "media_type", "width", "height", "n_channels", "feature"
+    ).mapInPandas(resize_batches, RESIZED_SCHEMA)
