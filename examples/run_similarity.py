@@ -33,8 +33,11 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
         for r in ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4).collect()
     }
     print(f"exact top-5 pairs: {len(exact)}")
-    print(f"LSH recall: {len(exact & lsh) / len(exact):.2f}")
-    print(f"IVF recall: {len(exact & ivf) / len(exact):.2f}")
+    if exact:
+        print(f"LSH recall: {len(exact & lsh) / len(exact):.2f}")
+        print(f"IVF recall: {len(exact & ivf) / len(exact):.2f}")
+    else:
+        print("no query vectors in this fixture — recall undefined")
 
 
 if __name__ == "__main__":

@@ -102,3 +102,11 @@ def test_download_inventory(spark, tmp_path):
     )
     assert res.n_records_out == 2
     assert sorted(res.input_files["b"])[0].endswith("a.bin")
+
+
+def test_stream_multi_input_unions_all_aliases(spark, tmp_path):
+    p1, p2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    spark.createDataFrame([("a",), ("b",)], ["value"]).coalesce(1).write.text(p1)
+    spark.createDataFrame([("c",)], ["value"]).coalesce(1).write.text(p2)
+    res = submit(spark, JobSpec(inputs={"one": p1, "two": p2}))
+    assert res.n_records_out == 3  # both aliases delivered, not just the first

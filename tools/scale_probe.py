@@ -124,7 +124,8 @@ def main() -> None:
         "# SCALE — data-volume linearity probe (tools/scale_probe.py)",
         "",
         "Headline queries run unchanged against sf0.1 and key-offset",
-        f"replicated copies at {fs[1:]}x fact-table volume (lineitem/orders",
+        f"replicated copies at {' and '.join(f'{f}x' for f in fs[1:])}"
+        " fact-table volume (lineitem/orders",
         "replicated with per-replica order-key offsets; dims fixed, as in",
         "TPC-H). Ratio columns divide out the 1x time; a ratio well below",
         "the factor means constant per-query overhead and idle executor",

@@ -89,15 +89,26 @@ def submit(spark: SparkSession, spec: JobSpec) -> JobResult:
     """Run the full job lifecycle; returns counts + commit status."""
     files = _validate(spark, spec)
 
+    def _union_all(parts: list[DataFrame]) -> DataFrame:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
     if spec.input_strategy == "DOWNLOAD":
         # Whole files as rows; the command (if any) sees one line per
         # file: "<path>\t<length>" — the localized-file inventory.
-        rows: DataFrame = read_download(
-            spark, list(spec.inputs.values())[0]
-        ).select(
-            F.concat_ws("\t", F.col("path"), F.col("length").cast("string")).alias(
-                "line"
-            )
+        # Every alias contributes (the reference feeds all -input
+        # aliases to the container).
+        rows: DataFrame = _union_all(
+            [
+                read_download(spark, p).select(
+                    F.concat_ws(
+                        "\t", F.col("path"), F.col("length").cast("string")
+                    ).alias("line")
+                )
+                for p in spec.inputs.values()
+            ]
         )
     elif spec.input_strategy == "PLACEHOLDER":
         # The child reads paths from INPUT_FILE_LIST, not stdin: feed
@@ -105,8 +116,11 @@ def submit(spark: SparkSession, spec: JobSpec) -> JobResult:
         all_files = [f for fs in files.values() for f in fs]
         rows = spark.createDataFrame([(f,) for f in all_files], ["line"])
     else:  # STREAM
-        rows = read_records(spark, list(spec.inputs.values())[0]).withColumnRenamed(
-            "value", "line"
+        rows = _union_all(
+            [
+                read_records(spark, p).withColumnRenamed("value", "line")
+                for p in spec.inputs.values()
+            ]
         )
 
     if spec.epochs > 1:

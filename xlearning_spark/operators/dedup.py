@@ -296,7 +296,14 @@ def simhash_candidates(
 ) -> DataFrame:
     """Band the ``bits``-bit simhash into ``bits/bands``-bit chunks;
     same-chunk docs are candidates (Hamming distance <= bands-1
-    guaranteed found)."""
+    guaranteed found).
+
+    ``bits`` MUST match the value the signatures were built with: a
+    64-band layout over 16-bit sketches would read the always-zero
+    high bands and degenerate into an all-pairs join.
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide bits ({bits})")
     width = bits // bands
     mask = (1 << width) - 1
     banded = sig.select(

@@ -89,16 +89,18 @@ def salted_join(
 def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
     """Skew diagnosis: the top-N heaviest keys with their share.
 
-    Single-pass: the total comes from a global window over the
-    already-grouped (key, n) frame — one row per distinct key, far
-    smaller than df — instead of a second full scan via count().
+    Single-scan: the total is a broadcast one-row aggregate of the
+    grouped frame instead of a second full df.count() pass — the
+    grouped subtree appears twice in the plan but ReuseExchange dedupes
+    its shuffle, and no stage ever funnels all keys to one partition
+    (a global window here would).
     """
-    from pyspark.sql import Window
-
     grouped = df.groupBy(key).agg(F.count("*").alias("n"))
-    total = F.sum("n").over(Window.partitionBy())
+    total = grouped.agg(F.sum("n").alias("__total"))
     return (
-        grouped.withColumn("share", F.col("n") / total)
+        grouped.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n") / F.col("__total"))
+        .drop("__total")
         .orderBy(F.col("n").desc())
         .limit(top)
     )
