@@ -72,3 +72,16 @@ def test_q46_broadcasts_query_side_only(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # corpus side stays un-shuffled until the final per-query top-k
     assert _n_nodes(plan, "Exchange") <= 2
+
+
+def test_q54_blocked_pair_join_shape(spark):
+    # Embedding near-dup must pair via an equi join on the block key
+    # (no cartesian product) and materialize per-row norms in the
+    # pre-join projections, not per pair.
+    plan = _plan(spark, "q54_embedding_neardup")
+    assert _n_nodes(plan, "CartesianProduct") == 0
+    assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert "Join" in plan
+    # Norm (SQRT over aggregate) computed on each side's projection —
+    # present in the details at least twice before the join output.
+    assert plan.count("SQRT(aggregate(") >= 2
