@@ -204,7 +204,13 @@ def ivf_topk(
         F.col(id_col).alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).withColumn("features", array_to_vector("cv"))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    # Coarse quantization only needs rough centroids: 8 iterations is
+    # ample for cell assignment (recall is governed by n_probe, not
+    # centroid polish), and the fit is the index-build cost paid per
+    # call here / once-and-reused in production.
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=8, featuresCol="features", predictionCol="cell"
+    )
     model = km.fit(c)
     c_cells = model.transform(c).select("cid", "cv", "cell")
 
