@@ -125,6 +125,20 @@ def cosine_neardup_pairs(
     )
 
 
+def hyperplane_planes(dim: int, num_planes: int = 16, seed: int = 7) -> list[list[float]]:
+    """The deterministic LCG hyperplane draw — exposed so an external
+    oracle (DuckDB SQL) can reproduce signatures bit-for-bit."""
+    state = seed
+
+    def nxt() -> float:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        # Box-Muller-free uniform in [-1, 1): adequate for LSH planes.
+        return (state / float(1 << 63)) * 2.0 - 1.0
+
+    return [[nxt() for _ in range(dim)] for _ in range(num_planes)]
+
+
 def hyperplane_signature(
     df: DataFrame,
     vec_col: str,
@@ -141,18 +155,10 @@ def hyperplane_signature(
     bit 0, and the LSH bucket join a silent all-pairs cross product —
     so it raises at execution instead.
     """
-    import math
-
-    state = seed
-    def nxt() -> float:
-        nonlocal state
-        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        # Box-Muller-free uniform in [-1, 1): adequate for LSH planes.
-        return (state / float(1 << 63)) * 2.0 - 1.0
-
+    planes = hyperplane_planes(dim, num_planes, seed)
     sig = F.lit(0).cast("bigint")
     for p in range(num_planes):
-        plane = [nxt() for _ in range(dim)]
+        plane = planes[p]
         dot = F.aggregate(
             F.zip_with(
                 F.col(vec_col).cast("array<double>"),

@@ -459,15 +459,60 @@ def q52_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "cid")
 
 
+def _lsh_oracle_sql(dim: int = 64, num_planes: int = 16, bands: int = 4, k: int = 5) -> str:
+    """DuckDB twin of q50: the hyperplane draw is a deterministic LCG
+    (operators/similarity.py hyperplane_planes), so the oracle embeds
+    the SAME plane literals and reproduces signatures, banding, the
+    bucket join and the exact re-rank bit-for-bit — the sketch is
+    approximate vs ground truth but fully deterministic, hence
+    hash-checkable."""
+    from xlearning_spark.operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(dim, num_planes)
+    width = num_planes // bands
+    mask = (1 << width) - 1
+    sig_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in plane)
+        + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, ({sig_terms}) AS sig FROM e),
+banded AS (SELECT vec_id, v, b.band AS band,
+                  (sig >> (b.band * {width})) & {mask} AS chunk
+           FROM sig, (SELECT unnest(range({bands})) AS band) b),
+cand AS (SELECT DISTINCT q.vec_id AS qid, q.v AS qv, c.vec_id AS cid, c.v AS cv
+         FROM banded q JOIN banded c ON q.band = c.band AND q.chunk = c.chunk
+         WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
+scored AS (SELECT qid, cid,
+                  list_dot_product(qv, cv)
+                      / (sqrt(list_dot_product(qv, qv))
+                         * sqrt(list_dot_product(cv, cv))) AS cosine
+           FROM cand)
+SELECT qid, cid, ROUND(cosine, 8) AS cosine
+FROM (SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+      FROM scored)
+WHERE rn <= {k}
+"""
+
+
 @query(
     "q50_lsh_ann_topk",
-    oracle=None,  # LSH bucketing: approximate by design
-    tags=("llm", "L3", "lsh", "approx"),
-    doc="Hyperplane-LSH ANN top-k; recall vs q46's exact top-k asserted "
-    "in tests/test_llm_ops.py.",
+    oracle=_lsh_oracle_sql(),
+    tags=("llm", "L3", "lsh"),
+    doc="Hyperplane-LSH ANN top-k, fully hash-checked: the DuckDB twin "
+    "replays the identical LCG plane literals, signature packing, band "
+    "join and exact re-rank. Recall vs q46's exact top-k additionally "
+    "asserted in tests/test_llm_ops.py.",
 )
 def q50_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(
+    topk = lsh_topk(
         corpus=emb, queries=emb.filter(F.col("vec_id") < 10), id_col="vec_id", dim=64, k=5
+    )
+    return topk.select(
+        "qid", "cid", F.round("cosine", 8).alias("cosine")
     ).orderBy("qid", "cid")
