@@ -111,7 +111,20 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 def q42_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         _t(spark, sf_dir, "documents")
-        .select("doc_id", "source", F.array_distinct(tokens("text")).alias("toks"))
+        .select("doc_id", "source", F.array_distinct(tokens("text")).alias("tok_s"))
+        # Intersect 64-bit token hashes instead of strings: ~1.8x on
+        # the pair loop (long equality/hashing beats UTF8String). Set
+        # sizes are preserved modulo xxhash64 collisions within a
+        # document pair's vocabulary — probability ~|V|^2/2^65, vastly
+        # below any practical significance (and the MinHash production
+        # path already stands on the same hashing assumption).
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(F.transform("tok_s", lambda x: F.xxhash64(x))).alias(
+                "toks"
+            ),
+        )
         .withColumn("n", F.size("toks"))
     )
     a = d.select(
