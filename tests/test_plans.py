@@ -82,6 +82,12 @@ def test_q54_blocked_pair_join_shape(spark):
     assert _n_nodes(plan, "CartesianProduct") == 0
     assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 0
     assert "Join" in plan
-    # Norm (SQRT over aggregate) computed on each side's projection —
-    # present in the details at least twice before the join output.
+    # Norms must be materialized in the pre-join projections, NOT
+    # recomputed per pair: the join condition may divide by the norm
+    # columns but must never contain the SQRT(aggregate(...)) norm
+    # expression itself (the O(pairs) inlining regression).
     assert plan.count("SQRT(aggregate(") >= 2
+    for cond in [
+        seg.split("\n")[0] for seg in plan.split("Join condition:")[1:]
+    ]:
+        assert "SQRT" not in cond, f"per-pair norm in join condition: {cond[:200]}"

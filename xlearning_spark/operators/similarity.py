@@ -168,7 +168,12 @@ def hyperplane_signature(
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        sig = sig + F.when(dot > 0, F.lit(1 << p).cast("bigint")).otherwise(
+        # Sign test on the 12-decimal rounding: bit-identical today,
+        # and robust to summation-order drift (~1e-16 relative) should
+        # either engine's dot-product evaluation order ever change —
+        # without this, one flipped sign bit near 0.0 would desync the
+        # oracle's band buckets entirely.
+        sig = sig + F.when(F.round(dot, 12) > 0, F.lit(1 << p).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
     guarded = F.when(F.size(F.col(vec_col)) == dim, sig).otherwise(

@@ -2,11 +2,13 @@
 ``documents`` and ``embeddings`` tables.
 
 Exact operators (content-hash dedup, fingerprint near-dup, n-gram
-Jaccard, text stats, quality scoring, language ID, brute-force cosine
-top-k) carry full DuckDB oracles. Approximate operators (MinHash LSH,
-SimHash, hyperplane-LSH ANN) are not SQL-reproducible (xxhash64-seeded
-sketches), so they register rows-only here and get recall-vs-exact
-assertions in tests/test_llm_ops.py.
+Jaccard, embedding-cosine near-dup, text stats, quality scoring,
+language ID, brute-force cosine top-k) carry full DuckDB oracles — as
+does hyperplane-LSH ANN (q50), whose deterministic LCG plane draw the
+oracle replays literal-for-literal. Only the xxhash64-seeded sketches
+(MinHash, SimHash) and the KMeans-backed IVF are not SQL-reproducible;
+those register rows-only and get recall-vs-exact assertions in
+tests/test_llm_ops.py.
 
 Scale notes: the exact tier is map-only column expressions (scan
 throughput at 100 TB); dedup is one hash shuffle; cosine top-k
@@ -484,10 +486,13 @@ def _lsh_oracle_sql(dim: int = 64, num_planes: int = 16, bands: int = 4, k: int 
     planes = hyperplane_planes(dim, num_planes)
     width = num_planes // bands
     mask = (1 << width) - 1
+    # ROUND(..., 12) mirrors hyperplane_signature's sign test exactly:
+    # both engines compare the same rounded dot, so a near-zero plane
+    # dot cannot flip a sign bit on one side only.
     sig_terms = " + ".join(
-        "(CASE WHEN list_dot_product(v, ["
+        "(CASE WHEN ROUND(list_dot_product(v, ["
         + ", ".join(repr(x) for x in plane)
-        + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+        + f"]), 12) > 0 THEN {1 << p} ELSE 0 END)"
         for p, plane in enumerate(planes)
     )
     return f"""
