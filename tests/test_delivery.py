@@ -57,6 +57,33 @@ def test_read_records_lines(spark, tree):
     assert lines == ["l1", "l2", "l3"]
 
 
+def test_hadoop_records_text_inputformat(spark, tree):
+    # Same line=record contract as read_records, but through the
+    # pluggable InputFormat API (newAPIHadoopFile).
+    df = delivery.read_hadoop_records(spark, f"file:{tree}/a.txt")
+    rows = sorted((r.key, r.value) for r in df.collect())
+    # TextInputFormat keys are byte offsets into the file.
+    assert rows == [(0, "l1"), (3, "l2")]
+
+
+def test_hadoop_records_sequencefile_roundtrip(spark, tmp_path):
+    # Arbitrary-InputFormat proof: write a SequenceFile, read it back
+    # through SequenceFileInputFormat — the reference's custom
+    # hbox.inputformat.class path (AM:882-903, HboxContainer:1162-1173).
+    path = f"file:{tmp_path}/seq"
+    data = [("k1", "v1"), ("k2", "v2"), ("k3", "v3")]
+    spark.sparkContext.parallelize(data, 2).saveAsSequenceFile(path)
+    df = delivery.read_hadoop_records(
+        spark,
+        path,
+        input_format=delivery.SEQUENCE_INPUT_FORMAT,
+        key_cls="org.apache.hadoop.io.Text",
+        value_cls="org.apache.hadoop.io.Text",
+        schema="key string, value string",
+    )
+    assert sorted((r.key, r.value) for r in df.collect()) == data
+
+
 # ------------------------------------------------------------------ S4
 
 def test_read_download_whole_files(spark, tree):

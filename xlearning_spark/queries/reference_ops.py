@@ -216,6 +216,47 @@ def q65_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# S3 (general form): arbitrary Hadoop InputFormat scan
+# --------------------------------------------------------------------
+
+@query(
+    "q68_hadoop_records",
+    oracle="SELECT n_name AS line FROM nation",
+    tags=("scan", "S3", "hadoop-inputformat"),
+    doc="Records scanned through the Hadoop InputFormat API "
+    "(newAPIHadoopFile + TextInputFormat) — the reference's pluggable "
+    "hbox.inputformat.class contract (ApplicationMaster.java:882-903, "
+    "HboxContainer.java:1162-1173). The driver testdata is parquet-only, "
+    "so the text fixture is materialized once per sf_dir from the "
+    "nation table (25 rows — bounded), then read back through the "
+    "InputFormat path and hash-checked against the table.",
+)
+def q68_hadoop_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from xlearning_spark.sources.delivery import read_hadoop_records
+
+    names = sorted(
+        r.n_name
+        for r in _t(spark, sf_dir, "nation").select("n_name").collect()
+    )
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    fixture = os.path.join(
+        tempfile.gettempdir(), f"xls_q68_{tag}", "nation_names.txt"
+    )
+    if not os.path.exists(fixture):
+        os.makedirs(os.path.dirname(fixture), exist_ok=True)
+        tmp = fixture + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(names) + "\n")
+        os.replace(tmp, fixture)
+    df = read_hadoop_records(spark, f"file://{fixture}")
+    return df.select(F.col("value").alias("line"))
+
+
+# --------------------------------------------------------------------
 # P1: round-robin allocation math; P6: epoch replay
 # --------------------------------------------------------------------
 

@@ -49,6 +49,60 @@ def read_records(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+#: The reference's default InputFormat (conf/HboxConfiguration2.java:8-9).
+TEXT_INPUT_FORMAT = "org.apache.hadoop.mapreduce.lib.input.TextInputFormat"
+SEQUENCE_INPUT_FORMAT = (
+    "org.apache.hadoop.mapreduce.lib.input.SequenceFileInputFormat"
+)
+
+
+def read_hadoop_records_rdd(
+    spark: SparkSession,
+    path: str,
+    input_format: str = TEXT_INPUT_FORMAT,
+    key_cls: str = "org.apache.hadoop.io.LongWritable",
+    value_cls: str = "org.apache.hadoop.io.Text",
+    conf: dict[str, str] | None = None,
+):
+    """S3 (general form): scan records through an ARBITRARY Hadoop
+    ``mapreduce`` InputFormat — the reference's pluggable
+    ``hbox.inputformat.class`` split/record contract
+    (ApplicationMaster.java:882-903 computes splits via
+    ``InputFormat.getSplits``; HboxContainer.java:1162-1173 iterates the
+    RecordReader). Spark's ``newAPIHadoopFile`` is the same API surface,
+    so SequenceFiles or any custom InputFormat on the classpath work.
+
+    Returns an RDD of ``(key, value)`` pairs (Writables converted by
+    Spark's default converters).
+    """
+    return spark.sparkContext.newAPIHadoopFile(
+        path,
+        inputFormatClass=input_format,
+        keyClass=key_cls,
+        valueClass=value_cls,
+        conf=conf or {},
+    )
+
+
+def read_hadoop_records(
+    spark: SparkSession,
+    path: str,
+    input_format: str = TEXT_INPUT_FORMAT,
+    key_cls: str = "org.apache.hadoop.io.LongWritable",
+    value_cls: str = "org.apache.hadoop.io.Text",
+    schema: str = "key bigint, value string",
+    conf: dict[str, str] | None = None,
+) -> DataFrame:
+    """S3 (general form) as a DataFrame: ``read_hadoop_records_rdd``
+    lifted into SQL-land with an explicit schema so everything
+    downstream stays declarative (Catalyst prunes/pushes as usual once
+    the scan materializes)."""
+    rdd = read_hadoop_records_rdd(
+        spark, path, input_format, key_cls, value_cls, conf
+    )
+    return spark.createDataFrame(rdd, schema)
+
+
 def read_download(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """S4: whole-file delivery — each row carries one complete file
     (path, modificationTime, length, content)."""
