@@ -178,6 +178,47 @@ def test_simhash_keeps_null_token_rows(spark):
     assert sigs[2] == 0
 
 
+def test_connected_components_long_chain_pointer_doubling(spark):
+    # A 200-hop chain converges well under 200 rounds: pointer doubling
+    # compresses label depth geometrically (~log2 rounds).
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["id_a", "id_b"]
+    )
+    comp = {r.id: r.component for r in connected_components(chain, max_iter=12).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 201
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    ckdir = str(tmp_path / "cc_ck")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], ["id_a", "id_b"]
+    )
+    comp = {
+        r.id: r.component
+        for r in connected_components(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # Reliable mode actually wrote RDD snapshots to the checkpoint dir.
+    import os
+
+    found = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert found, "no reliable checkpoint files written"
+
+
+def test_simhash_candidates_bucket_cap(spark):
+    # 6 empty docs share the all-zero sketch; an uncapped banding would
+    # emit C(6,2)=15 pairs, the cap at 3 keeps the 3 lowest-id members
+    # -> C(3,2)=3 pairs (identical in every band).
+    df = spark.createDataFrame([(i, None) for i in range(6)], "doc_id long, text string")
+    sig = simhash(df, "doc_id", "text")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_candidates(sig, "doc_id", max_bucket=3).collect()
+    }
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     import pytest
 

@@ -183,23 +183,46 @@ def minhash_near_duplicates(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Min-label propagation over dup pairs -> (id, component) groups.
 
-    Iterative small-join algorithm, bounded iterations (components in
-    dedup graphs are shallow). Each iteration is one shuffle over the
-    edge list. Propagation advances one hop per iteration, so a
-    component whose diameter exceeds ``max_iter`` cannot converge —
-    that raises instead of returning wrong groups.
+    Each round takes the min label over the 1-hop neighborhood, then
+    compresses paths by jumping every label to its label's label
+    (pointer doubling). The compression step makes label depth shrink
+    geometrically, so convergence is ~log2(diameter) rounds, not
+    diameter rounds — a 1M-hop chain converges within the default
+    ``max_iter``. A graph that still hasn't converged raises instead of
+    returning wrong groups.
+
+    Fault tolerance: by default each round materializes via
+    ``localCheckpoint`` — fast (executor-local blocks), but an executor
+    loss mid-run is unrecoverable because the truncated lineage has no
+    replica. That's the right trade on local[n] and short jobs. On a
+    real cluster pass ``checkpoint_dir`` (an HDFS/S3 path): rounds then
+    use reliable ``checkpoint()`` snapshots that survive executor loss
+    — the right default for a 100 TB corpus where a multi-hour rerun
+    costs more than checkpoint I/O.
     """
-    edges = (
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = _materialize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         # Materialize once: the edge list is re-joined every iteration
         # (plus the convergence probe), and an expensive upstream plan
         # (e.g. a similarity join) would otherwise re-execute per round.
-        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
@@ -219,11 +242,24 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 ).alias("component"),
             )
         )
+        # Pointer doubling: component labels are themselves node ids, so
+        # jumping to the label's own label halves every label chain.
+        lookup = new_labels.select(
+            F.col("id").alias("__cid"), F.col("component").alias("__cc")
+        )
+        new_labels = new_labels.join(
+            lookup, new_labels.component == lookup.__cid, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("__cc", "component")
+            ).alias("component"),
+        )
         # Checkpoint BEFORE the convergence probe: the probe executes
         # the label join, and an eager checkpoint afterwards would
         # execute it a second time — probing the checkpointed frame
         # makes each iteration run its join exactly once.
-        new_ck = new_labels.localCheckpoint(eager=True)
+        new_ck = _materialize(new_labels)
         changed = (
             new_ck.alias("n")
             .join(labels.alias("o"), "id")
@@ -236,7 +272,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_ck
     raise RuntimeError(
         f"connected_components did not converge within {max_iter} iterations "
-        "(a component's diameter exceeds it); raise max_iter"
+        "(astronomically deep label chains); raise max_iter"
     )
 
 
@@ -292,7 +328,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
 
 def simhash_candidates(
-    sig: DataFrame, id_col: str, bands: int = 4, bits: int = 64
+    sig: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    bits: int = 64,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Band the ``bits``-bit simhash into ``bits/bands``-bit chunks;
     same-chunk docs are candidates (Hamming distance <= bands-1
@@ -301,6 +341,11 @@ def simhash_candidates(
     ``bits`` MUST match the value the signatures were built with: a
     64-band layout over 16-bit sketches would read the always-zero
     high bands and degenerate into an all-pairs join.
+
+    ``max_bucket`` caps degenerate buckets the same way
+    ``minhash_candidate_pairs`` does: every null/empty document carries
+    the all-zero sketch and would otherwise co-bucket in EVERY band,
+    turning m empty docs into O(m²) candidate pairs at corpus scale.
     """
     if bits % bands != 0:
         raise ValueError(f"bands ({bands}) must divide bits ({bits})")
@@ -317,8 +362,12 @@ def simhash_candidates(
             )
         ).alias("band", "chunk"),
     )
-    a = banded.select("band", "chunk", F.col(id_col).alias("id_a"))
-    b = banded.select("band", "chunk", F.col(id_col).alias("id_b"))
+    w = Window.partitionBy("band", "chunk").orderBy(id_col)
+    bounded = banded.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= max_bucket
+    )
+    a = bounded.select("band", "chunk", F.col(id_col).alias("id_a"))
+    b = bounded.select("band", "chunk", F.col(id_col).alias("id_b"))
     return (
         a.join(b, ["band", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))

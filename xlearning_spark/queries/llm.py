@@ -412,11 +412,21 @@ FROM reach GROUP BY id
     "shuffle per round), oracle-checked against a DuckDB recursive-CTE "
     "transitive closure of the same edges.",
 )
-def q53_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q53_neardup_components(
+    spark: SparkSession,
+    sf_dir: str,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     from xlearning_spark.operators.dedup import connected_components
 
     pairs = q42_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
-    return connected_components(pairs).select("id", "component")
+    # max_iter/checkpoint_dir plumbed through: pointer doubling makes 20
+    # rounds cover ~2^20-hop chains, and a real-cluster caller passes an
+    # HDFS/S3 checkpoint_dir for fault-tolerant rounds.
+    return connected_components(
+        pairs, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    ).select("id", "component")
 
 
 #: GPT-2-style pre-tokenizer core, restricted to RE2-compatible syntax
