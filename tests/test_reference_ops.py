@@ -88,6 +88,23 @@ def test_epoch_replay_counts(spark):
     assert counts == {0: 25, 1: 25, 2: 25}
 
 
+def test_epoch_replay_shuffle_reorders_per_epoch(spark):
+    # The reference's optional between-epoch stream shuffle: every epoch
+    # delivers the same multiset in a different (deterministic) order.
+    n = read_table(spark, SF_SMOKE, "nation")
+    replayed = sharding.epoch_replay(n, epochs=3, cache=False, shuffle=True)
+    orders: dict[int, list[int]] = {0: [], 1: [], 2: []}
+    for r in replayed.collect():  # collect preserves per-epoch row order
+        orders[r.epoch].append(r.n_nationkey)
+    assert all(sorted(v) == list(range(25)) for v in orders.values())
+    assert orders[0] != orders[1] and orders[1] != orders[2]
+    # Deterministic: the same seed replays the same per-epoch orders.
+    again: dict[int, list[int]] = {0: [], 1: [], 2: []}
+    for r in sharding.epoch_replay(n, epochs=3, cache=False, shuffle=True).collect():
+        again[r.epoch].append(r.n_nationkey)
+    assert again == orders
+
+
 # -------------------------------------------------------------- S7/S8
 
 def test_gzip_text_sink_and_commit(spark, tmp_path):

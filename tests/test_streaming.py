@@ -98,3 +98,30 @@ def test_checkpoint_replay_is_incremental(spark, events_dir, tmp_path):
     second = drain()
     assert first > 0
     assert second == first  # no double replay: second drain adds nothing
+
+
+def test_save_model_signal_versions_increments(spark, events_dir, tmp_path):
+    # T5 control path: each save signal drains exactly what arrived
+    # since the previous one into a fresh versioned dir (the
+    # /ws/app/savemodel analogue).
+    import os
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "saves")
+    os.makedirs(src)
+    full = spark.read.schema(st.EVENTS_SCHEMA).parquet(events_dir)
+    part1 = full.filter(F.col("event_id") % 2 == 0)
+    part2 = full.filter(F.col("event_id") % 2 == 1)
+    part1.write.mode("append").parquet(src)
+
+    ctrl = st.SaveModelController(
+        st.read_events_stream(spark, src), out, str(tmp_path / "ckpt")
+    )
+    d1, batches1 = ctrl.request_save()  # signal while only part1 exists
+    assert batches1 and d1.endswith("save_0000")
+    assert spark.read.parquet(f"{d1}/*").count() == part1.count()
+
+    part2.write.mode("append").parquet(src)  # stream advances mid-job
+    d2, batches2 = ctrl.request_save()  # second signal
+    assert batches2 and d2.endswith("save_0001")
+    assert spark.read.parquet(f"{d2}/*").count() == part2.count()

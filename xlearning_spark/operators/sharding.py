@@ -88,17 +88,40 @@ def repartition_mode(df: DataFrame, n: int, mode: str = "shuffle") -> DataFrame:
     raise ValueError(f"unknown mode: {mode}")
 
 
-def epoch_replay(df: DataFrame, epochs: int, cache: bool = True) -> DataFrame:
+def epoch_replay(
+    df: DataFrame,
+    epochs: int,
+    cache: bool = True,
+    shuffle: bool = False,
+    seed: int = 0,
+) -> DataFrame:
     """P6: re-deliver the dataset ``epochs`` times with an ``epoch``
     column; first pass materializes a cache so later epochs never
     re-read the source — the Spark translation of the reference's
     epoch-0 gzip tee (HboxContainer.java:1158-1199,
-    ``inputformatCache.gz``)."""
+    ``inputformatCache.gz``).
+
+    ``shuffle=True`` re-orders records independently per epoch — the
+    reference's optional between-epoch stream shuffle
+    (``hbox.input.stream.shuffle``, HboxContainer.java:1158-1199 path).
+    Rows are redistributed and ordered by an epoch-seeded ``xxhash64``
+    over the full row: each epoch sees a different but deterministic
+    order with an identical multiset, and the reorder is one shuffle
+    per epoch with no driver involvement.
+    """
     if epochs < 1:
         raise ValueError("epochs must be >= 1")
     base = df.persist(StorageLevel.DISK_ONLY) if cache else df
     out = None
     for e in range(epochs):
         tagged = base.withColumn("epoch", F.lit(e))
+        if shuffle:
+            key = F.xxhash64(F.lit(seed + e), *[F.col(c) for c in base.columns])
+            tagged = (
+                tagged.withColumn("__shuffle_key", key)
+                .repartition("__shuffle_key")
+                .sortWithinPartitions("__shuffle_key")
+                .drop("__shuffle_key")
+            )
         out = tagged if out is None else out.unionByName(tagged)
     return out

@@ -150,6 +150,46 @@ def incremental_save(
     return written
 
 
+class SaveModelController:
+    """T5 (control path): signal-driven mid-job save — the analogue of
+    the reference's ``/ws/app/savemodel`` REST trigger
+    (AMWebServices.java:96-106), which flips a flag the containers see
+    on their next heartbeat and answer with an ``interResult_<ts>``
+    incremental upload (Heartbeat.java:150-242).
+
+    The controller owns a streaming source and one checkpoint lineage.
+    Each ``request_save()`` call is the external signal: it drains
+    exactly what arrived since the previous save into a fresh versioned
+    directory (``save_NNNN/``). Because every drain shares the same
+    ``checkpointLocation``, successive signals produce disjoint,
+    gap-free increments — re-signaling with no new data writes nothing.
+    """
+
+    def __init__(self, stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
+        import threading
+
+        self._stream_df = stream_df
+        self._out_dir = out_dir
+        self._checkpoint_dir = checkpoint_dir
+        self._version = 0
+        self._lock = threading.Lock()  # signals may race; saves serialize
+
+    def request_save(self) -> tuple[str, list[int]]:
+        """Handle one save signal; returns (version_dir, batch_ids).
+
+        ``batch_ids == []`` means no data arrived since the last save
+        (the version counter does not advance).
+        """
+        with self._lock:
+            version_dir = f"{self._out_dir}/save_{self._version:04d}"
+            written = incremental_save(
+                self._stream_df, version_dir, self._checkpoint_dir
+            )
+            if written:
+                self._version += 1
+            return version_dir, written
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str, out_mode: str = "append"):
     """T5/T6: drain everything currently available into an in-memory
     sink and return the collected rows. ``Trigger.AvailableNow`` is the
