@@ -92,6 +92,44 @@ def test_placeholder_child_sees_file_list(spark, text_input, tmp_path):
     assert len(res.input_files["t"]) >= 1
 
 
+def test_placeholder_splits_file_list_per_worker(spark, tmp_path):
+    # The reference AM assigns each container a private split of the
+    # input files; every child must see ONLY its slice, and the slices
+    # must partition the full set (disjoint + complete).
+    src = tmp_path / "many"
+    src.mkdir()
+    for i in range(4):
+        (src / f"f{i}.txt").write_text(f"line{i}\n")
+    out = str(tmp_path / "out")
+    child = [
+        sys.executable,
+        "-c",
+        "import os, sys, json\n"
+        "sys.stdin.read()\n"
+        "for f in json.loads(os.environ['INPUT_FILE_LIST']).get('t', []):\n"
+        "    print(os.environ['INDEX'] + '|' + f)",
+    ]
+    res = submit(
+        spark,
+        JobSpec(
+            inputs={"t": str(src) + "/*.txt"},
+            input_strategy="PLACEHOLDER",
+            command=child,
+            output=out,
+            output_format="parquet",
+            workers=2,
+        ),
+    )
+    assert res.committed
+    seen: dict[str, set[str]] = {}
+    for r in spark.read.parquet(out).collect():
+        idx, path = r.line.split("|", 1)
+        seen.setdefault(idx, set()).add(path)
+    assert set(seen) == {"0", "1"}  # both workers ran
+    assert not (seen["0"] & seen["1"])  # disjoint slices
+    assert seen["0"] | seen["1"] == set(res.input_files["t"])  # complete
+
+
 def test_download_inventory(spark, tmp_path):
     d = tmp_path / "blobs"
     d.mkdir()

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xlearning_spark.operators.pipe import pipe_lines
-from xlearning_spark.operators.sharding import epoch_replay
+from xlearning_spark.operators.sharding import epoch_replay, round_robin_assignment
 from xlearning_spark.sources import table_exists
 from xlearning_spark.sources.delivery import glob_files, read_download, read_records
 from xlearning_spark.sources.sinks import is_committed, write_gzip_text, write_parquet
@@ -51,6 +51,9 @@ class JobSpec:
     output_format: str = "text.gz"
     epochs: int = 1
     env: dict[str, str] = field(default_factory=dict)
+    #: PLACEHOLDER worker count (the reference's --worker-num); None ->
+    #: one worker per default-parallelism slot, capped by file count.
+    workers: int | None = None
 
 
 @dataclass
@@ -111,10 +114,30 @@ def submit(spark: SparkSession, spec: JobSpec) -> JobResult:
             ]
         )
     elif spec.input_strategy == "PLACEHOLDER":
-        # The child reads paths from INPUT_FILE_LIST, not stdin: feed
-        # one line per assigned file so partition counts stay honest.
-        all_files = [f for fs in files.values() for f in fs]
-        rows = spark.createDataFrame([(f,) for f in all_files], ["line"])
+        # Per-container assignment (ApplicationMaster.java:971-1041):
+        # each alias's files are split round-robin over the workers, and
+        # partition w carries exactly worker w's files — both as stdin
+        # lines and as its private INPUT_FILE_LIST slice. The reference
+        # never ships the full catalog to every container; neither do we.
+        n_files_max = max(len(fs) for fs in files.values())
+        n_workers = spec.workers or max(
+            1, min(spark.sparkContext.defaultParallelism, n_files_max)
+        )
+        assignment: dict[int, dict[str, list[str]]] = {}
+        for alias, fs in files.items():
+            for w, flist in round_robin_assignment(fs, n_workers).items():
+                if flist:
+                    assignment.setdefault(w, {})[alias] = flist
+        rows = spark.createDataFrame(
+            spark.sparkContext.parallelize(range(n_workers), n_workers).flatMap(
+                lambda w: [
+                    (f,)
+                    for fs_ in assignment.get(w, {}).values()
+                    for f in fs_
+                ]
+            ),
+            "line string",
+        )
     else:  # STREAM
         rows = _union_all(
             [
@@ -127,11 +150,20 @@ def submit(spark: SparkSession, spec: JobSpec) -> JobResult:
         rows = epoch_replay(rows, spec.epochs).drop("epoch")
 
     if spec.command is not None:
+        placeholder = spec.input_strategy == "PLACEHOLDER" and spec.epochs == 1
         out = pipe_lines(
             rows,
             spec.command,
             env=spec.env,
-            input_files=files if spec.input_strategy == "PLACEHOLDER" else None,
+            # Epoch replay unions partitions, so the per-partition split
+            # only holds in the single-epoch case; multi-epoch falls
+            # back to the broadcast map (P3 shape).
+            input_files_by_partition=assignment if placeholder else None,
+            input_files=(
+                files
+                if spec.input_strategy == "PLACEHOLDER" and not placeholder
+                else None
+            ),
             out_col="line",
         )
     else:

@@ -37,6 +37,7 @@ def pipe_lines(
     input_files: dict[str, list[str]] | None = None,
     out_col: str = "line",
     progress: "object | None" = None,
+    input_files_by_partition: dict[int, dict[str, list[str]]] | None = None,
 ) -> DataFrame:
     """Pipe one text column through ``command``; stdout lines come back
     as a one-column DataFrame.
@@ -44,6 +45,13 @@ def pipe_lines(
     ``line_col`` defaults to the single column of ``df``. The child
     process env carries ``INDEX`` (= partition id) and
     ``INPUT_FILE_LIST`` (JSON), mirroring the reference contract.
+
+    ``input_files`` puts the same alias->paths map in every child's
+    env (P3 broadcast shape). ``input_files_by_partition`` instead
+    carries a per-partition split — partition ``i``'s child sees ONLY
+    ``input_files_by_partition[i]``, matching the reference AM's
+    per-container assignment (ApplicationMaster.java:971-1041); the
+    two are mutually exclusive.
 
     ``progress`` (optional): a Spark accumulator. Each partition's
     child may emit ``reporter progress:0.xx`` lines on stderr (the
@@ -55,8 +63,20 @@ def pipe_lines(
         if len(df.columns) != 1:
             raise ValueError("line_col required for multi-column input")
         line_col = df.columns[0]
+    if input_files is not None and input_files_by_partition is not None:
+        raise ValueError(
+            "input_files and input_files_by_partition are mutually exclusive"
+        )
     cmd = command if isinstance(command, list) else ["/bin/sh", "-c", command]
     base_env = dict(env or {})
+    # Pre-serialize per-partition slices: the closure ships the full map
+    # once (driver-bounded, like the reference AM's view), but each
+    # child's env receives only its own slice.
+    per_partition_json = (
+        {w: json.dumps(m) for w, m in input_files_by_partition.items()}
+        if input_files_by_partition is not None
+        else None
+    )
     file_list_json = json.dumps(input_files or {})
 
     lines = df.select(F.col(line_col).cast("string").alias("l"))
@@ -65,10 +85,15 @@ def pipe_lines(
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
         child_env = dict(os.environ)
         child_env.update(base_env)
-        child_env["INDEX"] = str(ctx.partitionId() if ctx else 0)
-        child_env["INPUT_FILE_LIST"] = file_list_json
+        child_env["INDEX"] = str(pid)
+        child_env["INPUT_FILE_LIST"] = (
+            per_partition_json.get(pid, "{}")
+            if per_partition_json is not None
+            else file_list_json
+        )
         proc = subprocess.Popen(
             cmd,
             stdin=subprocess.PIPE,
@@ -141,7 +166,14 @@ def pipe_progress_parse(stderr_line: str) -> float | None:
 def make_input_file_list(spark: SparkSession, alias_paths: dict[str, str]) -> dict[str, list[str]]:
     """PLACEHOLDER-mode file list (S5): alias -> concrete file paths,
     discovered the Spark way (input_file_name over a scan), matching
-    the reference's env JSON (HboxContainer.java:352-398)."""
+    the reference's env JSON (HboxContainer.java:352-398).
+
+    Driver-side bound: the distinct file list is collected to the
+    driver, exactly like the reference AM holding the full split map
+    (it spills the env JSON to a file past 100 KB). Size is O(number of
+    files), not data volume — fine up to ~10^5-10^6 paths; a larger
+    catalog should stay a DataFrame and use metadata-level pruning
+    instead of env delivery."""
     out: dict[str, list[str]] = {}
     for alias, path in alias_paths.items():
         files = (

@@ -81,6 +81,11 @@ def q60_pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q61_input_file_list",
+    # Fixture assumption (documented, not derivable in a fixed oracle
+    # string): TESTDATA.md ships each table as a SINGLE parquet file
+    # named <table>.parquet. If the fixture ever becomes a multi-part
+    # directory, this literal and the Spark side both change shape —
+    # tests/test_oracle_smoke.py's q61 row would flag the mismatch.
     oracle="SELECT 'lineitem.parquet' AS file_name",
     tags=("scan", "S5", "file-list"),
     doc="File-name set resolved by the scan (input_file_name), the "
