@@ -53,6 +53,56 @@ def test_decode_stage_schema_and_determinism(spark, media_dir):
         assert (r.width, r.height, r.feature) == (d2[p].width, d2[p].height, d2[p].feature)
 
 
+def _make_bmp(width: int, height: int, bgr_rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Hand-rolled 24-bpp uncompressed BMP (bottom-up rows, 4-byte pad)."""
+    import struct
+
+    stride = ((width * 24 + 31) // 32) * 4
+    pixel_bytes = bytearray()
+    for row in bgr_rows:  # rows as stored (bottom-up)
+        line = bytearray()
+        for b, g, r in row:
+            line += bytes((b, g, r))
+        line += b"\x00" * (stride - len(line))
+        pixel_bytes += line
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0
+    )
+    return bytes(header) + bytes(pixel_bytes)
+
+
+def test_bmp_decodes_true_dimensions_and_pixels(spark):
+    # 3x2 image: bottom row solid blue, top row solid red. The decoder
+    # must report the REAL width/height/channels and per-channel means
+    # in RGB order — not the stub's hash-derived fakes.
+    bmp = _make_bmp(
+        3,
+        2,
+        [
+            [(255, 0, 0)] * 3,  # stored first = bottom row, blue
+            [(0, 0, 255)] * 3,  # top row, red
+        ],
+    )
+    df = spark.createDataFrame([("img.bmp", bmp)], ["path", "content"])
+    rows = mm.decode_image(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.media_type == "image/bmp"
+    assert (r.width, r.height, r.n_channels) == (3, 2, 3)
+    # RGB means: half the pixels pure red, half pure blue.
+    assert [round(x, 6) for x in r.feature] == [0.5, 0.0, 0.5]
+
+
+def test_bmp_malformed_falls_back_to_stub(spark):
+    junk = b"BM" + b"\x01\x02"  # magic sniffs as bmp, header truncated
+    df = spark.createDataFrame([("bad.bmp", junk)], ["path", "content"])
+    r = mm.decode_image(df).collect()[0]
+    assert r.media_type == "image/bmp"
+    assert len(r.feature) == 8  # stub shape, not a crash
+
+
 def test_frame_sample_bounded(spark, media_dir):
     df = mm.read_binary_files(spark, media_dir)
     frames = mm.frame_sample(df, every_n_bytes=64, max_frames=4).collect()

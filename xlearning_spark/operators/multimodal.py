@@ -11,11 +11,14 @@ InputInfo.java:16-24; DOWNLOAD delivery HboxContainer.java:292-344):
   - decode / feature-extract: ``mapInPandas`` stages with explicit
     output schemas and bounded Arrow batch sizes
 
-The actual pixel/sample decoding requires codec libraries that are not
-in this environment, so ``decode_image`` is a clearly marked STUB: the
-Spark-side plumbing (schema, batching, partitioning) is real and
-tested; the decoder body is a deterministic fake keyed on the content
-hash. Swap ``_fake_decode`` for a PIL/libav call in production.
+Decoding: BMP is decoded FOR REAL (plain little-endian headers + raw
+pixel rows need no codec library) — true width/height/channels and a
+per-channel pixel-mean feature. Formats that do need codec libraries
+(PNG/JPEG/audio/video — not in this environment) fall back to a
+clearly marked STUB: the Spark-side plumbing (schema, batching,
+partitioning) is real and tested; the stub body is a deterministic
+fake keyed on the content hash. Swap ``_fake_decode`` for a PIL/libav
+call in production.
 """
 
 from __future__ import annotations
@@ -34,6 +37,7 @@ _MAGIC = {
     "89504e47": "image/png",
     "ffd8ff": "image/jpeg",
     "47494638": "image/gif",
+    "424d": "image/bmp",
     "52494646........57415645": "audio/wav",  # RIFF....WAVE
     "52494646........41564920": "video/avi",  # RIFF....AVI<sp>
     "494433": "audio/mp3",
@@ -102,13 +106,49 @@ def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import struct
 
-        # _fake_decode's body, inlined: the shipped closure must be
+        import numpy as np
+
+        # Decoder bodies inlined: the shipped closure must be
         # self-contained — a module-global call pickles by reference
         # and fails on executors without xlearning_spark on PYTHONPATH.
         def fake(content: bytes):
             h = hashlib.sha256(content or b"").digest()
             return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 3, [b / 255.0 for b in h[:8]]
+
+        def decode_bmp(content: bytes):
+            # REAL decoder (no codec library needed — BMP is plain
+            # little-endian headers + raw pixel rows): BITMAPINFOHEADER
+            # width/height/bpp, and for uncompressed 8/24/32-bpp data a
+            # per-channel pixel mean as the feature (BGR order reversed
+            # to RGB). Returns None for malformed payloads -> caller
+            # falls back to the stub.
+            if content is None or len(content) < 54 or content[:2] != b"BM":
+                return None
+            data_off = struct.unpack_from("<I", content, 10)[0]
+            hdr_size = struct.unpack_from("<I", content, 14)[0]
+            if hdr_size < 40:
+                return None  # ancient BITMAPCOREHEADER layout
+            width, height = struct.unpack_from("<ii", content, 18)
+            bpp = struct.unpack_from("<H", content, 28)[0]
+            compression = struct.unpack_from("<I", content, 30)[0]
+            if width <= 0 or height == 0:
+                return None
+            h_abs = abs(height)  # negative height = top-down rows
+            channels = max(1, bpp // 8)
+            feature: list[float] = []
+            if compression == 0 and bpp in (8, 24, 32):
+                stride = ((width * bpp + 31) // 32) * 4  # 4-byte row pad
+                px = np.frombuffer(content, dtype=np.uint8)[
+                    data_off : data_off + stride * h_abs
+                ]
+                if px.size == stride * h_abs:
+                    px = px.reshape(h_abs, stride)[:, : width * channels]
+                    px = px.reshape(h_abs, width, channels)
+                    means = px.mean(axis=(0, 1)) / 255.0
+                    feature = [float(x) for x in means[::-1]]
+            return width, h_abs, channels, feature
 
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
@@ -122,7 +162,12 @@ def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                     "feature": [],
                 }
                 for _, row in chunk.iterrows():
-                    w, h, c, feat = fake(row["content"])
+                    decoded = (
+                        decode_bmp(row["content"])
+                        if row["media_type"] == "image/bmp"
+                        else None
+                    )
+                    w, h, c, feat = decoded if decoded else fake(row["content"])
                     out["path"].append(row["path"])
                     out["media_type"].append(row["media_type"])
                     out["width"].append(w)
