@@ -35,6 +35,38 @@ def test_job_table_after_job(spark):
     assert df.count() >= 1
 
 
+def test_event_log_history_table(spark, tmp_path):
+    # §3.3: a session built with event_log_dir leaves a durable event
+    # log; history_table answers post-hoc stage questions from it.
+    # Event-log conf is fixed at JVM start, so the logged app runs in a
+    # subprocess; the MAIN session then reads the dead app's history.
+    import os
+    import subprocess
+    import sys
+
+    from xlearning_spark import status
+
+    log_dir = str(tmp_path / "evlog")
+    script = (
+        "from xlearning_spark.engine import build_session\n"
+        f"spark = build_session('hist-app', 'local[2]', event_log_dir={log_dir!r})\n"
+        "spark.range(10000).repartition(4).selectExpr('sum(id) s').collect()\n"
+        "spark.stop()\n"
+    )
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    subprocess.run(
+        [sys.executable, "-c", script], check=True, env=env, cwd="/root/repo",
+        timeout=180, capture_output=True,
+    )
+    hist = status.history_table(spark, log_dir)
+    rows = hist.collect()
+    assert rows, "no completed stages parsed from the event log"
+    # the repartition(4) job ran a 4-task stage to completion
+    assert any(r.num_tasks == 4 for r in rows)
+    assert all(r.duration_ms is not None and r.duration_ms >= 0 for r in rows)
+    assert all(r.stage_name for r in rows)
+
+
 def test_progress_summary_idle(spark):
     s = status.progress_summary(spark)
     assert s["active_jobs"] == 0

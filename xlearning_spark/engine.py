@@ -75,14 +75,27 @@ def build_session(
     app_name: str = "xlearning_spark",
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    event_log_dir: str | None = None,
 ) -> SparkSession:
-    """Create (or reuse) a SparkSession with engine defaults applied."""
+    """Create (or reuse) a SparkSession with engine defaults applied.
+
+    ``event_log_dir`` opts into Spark's persistent event log — the
+    engine's history surface (SURVEY.md §3.3): the reference writes a
+    per-app history JSON served by its JobHistoryServer
+    (history-server/.../JobHistoryServer.java:1-262); Spark's event log
+    is the same artifact, queryable post-hoc via
+    ``status.history_table`` without any server process.
+    """
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     builder = builder.master(master)
     conf = dict(_DEFAULT_CONF)
+    if event_log_dir is not None:
+        os.makedirs(event_log_dir, exist_ok=True)
+        conf["spark.eventLog.enabled"] = "true"
+        conf["spark.eventLog.dir"] = event_log_dir
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

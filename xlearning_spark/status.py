@@ -15,6 +15,7 @@ from __future__ import annotations
 import datetime as _dt
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def app_info(spark: SparkSession) -> dict:
@@ -87,6 +88,50 @@ def job_table(spark: SparkSession, groups: list[str] | None = None) -> DataFrame
         rows.append((int(jid), str(info.status), list(map(int, info.stageIds))))
     return spark.createDataFrame(
         rows, "job_id int, status string, stage_ids array<int>"
+    )
+
+
+def history_table(spark: SparkSession, log_dir: str) -> DataFrame:
+    """§3.3 history surface: completed stages of PAST applications,
+    parsed from Spark's JSON event log (written when a session is built
+    with ``engine.build_session(event_log_dir=...)``).
+
+    The reference persists a per-app history JSON that its
+    JobHistoryServer serves back (history-server/.../JobHistoryServer.java:
+    1-262, JHSWebApp rendering the stored app state); Spark's event log
+    is the same durable artifact, and this reader answers the post-hoc
+    questions (which stages ran, how many tasks, how long) as a
+    DataFrame — no server process needed.
+
+    One row per completed stage attempt across every app in ``log_dir``
+    (including ``.inprogress`` logs of live apps).
+    """
+    raw = spark.read.text(f"{log_dir}/*")
+    j = F.col("value")
+    si = "$['Stage Info']"
+    return (
+        raw.filter(F.get_json_object(j, "$.Event") == "SparkListenerStageCompleted")
+        .select(
+            F.input_file_name().alias("log_file"),
+            F.get_json_object(j, f"{si}['Stage ID']").cast("int").alias("stage_id"),
+            F.get_json_object(j, f"{si}['Stage Attempt ID']")
+            .cast("int")
+            .alias("attempt"),
+            F.get_json_object(j, f"{si}['Stage Name']").alias("stage_name"),
+            F.get_json_object(j, f"{si}['Number of Tasks']")
+            .cast("int")
+            .alias("num_tasks"),
+            F.get_json_object(j, f"{si}['Submission Time']")
+            .cast("long")
+            .alias("submission_time_ms"),
+            F.get_json_object(j, f"{si}['Completion Time']")
+            .cast("long")
+            .alias("completion_time_ms"),
+        )
+        .withColumn(
+            "duration_ms",
+            F.col("completion_time_ms") - F.col("submission_time_ms"),
+        )
     )
 
 
