@@ -5,10 +5,16 @@ same parquet tables, compares row count + column names + an
 order-insensitive canonical value hash, and prints a per-query verdict.
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+       python tools/check_oracle.py --json OUT.json [sf_dir]
+
+``--json`` additionally writes a CORRECTNESS_r{N}.json-shaped artifact
+(one object per query: rows/schema/hash match booleans + row counts +
+err) so a judge can diff local coverage against the driver's gate.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -18,40 +24,62 @@ sys.path.insert(0, REPO)
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from xlearning_spark.engine import build_session
     from xlearning_spark.queries import registry
     import xlearning_spark.queries  # noqa: F401  (populates registry)
-    from xlearning_spark.testing import compare_query, duckdb_con
+    from xlearning_spark.testing import compare_query_record, duckdb_con
 
     spark = build_session(app_name="check_oracle", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb_con(sf_dir)
 
     n_pass = n_fail = n_err = n_rows_only = 0
+    records: dict[str, dict] = {}
     for name, spec in registry.specs().items():
         if only and name not in only:
             continue
         t0 = time.time()
         try:
-            ok, detail = compare_query(spark, con, spec, sf_dir)
+            rec = compare_query_record(spark, con, spec, sf_dir)
         except Exception as e:
             print(f"ERROR  {name}: {type(e).__name__}: {str(e)[:300]}")
+            records[name] = {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(e).__name__}: {str(e)[:200]}",
+            }
             n_err += 1
             continue
         dt = time.time() - t0
-        if not ok:
-            print(f"FAIL   {name}: {detail}")
-            n_fail += 1
-        elif spec.oracle is None:
-            print(f"ROWS   {name}: {detail} [{dt:.1f}s]")
+        records[name] = rec
+        if rec["err"] == "no_oracle":
+            print(f"ROWS   {name}: rows-only rows={rec['spark_rows']} [{dt:.1f}s]")
             n_rows_only += 1
-        else:
-            print(f"PASS   {name}: {detail} [{dt:.1f}s]")
+        elif rec["rows_match"] and rec["schema_match"] and rec["hash_match"]:
+            print(f"PASS   {name}: rows={rec['spark_rows']} [{dt:.1f}s]")
             n_pass += 1
+        else:
+            print(
+                f"FAIL   {name}: rows={rec['spark_rows']}/{rec['oracle_rows']}"
+                f" schema_match={rec['schema_match']} hash_match={rec['hash_match']}"
+            )
+            n_fail += 1
     print(f"\n== pass={n_pass} fail={n_fail} err={n_err} rows_only={n_rows_only}")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(records, fh, indent=2)
+        print(f"wrote {json_out}")
     return 1 if (n_fail or n_err) else 0
 
 

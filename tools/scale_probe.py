@@ -37,9 +37,23 @@ HEADLINE = [
     "q12_cube_lineitem",
     "q17_topk_orders_per_customer",
     "q18_running_customer_spend",
+    # LLM tier: banded MinHash, LSH ANN, connected components — the
+    # queries whose banding/bucketing claims matter most at 100 TB.
+    "q48_minhash_neardup",
+    "q50_lsh_ann_topk",
+    "q53_neardup_components",
 ]
 
 FACT_TABLES = ("lineitem", "orders")
+
+#: documents replicas are Caesar-ciphered (token structure and
+#: intra-replica similarities preserved exactly; cross-replica token
+#: overlap ~0 so dup pairs don't grow quadratically with the factor)
+#: and source-salted (q42/q53 block SIZES stay constant, block COUNT
+#: grows with volume — the "more data, same dup structure" scaling).
+#: embeddings replicas just offset vec_id: the q50 query side stays the
+#: original bounded set, candidate volume grows linearly.
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
 def build_scaled(spark, factor: int) -> str:
@@ -48,7 +62,7 @@ def build_scaled(spark, factor: int) -> str:
     from xlearning_spark.sources import TABLES, read_table
 
     out_dir = os.path.join(WORK, f"x{factor}")
-    marker = os.path.join(out_dir, "_READY")
+    marker = os.path.join(out_dir, "_READY_v2")  # v2: +documents/embeddings
     if os.path.exists(marker):
         return out_dir
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -72,6 +86,40 @@ def build_scaled(spark, factor: int) -> str:
             for p in parts[1:]:
                 scaled = scaled.union(p)
             scaled.write.mode("overwrite").parquet(dst)
+        elif name == "documents":
+            df = read_table(spark, BASE_SF, name)
+            doff = df.agg(F.max("doc_id")).collect()[0][0] + 1
+            parts = []
+            for i in range(factor):
+                s = i % 26
+                rot = _ALPHA[s:] + _ALPHA[:s]
+                parts.append(
+                    df.withColumn("doc_id", F.col("doc_id") + F.lit(i * doff))
+                    .withColumn(
+                        "text",
+                        F.translate(
+                            "text", _ALPHA + _ALPHA.upper(), rot + rot.upper()
+                        ),
+                    )
+                    .withColumn(
+                        "source", F.concat_ws("_r", "source", F.lit(str(i)))
+                    )
+                )
+            scaled = parts[0]
+            for p in parts[1:]:
+                scaled = scaled.union(p)
+            scaled.write.mode("overwrite").parquet(dst)
+        elif name == "embeddings":
+            df = read_table(spark, BASE_SF, name)
+            voff = df.agg(F.max("vec_id")).collect()[0][0] + 1
+            parts = [
+                df.withColumn("vec_id", F.col("vec_id") + F.lit(i * voff))
+                for i in range(factor)
+            ]
+            scaled = parts[0]
+            for p in parts[1:]:
+                scaled = scaled.union(p)
+            scaled.write.mode("overwrite").parquet(dst)
         else:
             # Dimension/aux tables ride along unscaled (fixed dims).
             if os.path.isdir(src):
@@ -89,7 +137,13 @@ def main() -> None:
     from xlearning_spark.queries import registry
     import xlearning_spark.queries  # noqa: F401
 
-    spark = build_session(app_name="scale_probe")
+    # 8x documents carry shingle arrays + localCheckpoint blocks in the
+    # local-mode driver JVM: the 1g default heap OOMs. This is probe
+    # infrastructure, not engine tuning — on a real cluster the blocks
+    # live on executors.
+    spark = build_session(
+        app_name="scale_probe", extra_conf={"spark.driver.memory": "24g"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry.specs()
 
@@ -132,6 +186,15 @@ def main() -> None:
         "slots absorb the extra volume (expected on local[32] at this",
         "size), one near the factor means linear scaling, and one above",
         "it would flag a superlinear term (none observed).",
+        "",
+        "LLM-tier scaling design: documents replicas are Caesar-ciphered",
+        "per replica (intra-replica similarity structure preserved",
+        "exactly, cross-replica token overlap ~0) and source-salted",
+        "(q42/q53 block sizes constant, block count grows) — so the",
+        "probe measures engine linearity, not a quadratically harder",
+        "dup workload. embeddings replicas offset vec_id only: the q50",
+        "query side stays the original bounded set, candidate volume",
+        "grows linearly with the corpus.",
         "",
         "| query | " + " | ".join(f"{f}x sec" for f in fs)
         + " | " + " | ".join(f"{f}x/1x" for f in fs[1:]) + " |",

@@ -93,19 +93,42 @@ def duckdb_con(sf_dir: str):
     return con
 
 
-def compare_query(spark, con, spec, sf_dir: str) -> tuple[bool, str]:
-    """Run one QuerySpec on both engines; (ok, detail)."""
-    sdf = spec.spark(spark, sf_dir)
-    s_pdf = sdf.toPandas()
+def compare_query_record(spark, con, spec, sf_dir: str) -> dict:
+    """Run one QuerySpec on both engines; returns the driver's
+    CORRECTNESS_r{N}.json record shape (rows/schema/hash match booleans,
+    row counts, err)."""
+    rec: dict = {
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+        "spark_rows": None,
+        "oracle_rows": None,
+        "err": None,
+    }
+    s_pdf = spec.spark(spark, sf_dir).toPandas()
     s_n, s_cols, s_h = df_hash(list(s_pdf.columns), pandas_rows(s_pdf))
+    rec["spark_rows"] = s_n
     if spec.oracle is None:
-        return True, f"rows-only rows={s_n}"
+        rec["err"] = "no_oracle"
+        return rec
     o_pdf = con.execute(spec.oracle).fetchdf()
     o_n, o_cols, o_h = df_hash(list(o_pdf.columns), pandas_rows(o_pdf))
-    if s_cols != o_cols:
-        return False, f"columns {s_cols} != {o_cols}"
-    if s_n != o_n:
-        return False, f"rows {s_n} != {o_n}"
-    if s_h != o_h:
-        return False, f"hash {s_h} != {o_h} (rows={s_n})"
-    return True, f"rows={s_n}"
+    rec["oracle_rows"] = o_n
+    rec["rows_match"] = s_n == o_n
+    rec["schema_match"] = s_cols == o_cols
+    rec["hash_match"] = s_h == o_h
+    return rec
+
+
+def compare_query(spark, con, spec, sf_dir: str) -> tuple[bool, str]:
+    """Run one QuerySpec on both engines; (ok, detail)."""
+    rec = compare_query_record(spark, con, spec, sf_dir)
+    if rec["err"] == "no_oracle":
+        return True, f"rows-only rows={rec['spark_rows']}"
+    if not rec["schema_match"]:
+        return False, "column mismatch (aliases must agree on both sides)"
+    if not rec["rows_match"]:
+        return False, f"rows {rec['spark_rows']} != {rec['oracle_rows']}"
+    if not rec["hash_match"]:
+        return False, f"value hash mismatch (rows={rec['spark_rows']})"
+    return True, f"rows={rec['spark_rows']}"
