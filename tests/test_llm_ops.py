@@ -178,6 +178,42 @@ def test_simhash_keeps_null_token_rows(spark):
     assert sigs[2] == 0
 
 
+def test_cosine_neardup_lsh_recall_on_planted_pairs(spark):
+    # Production regime (threshold >= 0.9, where the hyperplane
+    # collision bound is strong): plant near-identical vector pairs in
+    # a random background corpus; the LSH pipeline must find them all,
+    # and exact verification makes every reported pair >= threshold by
+    # construction (precision 1.0).
+    import numpy as np
+
+    from xlearning_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(0)
+    rows = []
+    planted = []
+    for i in range(40):
+        v = rng.randn(64)
+        rows.append((2 * i, [float(x) for x in v]))
+        w = v + 0.05 * rng.randn(64)  # cosine ~0.999
+        rows.append((2 * i + 1, [float(x) for x in w]))
+        planted.append((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cosine_neardup_pairs_lsh(
+        df, dim=64, threshold=0.9, num_planes=24, bands=4
+    ).collect()
+    got_pairs = {(r.id_a, r.id_b) for r in got}
+    assert set(planted) <= got_pairs  # full recall on planted near-dups
+    assert all(r.cosine >= 0.9 for r in got)
+    # Agreement with the exact (single-block) form at this threshold.
+    exact = cosine_neardup_pairs(
+        df.withColumn("label", F.lit(0)), threshold=0.9
+    ).collect()
+    assert got_pairs == {(r.id_a, r.id_b) for r in exact}
+
+
 def test_connected_components_long_chain_pointer_doubling(spark):
     # A 200-hop chain converges well under 200 rounds: pointer doubling
     # compresses label depth geometrically (~log2 rounds).

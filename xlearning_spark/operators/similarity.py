@@ -125,6 +125,89 @@ def cosine_neardup_pairs(
     )
 
 
+def cosine_neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+    num_planes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """L2 scale path: embedding near-dup pairs with NO attribute block —
+    the production form promised by :func:`cosine_neardup_pairs`.
+
+    Pipeline (same 100 TB discipline as the MinHash dedup):
+      1. hyperplane signature map-side (deterministic planes, no
+         shuffle);
+      2. band explode + bucket join — candidates are bucket-local,
+         never all-pairs; ``max_bucket`` row_number-caps degenerate
+         buckets (e.g. many zero vectors share a signature);
+      3. exact cosine verify on the candidate pairs only, with norms
+         computed once per row before the pair join.
+
+    Recall follows the hyperplane collision bound: a pair at cosine s
+    shares a w-bit band with prob (1 - acos(s)/pi)^w — high thresholds
+    (the dedup regime, s >= 0.9) are caught near-certainly; this is NOT
+    a low-threshold similarity join (use brute_force_topk or ivf_topk
+    there). Returns (id_a, id_b, cosine) with id_a < id_b and
+    cosine >= threshold.
+    """
+    width = num_planes // bands
+    mask = (1 << width) - 1
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    s = hyperplane_signature(e, "v", dim, num_planes)
+    banded = s.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("sig", b * width).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    wcap = Window.partitionBy("band", "chunk").orderBy("id")
+    bounded = banded.withColumn("__rn", F.row_number().over(wcap)).filter(
+        F.col("__rn") <= max_bucket
+    )
+    a = bounded.select("band", "chunk", F.col("id").alias("id_a"))
+    b = bounded.select("band", "chunk", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Verify stage: join vectors+norms back onto the (small) candidate
+    # set — norm work stays O(n), dot products O(candidates).
+    en = e.withColumn("nrm", _norm(F.col("v")))
+    pa = cand.join(
+        en.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        ),
+        "id_a",
+    )
+    pab = pa.join(
+        en.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        ),
+        "id_b",
+    )
+    return (
+        pab.withColumn(
+            "cosine", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def hyperplane_planes(dim: int, num_planes: int = 16, seed: int = 7) -> list[list[float]]:
     """The deterministic LCG hyperplane draw — exposed so an external
     oracle (DuckDB SQL) can reproduce signatures bit-for-bit."""

@@ -89,6 +89,7 @@ GRADING_WINDOW = [
 #: Oracle-backed family-mates already driver-green in round 2; falling
 #: outside the window costs nothing (their family is certified above).
 GRADED_SPARES = [
+    "q55_embedding_neardup_lsh",  # L2 scale form (family certified by q42/q53/q54)
     "q02_filter_project_pushdown",
     "q04_customer_order_counts",
     "q07_anti_join_dormant_customers",

@@ -37,6 +37,7 @@ from xlearning_spark.operators.dedup import (
 from xlearning_spark.operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
+    cosine_neardup_pairs_lsh,
     ivf_topk,
     lsh_topk,
 )
@@ -171,6 +172,80 @@ def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     pairs = cosine_neardup_pairs(
         emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 8).alias("cosine"))
+
+
+def _lsh_neardup_oracle_sql(
+    dim: int = 64,
+    num_planes: int = 24,
+    bands: int = 4,
+    max_bucket: int = 1000,
+    threshold: float = 0.30,
+) -> str:
+    """DuckDB twin of q55 (same construction as q50's oracle): replays
+    the LCG plane literals, signature packing, band bucketing, the
+    row_number bucket cap and the exact-cosine verify — deterministic,
+    hence hash-checkable even though the candidate set is approximate
+    vs all-pairs ground truth."""
+    from xlearning_spark.operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(dim, num_planes)
+    width = num_planes // bands
+    mask = (1 << width) - 1
+    sig_terms = " + ".join(
+        "(CASE WHEN ROUND(list_dot_product(v, ["
+        + ", ".join(repr(x) for x in plane)
+        + f"]), 12) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, ({sig_terms}) AS sig FROM e),
+banded AS (SELECT vec_id, b.band AS band,
+                  (sig >> (b.band * {width})) & {mask} AS chunk
+           FROM sig, (SELECT unnest(range({bands})) AS band) b),
+capped AS (SELECT vec_id, band, chunk,
+                  row_number() OVER (PARTITION BY band, chunk
+                                     ORDER BY vec_id) AS rn
+           FROM banded),
+bb AS (SELECT vec_id, band, chunk FROM capped WHERE rn <= {max_bucket}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bb a JOIN bb b ON a.band = b.band AND a.chunk = b.chunk
+         WHERE a.vec_id < b.vec_id),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+scored AS (SELECT id_a, id_b,
+                  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+           FROM cand JOIN n a ON cand.id_a = a.vec_id
+                     JOIN n b ON cand.id_b = b.vec_id)
+SELECT id_a, id_b, ROUND(cosine, 8) AS cosine
+FROM scored WHERE cosine >= {threshold}
+"""
+
+
+@query(
+    "q55_embedding_neardup_lsh",
+    oracle=_lsh_neardup_oracle_sql(),
+    tags=("llm", "L2", "lsh", "cosine", "dedup"),
+    doc="Embedding near-dup pairs with NO attribute block — hyperplane-"
+    "LSH band buckets generate candidates, bucket-capped, exact cosine "
+    "verifies (operators/similarity.py cosine_neardup_pairs_lsh): the "
+    "100 TB production form of q54. Hash-checked via the replayed-"
+    "plane-literal oracle (q50 pattern). Threshold 0.30 because the "
+    "fixture has no true near-dups; the production regime (>= 0.9) is "
+    "recall-tested on planted near-identical vectors in "
+    "tests/test_llm_ops.py.",
+)
+def q55_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs_lsh(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=64,
+        threshold=0.30,
+        num_planes=24,
+        bands=4,
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 8).alias("cosine"))
 
