@@ -5,7 +5,10 @@ Prints ONE JSON line:
    "queries": {"q01_...": sec, ...}, "sf": 0.1}
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default all cores).
+     SPARK_GRAFT_CPUS (default all cores),
+     SPARK_GRAFT_BENCH_RUNS (default 3 — per-query median; single runs
+     showed ±10-15% machine noise, and BASELINE.md §3 is recorded as
+     3-run medians, so the same methodology keeps the comparison fair).
 
 Each query is forced end-to-end through the noop sink (full execution,
 no driver collect overhead), after one warm-up query to absorb JVM/
@@ -44,11 +47,17 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    import statistics
+
     timings: dict[str, float] = {}
     for name, spec in specs.items():
-        t0 = time.time()
-        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
