@@ -23,6 +23,7 @@ EXAMPLES_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "example
         "run_dedup_pipeline",
         "run_similarity",
         "run_streaming_monitor",
+        "run_job_lifecycle",
     ],
 )
 def test_example_runs(spark, mod_name, capsys):
