@@ -103,6 +103,83 @@ def test_bmp_malformed_falls_back_to_stub(spark):
     assert len(r.feature) == 8  # stub shape, not a crash
 
 
+def _make_wav(
+    rate: int,
+    samples_by_channel: list[list],
+    bits: int = 16,
+    wformat: int = 1,
+    leading_junk: bytes | None = None,
+) -> bytes:
+    """Hand-rolled RIFF/WAVE: interleaved frames, optional extra chunk
+    before ``fmt `` (exercises the chunk walk + odd-size word align)."""
+    import struct
+
+    channels = len(samples_by_channel)
+    frames = len(samples_by_channel[0])
+    interleaved = [ch[i] for i in range(frames) for ch in samples_by_channel]
+    if wformat == 3:
+        data = struct.pack(f"<{len(interleaved)}f", *interleaved)
+    elif bits == 8:
+        data = bytes(interleaved)
+    elif bits == 24:
+        data = b"".join(int(v).to_bytes(3, "little", signed=True) for v in interleaved)
+    else:
+        data = struct.pack(f"<{len(interleaved)}{'h' if bits == 16 else 'i'}", *interleaved)
+    balign = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", wformat, channels, rate, rate * balign, balign, bits)
+    body = b""
+    if leading_junk is not None:
+        body += b"JUNK" + struct.pack("<I", len(leading_junk)) + leading_junk
+        body += b"\x00" * (len(leading_junk) & 1)  # word align
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_decodes_true_metadata_and_rms(spark):
+    # 16-bit stereo @8000 Hz, 400 frames, a JUNK chunk of odd size in
+    # front of fmt: left channel constant +0.5 FS, right alternating
+    # ±0.25 FS -> per-channel RMS [0.5, 0.25], duration 400/8000.
+    left = [16384] * 400
+    right = [8192 if i % 2 else -8192 for i in range(400)]
+    wav = _make_wav(8000, [left, right], bits=16, leading_junk=b"odd")
+    df = spark.createDataFrame([("a.wav", wav)], ["path", "content"])
+    r = mm.decode_audio(df).collect()[0]
+    assert r.media_type == "audio/wav"
+    assert (r.sample_rate, r.n_channels, r.bit_depth, r.n_samples) == (8000, 2, 16, 400)
+    assert abs(r.duration_s - 0.05) < 1e-12
+    assert [round(x, 6) for x in r.feature] == [0.5, 0.25]
+
+
+def test_wav_float32_and_24bit_paths(spark):
+    f32 = _make_wav(44100, [[0.5] * 100], wformat=3, bits=32)
+    # 24-bit constant -0.5 FS: value -(1<<22) exercises sign extension.
+    s24 = _make_wav(16000, [[-(1 << 22)] * 64], bits=24)
+    df = spark.createDataFrame([("f.wav", f32), ("s.wav", s24)], ["path", "content"])
+    rows = {r.path: r for r in mm.decode_audio(df).collect()}
+    f, s = rows["f.wav"], rows["s.wav"]
+    assert (f.sample_rate, f.bit_depth, f.n_samples) == (44100, 32, 100)
+    assert abs(f.feature[0] - 0.5) < 1e-6
+    assert (s.sample_rate, s.bit_depth, s.n_samples) == (16000, 24, 64)
+    assert abs(s.feature[0] - 0.5) < 1e-9
+
+
+def test_wav_compressed_or_malformed_falls_back_to_stub(spark):
+    adpcm = _make_wav(8000, [[1, 2, 3, 4]], bits=16, wformat=2)  # not PCM
+    truncated = b"RIFF" + b"\x10\x00\x00\x00" + b"WAVE" + b"fm"
+    df = spark.createDataFrame(
+        [("c.wav", adpcm), ("t.wav", truncated)], ["path", "content"]
+    )
+    rows = {r.path: r for r in mm.decode_audio(df).collect()}
+    for r in rows.values():
+        assert r.media_type == "audio/wav"
+        # stub shape: hash-derived but schema-complete, no crash
+        assert r.sample_rate in (8000, 16000, 22050, 44100)
+        assert len(r.feature) == r.n_channels
+    # ADPCM payload must NOT be mistaken for decoded PCM of 4 frames
+    assert rows["c.wav"].n_samples != 4
+
+
 def test_frame_sample_bounded(spark, media_dir):
     df = mm.read_binary_files(spark, media_dir)
     frames = mm.frame_sample(df, every_n_bytes=64, max_frames=4).collect()

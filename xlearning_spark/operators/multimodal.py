@@ -11,14 +11,15 @@ InputInfo.java:16-24; DOWNLOAD delivery HboxContainer.java:292-344):
   - decode / feature-extract: ``mapInPandas`` stages with explicit
     output schemas and bounded Arrow batch sizes
 
-Decoding: BMP is decoded FOR REAL (plain little-endian headers + raw
-pixel rows need no codec library) — true width/height/channels and a
-per-channel pixel-mean feature. Formats that do need codec libraries
-(PNG/JPEG/audio/video — not in this environment) fall back to a
-clearly marked STUB: the Spark-side plumbing (schema, batching,
-partitioning) is real and tested; the stub body is a deterministic
-fake keyed on the content hash. Swap ``_fake_decode`` for a PIL/libav
-call in production.
+Decoding: BMP (images) and WAV/PCM (audio) are decoded FOR REAL —
+both are plain little-endian headers + raw sample/pixel payloads, no
+codec library needed — yielding true dimensions / sample rates and a
+numpy-computed feature (per-channel pixel mean; per-channel RMS).
+Formats that do need codec libraries (PNG/JPEG/MP3/video — not in
+this environment) fall back to a clearly marked STUB: the Spark-side
+plumbing (schema, batching, partitioning) is real and tested; the
+stub body is a deterministic fake keyed on the content hash. Swap
+``_fake_decode`` for a PIL/libav call in production.
 """
 
 from __future__ import annotations
@@ -177,6 +178,144 @@ def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                 yield pd.DataFrame(out)
 
     return cols.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+#: Output schema of the audio decode stage — fixed contract downstream.
+DECODED_AUDIO_SCHEMA = (
+    "path string, media_type string, sample_rate int, n_channels int, "
+    "bit_depth int, n_samples bigint, duration_s double, feature array<double>"
+)
+
+
+def decode_audio(df: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """Audio decode/feature-extract stage via mapInPandas (map-only —
+    scales with executor count at 100 TB, no shuffle).
+
+    WAV is decoded FOR REAL: the RIFF chunk list is walked to the
+    ``fmt `` and ``data`` chunks (plain little-endian structs), and
+    uncompressed payloads — PCM 8/16/24/32-bit (wFormatTag 1) and IEEE
+    float 32/64-bit (wFormatTag 3, both also behind an EXTENSIBLE
+    0xFFFE header) — are vectorized through numpy into true
+    sample-rate / channel / bit-depth / duration metadata plus a
+    per-channel RMS feature on [-1, 1] samples. Compressed formats
+    (MP3, ADPCM, ...) and malformed payloads fall back to the
+    deterministic content-hash stub, same as the image path.
+    """
+    df = with_media_type(df) if "media_type" not in df.columns else df
+    cols = df.select("path", "media_type", "content")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+
+        import numpy as np
+
+        # Inlined for executor-safe pickling (see decode_image note).
+        def fake(content: bytes):
+            h = hashlib.sha256(content or b"").digest()
+            rate = (8000, 16000, 22050, 44100)[h[0] % 4]
+            channels = 1 + h[1] % 2
+            n = 256 + int.from_bytes(h[2:4], "little") % 4096
+            return rate, channels, 16, n, n / rate, [b / 255.0 for b in h[:channels]]
+
+        def decode_wav(content: bytes):
+            # REAL decoder. Returns None for anything not uncompressed
+            # RIFF/WAVE -> caller falls back to the stub.
+            if (
+                content is None
+                or len(content) < 44
+                or content[:4] != b"RIFF"
+                or content[8:12] != b"WAVE"
+            ):
+                return None
+            fmt = data = None
+            pos = 12
+            while pos + 8 <= len(content):
+                cid = content[pos : pos + 4]
+                size = struct.unpack_from("<I", content, pos + 4)[0]
+                body = content[pos + 8 : pos + 8 + size]
+                if cid == b"fmt " and len(body) >= 16:
+                    fmt = struct.unpack_from("<HHIIHH", body, 0)
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)  # chunks are word-aligned
+            if fmt is None or data is None:
+                return None
+            wformat, channels, rate, _brate, _balign, bits = fmt
+            if wformat == 0xFFFE and len(content) >= 26:
+                # WAVE_FORMAT_EXTENSIBLE: the real tag is the first two
+                # bytes of the SubFormat GUID in the fmt extension.
+                ext_off = content.find(b"fmt ") + 8 + 24
+                if ext_off + 2 <= len(content):
+                    wformat = struct.unpack_from("<H", content, ext_off)[0]
+            if channels < 1 or rate < 1:
+                return None
+            if wformat == 1 and bits in (8, 16, 24, 32):
+                if bits == 8:  # unsigned, midpoint 128
+                    samples = (
+                        np.frombuffer(data, np.uint8).astype(np.float64) - 128.0
+                    ) / 128.0
+                elif bits == 24:
+                    raw = np.frombuffer(
+                        data[: len(data) // 3 * 3], np.uint8
+                    ).reshape(-1, 3).astype(np.int32)
+                    ints = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+                    ints = np.where(ints & 0x800000, ints - 0x1000000, ints)
+                    samples = ints.astype(np.float64) / float(1 << 23)
+                else:
+                    dt = np.int16 if bits == 16 else np.int32
+                    width = bits // 8
+                    samples = np.frombuffer(
+                        data[: len(data) // width * width], dt
+                    ).astype(np.float64) / float(1 << (bits - 1))
+            elif wformat == 3 and bits in (32, 64):
+                dt = np.float32 if bits == 32 else np.float64
+                width = bits // 8
+                samples = np.frombuffer(
+                    data[: len(data) // width * width], dt
+                ).astype(np.float64)
+            else:
+                return None  # compressed / exotic -> stub
+            frames = samples.size // channels
+            if frames == 0:
+                return rate, channels, bits, 0, 0.0, [0.0] * channels
+            per_ch = samples[: frames * channels].reshape(frames, channels)
+            rms = np.sqrt((per_ch**2).mean(axis=0))
+            return rate, channels, bits, frames, frames / rate, [float(x) for x in rms]
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = {
+                    "path": [],
+                    "media_type": [],
+                    "sample_rate": [],
+                    "n_channels": [],
+                    "bit_depth": [],
+                    "n_samples": [],
+                    "duration_s": [],
+                    "feature": [],
+                }
+                for _, row in chunk.iterrows():
+                    decoded = (
+                        decode_wav(row["content"])
+                        if row["media_type"] == "audio/wav"
+                        else None
+                    )
+                    rate, ch, bits, n, dur, feat = decoded if decoded else fake(
+                        row["content"]
+                    )
+                    out["path"].append(row["path"])
+                    out["media_type"].append(row["media_type"])
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(ch)
+                    out["bit_depth"].append(bits)
+                    out["n_samples"].append(n)
+                    out["duration_s"].append(dur)
+                    out["feature"].append(feat)
+                yield pd.DataFrame(out)
+
+    return cols.mapInPandas(decode_batches, DECODED_AUDIO_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8) -> DataFrame:
