@@ -41,8 +41,8 @@ GRADING_WINDOW = [
     "q08_range_join_price_bands",        # J4 theta/range
     "q09_asof_join_purchase_signup",     # J5 as-of
     "q10_cross_join_region_nation",      # J6 cross
-    "q11_rollup_order_stats",    # A7 rollup
-    "q13_grouping_sets",         # A7 grouping sets
+    "q13_grouping_sets",         # A7 grouping sets (rollup/cube spares: q11/q12)
+    "q69_multimodal_audio",      # L5 multimodal decode (real WAV decoder)
     "q14_distinct_and_percentiles",      # A6 exact distinct + percentiles
     "q15_collect_sorted",        # A8 sort-agg/collect
     "q17_topk_orders_per_customer",      # §2.7 ranking + top-k
@@ -89,6 +89,7 @@ GRADING_WINDOW = [
 #: Oracle-backed family-mates already driver-green in round 2; falling
 #: outside the window costs nothing (their family is certified above).
 GRADED_SPARES = [
+    "q11_rollup_order_stats",     # A7 rollup (family certified by q13)
     "q55_embedding_neardup_lsh",  # L2 scale form (family certified by q42/q53/q54)
     "q02_filter_project_pushdown",
     "q04_customer_order_counts",

@@ -19,6 +19,7 @@ operators/similarity.py document the shapes).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -600,6 +601,66 @@ FROM (SELECT qid, cid, cosine,
       FROM scored)
 WHERE rn <= {k}
 """
+
+
+@query(
+    "q69_multimodal_audio",
+    oracle="""
+SELECT doc_id,
+       8000 AS sample_rate,
+       1 AS n_channels,
+       16 AS bit_depth,
+       CAST(doc_id % 50 + 10 AS BIGINT) AS n_samples,
+       CAST(doc_id % 50 + 10 AS DOUBLE) / 8000.0 AS duration_s,
+       CAST(doc_id % 16000 + 1 AS DOUBLE) / 32768.0 AS rms
+FROM documents
+""",
+    tags=("llm", "L5", "multimodal"),
+    doc="L5 multimodal decode, hash-checked end-to-end: synthesizes a "
+    "deterministic RIFF/WAVE payload per document (constant-amplitude "
+    "16-bit PCM keyed on doc_id), runs it through the REAL WAV decoder "
+    "(operators/multimodal.decode_audio: chunk walk + numpy PCM), and "
+    "emits the recovered metadata + per-channel RMS. The oracle computes "
+    "the same values analytically: a constant signal of int16 amplitude "
+    "v has RMS exactly v/32768 (v*2^-15 and all intermediate sums are "
+    "exactly representable doubles, and IEEE sqrt of an exact square is "
+    "exact), so the compare is bit-stable, not tolerance-based. Binary "
+    "data model per reference InputInfo.java:16-24 / DOWNLOAD delivery "
+    "HboxContainer.java:292-344.",
+)
+def q69_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.multimodal import decode_audio
+
+    @F.pandas_udf("binary")
+    def wav_of(doc_id: pd.Series) -> pd.Series:
+        import struct
+
+        out = []
+        for did in doc_id:
+            v = int(did) % 16000 + 1
+            n = int(did) % 50 + 10
+            data = struct.pack(f"<{n}h", *([v] * n))
+            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            body = (
+                b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            out.append(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        wav_of("doc_id").alias("content"),
+    )
+    return decode_audio(docs).select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "sample_rate",
+        "n_channels",
+        "bit_depth",
+        "n_samples",
+        "duration_s",
+        F.element_at("feature", 1).alias("rms"),
+    )
 
 
 @query(
