@@ -164,6 +164,34 @@ def test_wav_float32_and_24bit_paths(spark):
     assert abs(s.feature[0] - 0.5) < 1e-9
 
 
+def test_wav_extensible_pcm_with_decoy_chunk(spark):
+    # WAVE_FORMAT_EXTENSIBLE wrapping PCM: the real format tag lives in
+    # the SubFormat GUID at fmt-body offset 24. A JUNK chunk containing
+    # the literal bytes "fmt " precedes the real fmt chunk — the decoder
+    # must resolve the GUID from the tracked fmt chunk, not a naive
+    # content.find(b"fmt ") (regression for decoy-offset parsing).
+    import struct
+
+    samples = [4096] * 80  # 0.125 FS constant -> RMS 0.125
+    data = struct.pack("<80h", *samples)
+    fmt_body = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+        + struct.pack("<HHI", 22, 16, 0x4)
+        + struct.pack("<H", 1)  # SubFormat GUID leads with PCM tag
+        + b"\x00" * 14
+    )
+    body = (
+        b"JUNK" + struct.pack("<I", 8) + b"fmt " + b"\x02\x00\x00\x00"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    df = spark.createDataFrame([("x.wav", wav)], ["path", "content"])
+    r = mm.decode_audio(df).collect()[0]
+    assert (r.sample_rate, r.n_channels, r.bit_depth, r.n_samples) == (8000, 1, 16, 80)
+    assert abs(r.feature[0] - 0.125) < 1e-12
+
+
 def test_wav_compressed_or_malformed_falls_back_to_stub(spark):
     adpcm = _make_wav(8000, [[1, 2, 3, 4]], bits=16, wformat=2)  # not PCM
     truncated = b"RIFF" + b"\x10\x00\x00\x00" + b"WAVE" + b"fm"

@@ -228,7 +228,7 @@ def decode_audio(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                 or content[8:12] != b"WAVE"
             ):
                 return None
-            fmt = data = None
+            fmt = fmt_body = data = None
             pos = 12
             while pos + 8 <= len(content):
                 cid = content[pos : pos + 4]
@@ -236,18 +236,18 @@ def decode_audio(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                 body = content[pos + 8 : pos + 8 + size]
                 if cid == b"fmt " and len(body) >= 16:
                     fmt = struct.unpack_from("<HHIIHH", body, 0)
+                    fmt_body = body
                 elif cid == b"data":
                     data = body
                 pos += 8 + size + (size & 1)  # chunks are word-aligned
             if fmt is None or data is None:
                 return None
             wformat, channels, rate, _brate, _balign, bits = fmt
-            if wformat == 0xFFFE and len(content) >= 26:
+            if wformat == 0xFFFE and len(fmt_body) >= 26:
                 # WAVE_FORMAT_EXTENSIBLE: the real tag is the first two
-                # bytes of the SubFormat GUID in the fmt extension.
-                ext_off = content.find(b"fmt ") + 8 + 24
-                if ext_off + 2 <= len(content):
-                    wformat = struct.unpack_from("<H", content, ext_off)[0]
+                # bytes of the SubFormat GUID in the fmt extension
+                # (body offset 24: 16 base + cbSize/validBits/chanMask).
+                wformat = struct.unpack_from("<H", fmt_body, 24)[0]
             if channels < 1 or rate < 1:
                 return None
             if wformat == 1 and bits in (8, 16, 24, 32):
