@@ -24,6 +24,7 @@ EXAMPLES_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "example
         "run_similarity",
         "run_streaming_monitor",
         "run_job_lifecycle",
+        "run_multimodal",
     ],
 )
 def test_example_runs(spark, mod_name, capsys):
