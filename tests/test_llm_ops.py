@@ -65,6 +65,48 @@ def test_minhash_recall_vs_exact_jaccard(spark):
         assert recall >= 0.8, f"recall {recall} over {len(truth)} true pairs"
 
 
+def test_ngram_jaccard_prefix_filter_lossless(spark):
+    """Prefix filtering must find EXACTLY the brute-force pair set —
+    the AllPairs lemma is lossless, not a recall bound."""
+    from xlearning_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _docs(spark)
+    truth = {}
+    rows = d.select("doc_id", "text").collect()
+    sets = {}
+    for r in rows:
+        toks = (r.text or "").split()
+        sh = {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+        if len(toks) >= 5 and sh:
+            sets[r.doc_id] = sh
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= 0.5:
+                truth[(a, b)] = j
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", 0.5).collect()
+    }
+    assert set(got) == set(truth)
+    for k, j in truth.items():
+        assert abs(got[k] - j) < 1e-9
+
+
+def test_ngram_jaccard_threshold_validation(spark):
+    from xlearning_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _docs(spark)
+    for bad in (0.0, -0.1, 1.5):
+        try:
+            ngram_jaccard_pairs(d, "doc_id", "text", bad)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+
+
 def test_minhash_pairs_are_verified_exact(spark):
     d = _docs(spark)
     pairs = minhash_near_duplicates(d, "doc_id", "text", threshold=0.3).collect()

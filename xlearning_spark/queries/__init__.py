@@ -91,6 +91,7 @@ GRADING_WINDOW = [
 GRADED_SPARES = [
     "q11_rollup_order_stats",     # A7 rollup (family certified by q13)
     "q55_embedding_neardup_lsh",  # L2 scale form (family certified by q42/q53/q54)
+    "q70_ngram_jaccard",          # L2 exact n-gram Jaccard, prefix-filtered
     "q02_filter_project_pushdown",
     "q04_customer_order_counts",
     "q07_anti_join_dormant_customers",

@@ -604,6 +604,38 @@ WHERE rn <= {k}
 
 
 @query(
+    "q70_ngram_jaccard",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+s AS (SELECT doc_id,
+        list_distinct(list_transform(range(1, len(toks) - 3),
+          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))) AS sh
+      FROM f)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 8) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+""",
+    tags=("llm", "L2", "ngram-jaccard"),
+    doc="Exact 5-gram (word-shingle) Jaccard near-dup pairs at j >= 0.5 "
+    "via LOSSLESS prefix filtering (operators/dedup.ngram_jaccard_pairs: "
+    "the AllPairs/PPJoin prefix lemma — qualifying pairs must share a "
+    "sorted-prefix shingle, so only ~(1-t)*m keys explode and no "
+    "all-pairs product forms). The DuckDB oracle is the brute-force "
+    "all-pairs twin, proving the filter loses nothing.",
+)
+def q70_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 8).alias("jaccard"))
+
+
+@query(
     "q69_multimodal_audio",
     oracle="""
 SELECT doc_id,
