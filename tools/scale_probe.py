@@ -42,6 +42,7 @@ HEADLINE = [
     "q48_minhash_neardup",
     "q50_lsh_ann_topk",
     "q53_neardup_components",
+    "q70_ngram_jaccard",
 ]
 
 FACT_TABLES = ("lineitem", "orders")

@@ -110,7 +110,9 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
     tags=("llm", "L2", "jaccard"),
     doc="Exact token-set Jaccard over same-source pairs: the exact twin "
     "the MinHash pipeline approximates; blocked on source so the pair "
-    "space stays group-local (no all-pairs blowup).",
+    "space stays group-local (no all-pairs blowup). For an exact join "
+    "WITHOUT an attribute block, q70's prefix-filtered "
+    "ngram_jaccard_pairs is the sub-quadratic form.",
 )
 def q42_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
