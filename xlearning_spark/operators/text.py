@@ -92,3 +92,137 @@ def quality_score(text_col: str = "text") -> Column:
         + F.lit(0.3) * (F.lit(1.0) - F.least(symbol_ratio * 10, F.lit(1.0)))
     )
     return F.round(score, 6)
+
+
+# --------------------------------------------------------------------
+# L4: document fingerprinting — winnowing over a rolling k-gram hash
+# (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+# Fingerprinting", SIGMOD 2003 — public paper). Complements the
+# whole-document `fingerprint` key (functions/__init__.py): winnowing
+# selects a position-robust SUBSET of k-gram hashes, so two documents
+# sharing any run of >= k + w - 1 characters are guaranteed to share at
+# least one fingerprint — the local-match property exact/whole-doc
+# fingerprints lack.
+# --------------------------------------------------------------------
+
+#: Rabin-Karp polynomial modulus/base for the oracle-reproducible path.
+WINNOW_PRIME = 1_000_000_007
+WINNOW_BASE = 31
+
+
+def kgram_hashes(
+    text_col: str | Column, k: int, *, polynomial: bool = False
+) -> Column:
+    """``array<long>`` of hashes of every k-character window of the text.
+
+    Default is one ``xxhash64(substring(text, i, k))`` per position —
+    a single well-mixed JVM call, the production path. With
+    ``polynomial=True`` each window gets the Rabin-Karp polynomial hash
+    (Horner, base 31, mod 1e9+7): ~k char reads per position, but the
+    value is plain arithmetic, so any SQL engine can replay it — the
+    q71 DuckDB oracle does, making winnowing hash-checkable.
+
+    The value set equals what a streaming rolling hash would produce;
+    it is computed per-window because a declarative plan carries no
+    per-row loop state. Stays inside JVM codegen either way.
+    """
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    positions = F.sequence(F.lit(1), F.length(t) - k + 1)
+    if not polynomial:
+        return F.transform(positions, lambda i: F.xxhash64(F.substring(t, i, k)))
+
+    def horner(i: Column) -> Column:
+        h = F.lit(0).cast("long")
+        for j in range(k):
+            h = (h * WINNOW_BASE + F.ascii(F.substring(t, i + F.lit(j), 1))) % WINNOW_PRIME
+        return h
+
+    return F.transform(positions, horner)
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 25,
+    w: int = 10,
+    *,
+    polynomial: bool = False,
+) -> DataFrame:
+    """Winnowing fingerprint set per document: ``(id, n_kgrams,
+    fingerprints array<long>)``.
+
+    Each window of ``w`` consecutive k-gram hashes contributes its
+    minimum; the distinct minima are the fingerprints. Guarantee
+    (SIGMOD'03): any substring of length >= k + w - 1 shared by two
+    documents yields at least one shared fingerprint; density is
+    ~2/(w+1) of all k-grams.
+
+    Scale shape: map-only column expressions (no shuffle, no Python).
+    The cheap length filter runs on the RAW column before any hash work
+    (a filter on a computed column would inline the whole expression
+    into the pushed predicate), and the hash array is materialized in
+    its own projection and referenced twice downstream, which blocks
+    CollapseProject from re-inlining it per window.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= k + w - 1)
+    )
+    kh = base.select(
+        F.col(id_col),
+        kgram_hashes(text_col, k, polynomial=polynomial).alias("__kh"),
+    )
+    n_windows = F.size("__kh") - w + 1
+    return kh.select(
+        F.col(id_col),
+        F.size("__kh").alias("n_kgrams"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda j: F.array_min(F.slice(F.col("__kh"), j, w)),
+            )
+        ).alias("fingerprints"),
+    )
+
+
+def fingerprint_overlap_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprints",
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints:
+    ``(id_a, id_b, n_shared)`` — the plagiarism/near-dup report of the
+    winnowing paper.
+
+    Join shape: explode to (fingerprint, id) and equi-join on the
+    fingerprint value — fingerprint-key-local, never all-pairs, same
+    family as the MinHash band join. A fingerprint shared by m docs
+    still contributes m^2 candidate pairs, so at corpus scale pass
+    ``max_df`` to drop fingerprints with doc-frequency > max_df (the
+    standard stop-fingerprint cap: boilerplate shared by thousands of
+    docs carries no near-dup signal anyway).
+    """
+    fp = fps.select(
+        F.col(id_col).alias("__id"), F.explode(fp_col).alias("__fp")
+    )
+    if max_df is not None:
+        rare = (
+            fp.groupBy("__fp")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__fp")
+        )
+        fp = fp.join(rare, "__fp", "semi")
+    a = fp.select(F.col("__fp"), F.col("__id").alias("id_a"))
+    b = fp.select(F.col("__fp"), F.col("__id").alias("id_b"))
+    return (
+        a.join(b, "__fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
