@@ -1,0 +1,161 @@
+"""Training-corpus pipeline operators (operators/corpus.py).
+
+Property tests beyond the oracle gate: partition-layout independence of
+the hash samplers (the property rand()-based sampling lacks), packing
+arithmetic, planted-duplicate decontamination, redaction completeness,
+and the short-document shingle guard.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xlearning_spark.functions import shingles
+from xlearning_spark.operators.corpus import (
+    decontaminate,
+    deterministic_split,
+    hash_sample,
+    hex_threshold,
+    pack_token_chunks,
+    pii_stats,
+    repetition_stats,
+    stratified_sample,
+    weighted_source_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"w{i % 7} w{i % 5} w{i % 3} common text body {i}", f"s{i % 4}")
+            for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_split_proportions_and_stability(spark, docs):
+    d = deterministic_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in d.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["train"] > counts.get("val", 0) and counts["train"] > counts.get("test", 0)
+    assert sum(counts.values()) == 400
+    # Partition-layout independence: identical assignment at any parallelism.
+    a = dict(deterministic_split(docs.repartition(13), "doc_id", {"train": 0.8, "val": 0.2})
+             .select("doc_id", "split").collect())
+    b = dict(deterministic_split(docs.coalesce(1), "doc_id", {"train": 0.8, "val": 0.2})
+             .select("doc_id", "split").collect())
+    assert a == b
+    # Growing the table never reassigns existing rows.
+    bigger = docs.union(
+        spark.createDataFrame([(1000 + i, "x", "s0") for i in range(100)],
+                              "doc_id bigint, text string, source string"))
+    c = dict(deterministic_split(bigger, "doc_id", {"train": 0.8, "val": 0.2})
+             .select("doc_id", "split").collect())
+    assert all(c[k] == v for k, v in a.items())
+
+
+def test_hex_threshold_bounds():
+    assert hex_threshold(0.0) == "00000000"
+    assert hex_threshold(1.0) == "gggggggg"  # above every hex string
+    assert hex_threshold(0.5) == "80000000"
+
+
+def test_hash_sample_deterministic_subset(docs):
+    s1 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs.repartition(17), "doc_id", 0.3)
+          .select("doc_id").collect()}
+    assert s1 == s2
+    assert 0.15 < len(s1) / 400 < 0.45  # ~Binomial(400, .3)
+    # Nested property: a smaller fraction with the same salt is a subset.
+    s3 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1).select("doc_id").collect()}
+    assert s3 <= s1
+
+
+def test_weighted_source_sample(docs):
+    kept = weighted_source_sample(docs, "doc_id", "source",
+                                  {"s0": 1.0, "s1": 0.5, "s2": 0.0})
+    by_src = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["s0"] == 100          # rate 1.0 keeps everything
+    assert "s2" not in by_src           # rate 0.0 drops everything
+    assert "s3" not in by_src           # absent source -> default 0.0
+    assert 20 < by_src["s1"] < 80
+
+
+def test_stratified_sample_exact_k(docs):
+    got = stratified_sample(docs, "source", "doc_id", k=7)
+    by_src = {r["source"]: r["n"] for r in
+              got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src == {"s0": 7, "s1": 7, "s2": 7, "s3": 7}
+    # Deterministic under reshuffling.
+    a = sorted(r["doc_id"] for r in got.collect())
+    b = sorted(r["doc_id"] for r in
+               stratified_sample(docs.repartition(11), "source", "doc_id", k=7).collect())
+    assert a == b
+
+
+def test_pack_token_chunks_arithmetic(spark):
+    rows = [("sh", i, 30) for i in range(10)]  # 300 tokens, ctx 100 -> 3+ chunks
+    df = spark.createDataFrame(rows, "shard string, doc_id bigint, nt int")
+    got = {r["doc_id"]: r["chunk_id"] for r in
+           pack_token_chunks(df, "shard", "doc_id", "nt", ctx_len=100).collect()}
+    # doc i starts at token 30*i -> chunk floor(30i/100)
+    assert got == {i: (30 * i) // 100 for i in range(10)}
+    # Chunk ids are monotone in doc order and shard-local.
+    df2 = df.withColumn("shard", F.concat(F.lit("p"), (F.col("doc_id") % 2).cast("string")))
+    got2 = pack_token_chunks(df2, "shard", "doc_id", "nt", ctx_len=100)
+    per_shard = {r["shard"]: r["n"] for r in
+                 got2.groupBy("shard").agg(F.countDistinct("chunk_id").alias("n")).collect()}
+    assert per_shard == {"p0": 2, "p1": 2}  # 150 tokens each -> chunks 0,1
+
+
+def test_decontaminate_planted_duplicate(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [(1, base), (2, "totally different words here entirely now")],
+        "doc_id bigint, text string")
+    ev = spark.createDataFrame([(100, base)], "doc_id bigint, text string")
+    out = {r["train_id"]: (r["eval_id"], r["overlap_frac"])
+           for r in decontaminate(train, ev, n=3, threshold=0.5).collect()}
+    assert out == {1: (100, 1.0)}
+
+
+def test_decontaminate_short_docs_safe(spark):
+    # Docs shorter than n tokens must yield empty shingles, not a
+    # slice(0) runtime error (sequence(1,0) regression guard).
+    train = spark.createDataFrame([(1, "one"), (2, "a b c d e")],
+                                  "doc_id bigint, text string")
+    ev = spark.createDataFrame([(9, "x")], "doc_id bigint, text string")
+    assert decontaminate(train, ev, n=3, threshold=0.1).count() == 0
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("one",), ("a b c",)], "text string")
+    got = df.select(F.size(shingles("text", 2)).alias("n")).collect()
+    assert sorted(r["n"] for r in got) == [0, 2]
+
+
+def test_pii_redaction_complete(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org then 192.168.0.1 and +44-201-5550-1234 done"),
+         (2, "nothing sensitive here")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in pii_stats(df, "text").collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (1, 1, 1)
+    assert (out[2]["n_emails"], out[2]["n_phones"], out[2]["n_ips"]) == (0, 0, 0)
+    red = out[1]["redacted"]
+    assert "<EMAIL>" in red and "<PHONE>" in red and "<IP>" in red
+    # Nothing pattern-shaped survives redaction.
+    leftover = pii_stats(
+        spark.createDataFrame([(1, red)], "doc_id bigint, text string"), "text"
+    ).collect()[0]
+    assert (leftover["n_emails"], leftover["n_phones"], leftover["n_ips"]) == (0, 0, 0)
+
+
+def test_repetition_stats_hand_example(spark):
+    df = spark.createDataFrame([(1, "a a a b"), (2, "w x y z")],
+                               "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["dup_token_frac"] == 0.5       # 2 distinct of 4
+    assert out[1]["top_bigram_frac"] == 1.0      # "a a" twice -> 2*2/4
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == 0.5      # every bigram once -> 2/4

@@ -73,12 +73,21 @@ def fingerprint(col: str | Column) -> Column:
 
 
 def shingles(col: str | Column, n: int = 5) -> Column:
-    """Array of n-word shingles (space-joined token windows)."""
+    """Array of n-word shingles (space-joined token windows).
+
+    Docs with fewer than n tokens (or a null token array) yield an
+    EMPTY array: ``sequence(1, 0)`` is not empty in Spark (it steps
+    downward to [1, 0]), so the short case must short-circuit — the
+    same guard with_shingle_hashes applies to the int-hash variant.
+    """
     t = tokens(col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-    )
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def with_shingle_hashes(

@@ -1,0 +1,335 @@
+"""Training-corpus pipeline operators (north-star LLM-data mandate).
+
+The reference (Qihoo360/XLearning) prepares training data by splitting
+*files* across workers (AM/ApplicationMaster.java:971-1041) and leaves
+record-level corpus construction to user code. A Spark-native engine can
+do the record-level work itself; this module provides the operators a
+100 TB training-data pipeline needs on top of the dedup/similarity tier
+(operators/dedup.py, operators/similarity.py):
+
+- deterministic train/val/test **splits** and **samples** keyed on a
+  content-independent hash, so the assignment is reproducible across
+  runs, engines, and cluster sizes (no ``rand()``: Spark's is
+  per-partition-seeded, hence partition-layout-dependent);
+- **domain mixture** (per-source sampling rates, the "data recipe");
+- **token-budget chunking** (GPT-style concat-then-split packing);
+- n-gram **decontamination** against an eval/benchmark set;
+- **PII redaction** (emails / IPv4 / phone patterns);
+- **repetition statistics** (Gopher-style duplicate-token and
+  top-bigram fractions).
+
+Every operator is pure JVM column expressions / joins (no Python UDFs)
+and is DuckDB-reproducible, so each gets a hash-checked oracle query in
+queries/corpus.py.
+
+Scale notes (100 TB): hash-split/sample/mixture/PII/repetition are
+map-only or one-shuffle shapes; chunking is a per-shard window (shuffle
+by shard key, each shard sorted independently — shards are the unit of
+parallelism exactly like the reference's per-worker file splits);
+decontamination joins on shingles with the *bounded* eval side
+broadcast. The fixture-scale queries join on shingle strings to stay
+oracle-comparable; at 100 TB swap in functions.with_shingle_hashes
+(integer shingle hashes, no per-shingle strings) — same join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from xlearning_spark.functions import shingles, token_count
+
+#: Width of the hex hash prefix used for bucketing: 8 hex chars = 32
+#: bits, so split boundaries resolve to ~2.3e-10 of the id space.
+_HEX_W = 8
+
+
+def hash_bucket(id_col: str | Column, salt: str) -> Column:
+    """Deterministic uniform bucket key: first 8 hex chars of
+    ``md5(salt || ':' || id)``.
+
+    Lowercase-hex md5 is identical in Spark and DuckDB, and equal-width
+    hex strings order like the 32-bit integers they encode, so range
+    predicates over this column are portable *without* any hex->int
+    conversion (DuckDB has no ``conv``).
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, _HEX_W)
+
+
+def hex_threshold(fraction: float) -> str:
+    """8-hex-char upper bound such that P(hash_bucket < bound) = fraction."""
+    if fraction >= 1.0:
+        return "g" * _HEX_W  # > every hex string of this width
+    if fraction <= 0.0:
+        return "0" * _HEX_W
+    return format(int(fraction * (1 << 32)), f"0{_HEX_W}x")
+
+
+def oracle_hash_bucket(id_expr: str, salt: str) -> str:
+    """DuckDB twin of :func:`hash_bucket` (same string, same hash)."""
+    return f"substr(md5(concat('{salt}:', CAST({id_expr} AS VARCHAR))), 1, {_HEX_W})"
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by hash.
+
+    ``splits`` maps name -> weight (normalized internally; insertion
+    order defines the cumulative boundaries). The assignment depends
+    only on (salt, id) — NOT on partitioning, row order, or cluster
+    size — so the same row lands in the same split on a laptop and on a
+    1000-executor cluster, and adding rows never reassigns existing
+    ones (the property rand()-based splits lack). Map-only: no shuffle.
+    """
+    total = sum(splits.values())
+    b = hash_bucket(id_col, salt)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name] / total
+        cond = b < F.lit(hex_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return df.withColumn(out_col, last if expr is None else expr.otherwise(last))
+
+
+def oracle_split_case(id_expr: str, splits: dict[str, float], salt: str = "split") -> str:
+    """DuckDB CASE expression twin of :func:`deterministic_split`."""
+    total = sum(splits.values())
+    b = oracle_hash_bucket(id_expr, salt)
+    arms, cum = [], 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name] / total
+        arms.append(f"WHEN {b} < '{hex_threshold(cum)}' THEN '{name}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli(fraction) sample keyed on (salt, id).
+
+    Unlike ``df.sample``, the kept set is a pure function of the ids:
+    stable across runs, partitionings, and engines (the oracle replays
+    it exactly). Map-only; composes with any downstream plan.
+    """
+    return df.filter(hash_bucket(id_col, salt) < F.lit(hex_threshold(fraction)))
+
+
+def weighted_source_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    salt: str = "mix",
+    default: float = 0.0,
+) -> DataFrame:
+    """Domain-mixture sampling: keep each row with its source's rate.
+
+    The "data recipe" operator: down/up-weight corpus domains by
+    sampling each source at its own deterministic rate. The weights
+    table is tiny and **broadcast** (P3's moral equivalent), so the
+    corpus is filtered in a single map-side pass — no shuffle at any
+    scale. Sources absent from ``weights`` keep ``default`` fraction.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, hex_threshold(w)) for s, w in weights.items()],
+        f"{source_col} string, __thr string",
+    )
+    return (
+        df.join(F.broadcast(wdf), source_col, "left")
+        .withColumn("__thr", F.coalesce("__thr", F.lit(hex_threshold(default))))
+        .filter(hash_bucket(id_col, salt) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "strat",
+    out_col: str = "sample_rank",
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample.
+
+    Rows are ranked inside each stratum by hash (id tiebreak) and the
+    first k kept — a reproducible alternative to reservoir sampling
+    whose output is independent of encounter order. One shuffle on the
+    stratum key; strata are processed independently, so skew is bounded
+    by the largest stratum (salt the stratum key if one dominates).
+    """
+    w = Window.partitionBy(stratum_col).orderBy(hash_bucket(id_col, salt), id_col)
+    return (
+        df.withColumn(out_col, F.row_number().over(w))
+        .filter(F.col(out_col) <= k)
+    )
+
+
+def pack_token_chunks(
+    df: DataFrame,
+    shard_col: str,
+    id_col: str,
+    tokens_col: str,
+    ctx_len: int,
+    out_col: str = "chunk_id",
+) -> DataFrame:
+    """GPT-style token-budget chunking (concat-then-split packing).
+
+    Documents are laid out in deterministic (shard, id) order and the
+    token stream cut every ``ctx_len`` tokens; a document belongs to
+    the chunk where its first token lands:
+    ``chunk_id = floor(exclusive_running_token_sum / ctx_len)``.
+
+    This is the standard LLM pretraining packing model (documents
+    concatenated, windows sliced), expressed as one window over each
+    shard — the shard key is the unit of parallelism, mirroring the
+    reference's per-worker file assignment (AM:971-1041): each shard's
+    chunk ids are independent of every other shard, so the operator
+    scales by adding shards, never by sorting the whole corpus.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.withColumn(out_col, F.floor(cum / ctx_len))
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Flag training docs whose n-gram overlap with any eval doc is high.
+
+    Benchmark decontamination: for every training doc, the fraction of
+    its distinct word n-grams that appear in some single eval doc;
+    rows with ``max_overlap >= threshold`` are returned with the
+    offending eval doc (lowest id on ties).
+
+    Shape: explode distinct shingles on both sides and equi-join on the
+    shingle — the eval side is bounded (benchmarks are small) and
+    **broadcast**, so the corpus is scanned once and nothing shuffles
+    at corpus scale. Fixture-scale joins on shingle *strings* to stay
+    oracle-reproducible; at 100 TB use functions.with_shingle_hashes
+    and join on the int hash (same shape, no string materialization).
+    """
+    def sh(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(out),
+                F.array_distinct(shingles(text_col, n)).alias("__sh"),
+            )
+            .filter(F.size("__sh") > 0)
+        )
+
+    train = sh(docs, "train_id").withColumn("__n_train", F.size("__sh"))
+    ev = sh(eval_docs, "eval_id")
+    t = train.select("train_id", "__n_train", F.explode("__sh").alias("__g"))
+    e = ev.select("eval_id", F.explode("__sh").alias("__g"))
+    overlap = (
+        t.join(F.broadcast(e), "__g")
+        .groupBy("train_id", "eval_id", "__n_train")
+        .agg(F.count("*").alias("__ov"))
+        .withColumn("overlap_frac", F.col("__ov") / F.col("__n_train"))
+        .filter(F.col("overlap_frac") >= threshold)
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("overlap_frac").desc(), F.col("eval_id")
+    )
+    return (
+        overlap.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "train_id",
+            "eval_id",
+            F.round("overlap_frac", 8).alias("overlap_frac"),
+        )
+    )
+
+
+#: PII patterns — deliberately restricted to syntax with identical
+#: semantics in Java regex (Spark) and RE2 (DuckDB): character classes,
+#: bounded repetition, \b word boundaries. No lookaround (RE2 lacks it).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{1,2}-\d{3}-\d{3,4}(-\d{4})?"
+
+
+def pii_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds n_emails / n_ips / n_phones counts and a redacted text column.
+
+    Redaction order matters and is fixed: emails first (an address may
+    embed digit runs), then phones (longest dash patterns), then bare
+    IPv4. Map-only scan; at 100 TB this is the cheapest possible shape
+    (regex over one pass, whole-stage codegen).
+    """
+    c = F.col(text_col)
+    red = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    return (
+        df.withColumn("n_emails", F.regexp_count(c, F.lit(PII_EMAIL)))
+        .withColumn("n_phones", F.regexp_count(c, F.lit(PII_PHONE)))
+        .withColumn("n_ips", F.regexp_count(c, F.lit(PII_IPV4)))
+        .withColumn("redacted", red)
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition metrics per document.
+
+    - ``dup_token_frac``: 1 - distinct/total tokens (how much of the
+      doc is repeated vocabulary);
+    - ``top_bigram_frac``: tokens covered by the most frequent word
+      bigram (2 * its count / total tokens).
+
+    The bigram mode is computed by explode -> two-level hash agg (both
+    aggs combine map-side; the (doc, bigram) key is high-cardinality
+    but each group is tiny, the Spark-friendly skew shape). Everything
+    else is array expressions in one scan.
+    """
+    toks = token_count(text_col)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("__nd"),
+        shingles(text_col, 2).alias("__bg"),
+    )
+    top = (
+        base.select(id_col, F.explode("__bg").alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__top"))
+    )
+    return (
+        base.join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(1.0 - F.col("__nd") / F.col("n_tokens"), 8).alias(
+                "dup_token_frac"
+            ),
+            F.round(
+                F.coalesce(2.0 * F.col("__top") / F.col("n_tokens"), F.lit(0.0)), 8
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -18,7 +18,7 @@ from importlib import import_module
 from xlearning_spark.queries import registry
 
 #: Query modules imported for their @query registration side effects.
-_MODULES = ("relational", "eventsq", "llm", "reference_ops")
+_MODULES = ("relational", "eventsq", "llm", "reference_ops", "corpus")
 
 
 def _load_all() -> None:
@@ -92,6 +92,16 @@ GRADED_SPARES = [
     "q11_rollup_order_stats",     # A7 rollup (family certified by q13)
     "q55_embedding_neardup_lsh",  # L2 scale form (family certified by q42/q53/q54)
     "q70_ngram_jaccard",          # L2 exact n-gram Jaccard, prefix-filtered
+    # Training-corpus pipeline tier (operators/corpus.py) — all
+    # oracle-backed and local-green; lands outside the 50-query window
+    # because every §2 family above already holds its certifying slot.
+    "q71_deterministic_split",
+    "q72_domain_mixture",
+    "q73_token_chunking",
+    "q74_decontamination",
+    "q75_pii_redaction",
+    "q76_repetition_filter",
+    "q77_stratified_sample",
     "q02_filter_project_pushdown",
     "q04_customer_order_counts",
     "q07_anti_join_dormant_customers",
