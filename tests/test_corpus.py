@@ -159,3 +159,23 @@ def test_repetition_stats_hand_example(spark):
     assert out[1]["top_bigram_frac"] == 1.0      # "a a" twice -> 2*2/4
     assert out[2]["dup_token_frac"] == 0.0
     assert out[2]["top_bigram_frac"] == 0.5      # every bigram once -> 2/4
+
+
+def test_hashed_string_path_parity(spark):
+    # The hashed (int-shingle) production paths must agree row-for-row
+    # with the string-shingle oracle-shaped twins on the real fixture
+    # corpus — this is what licenses keeping the string-based DuckDB
+    # oracles for q74/q76 while the queries run the hashed path.
+    from xlearning_spark.operators.corpus import decontaminate, repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+
+    a = decontaminate(tr, ev, n=2, threshold=0.1, hashed=True).collect()
+    b = decontaminate(tr, ev, n=2, threshold=0.1, hashed=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    ra = repetition_stats(docs, hashed=True).collect()
+    rb = repetition_stats(docs, hashed=False).collect()
+    assert sorted(map(tuple, ra)) == sorted(map(tuple, rb))

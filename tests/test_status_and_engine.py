@@ -146,12 +146,15 @@ def test_connected_components_vs_union_find(spark):
     want = {}
     for x in parent:
         want.setdefault(find(x), set()).add(x)
-    want_partition = sorted(frozenset(s) for s in want.values())
+    # Compare as SETS of frozensets: sorting frozensets uses subset
+    # comparison (a partial order), so sorted() yields an input-order-
+    # dependent permutation and equal partitions can compare unequal.
+    want_partition = {frozenset(s) for s in want.values()}
 
     got = {}
     for r in connected_components(pairs).collect():
         got.setdefault(r.component, set()).add(r.id)
-    got_partition = sorted(frozenset(s) for s in got.values())
+    got_partition = {frozenset(s) for s in got.values()}
     assert got_partition == want_partition
     # min-label: each component is labeled by its smallest member
     for label, members in got.items():
@@ -219,3 +222,19 @@ def test_df_hash_injective_over_delimiter_rich_strings(rows1, rows2):
     _, _, h1 = df_hash(["x", "y"], rows1)
     _, _, h2 = df_hash(["x", "y"], rows2)
     assert (h1 == h2) == (sorted(rows1) == sorted(rows2))
+
+
+def test_connected_components_deep_chain(spark):
+    # A 150-hop path is the adversarial diameter case for label
+    # propagation: plain 1-hop flooding needs 150 rounds, but the
+    # doubled pointer jumps shrink label depth ~4x per round, so the
+    # default max_iter=20 must be ample. Also exercises >1 doubling
+    # jump per round (repeated self-join aliasing, see dedup.py).
+    from xlearning_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(150)], ["id_a", "id_b"]
+    )
+    rows = connected_components(pairs).collect()
+    assert len(rows) == 151
+    assert {r.component for r in rows} == {0}

@@ -125,3 +125,76 @@ def test_save_model_signal_versions_increments(spark, events_dir, tmp_path):
     d2, batches2 = ctrl.request_save()  # second signal
     assert batches2 and d2.endswith("save_0001")
     assert spark.read.parquet(f"{d2}/*").count() == part2.count()
+
+
+def test_incremental_partition_save_writes_strict_delta(spark, events_dir, tmp_path):
+    # T5 deep parity (Heartbeat.java:150-242 mtime-incremental upload):
+    # the second trigger must rewrite ONLY the partitions its new data
+    # touches — untouched partitions' files stay byte- and
+    # mtime-identical.
+    import glob
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    full = spark.read.schema(st.EVENTS_SCHEMA).parquet(events_dir)
+    types = [r[0] for r in full.select("event_type").distinct().collect()]
+    assert len(types) >= 2
+    keep, delta_type = types[0], types[1]
+
+    # Trigger 1: all event types present.
+    full.write.mode("append").parquet(src)
+    w1 = st.incremental_partition_save(
+        st.read_events_stream(spark, src), out, str(tmp_path / "ckpt"),
+        partition_by=["event_type"],
+    )
+    assert w1
+
+    def files_of(etype):
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(f"{out}/event_type={etype}/*.parquet")
+        }
+
+    before_keep, before_delta = files_of(keep), files_of(delta_type)
+    assert before_keep and before_delta
+
+    # Trigger 2: new data for ONE partition only.
+    time.sleep(1.1)  # mtime resolution guard
+    full.filter(F.col("event_type") == delta_type).write.mode("append").parquet(src)
+    w2 = st.incremental_partition_save(
+        st.read_events_stream(spark, src), out, str(tmp_path / "ckpt"),
+        partition_by=["event_type"],
+    )
+    assert w2
+
+    # Untouched partition: exact same files, exact same mtimes.
+    assert files_of(keep) == before_keep
+    # Touched partition: rewritten (file set or mtimes changed).
+    assert files_of(delta_type) != before_delta
+
+
+def test_incremental_partition_save_since_predicate(spark, events_dir, tmp_path):
+    # The explicit mtime/watermark predicate: rows at or below `since`
+    # never reach the sink.
+    import os
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    full = spark.read.schema(st.EVENTS_SCHEMA).parquet(events_dir)
+    cutoff = full.selectExpr("percentile(cast(ts as double), 0.5)").collect()[0][0]
+    import datetime as dt
+
+    cutoff_ts = dt.datetime.fromtimestamp(cutoff, dt.timezone.utc).replace(tzinfo=None)
+    full.write.mode("append").parquet(src)
+    w = st.incremental_partition_save(
+        st.read_events_stream(spark, src), out, str(tmp_path / "ckpt"),
+        partition_by=["event_type"], since_col="ts", since=cutoff_ts,
+    )
+    assert w
+    got = spark.read.parquet(out)
+    assert got.count() == full.filter(F.col("ts") > F.lit(cutoff_ts)).count()
+    assert got.agg(F.min("ts")).collect()[0][0] > cutoff_ts

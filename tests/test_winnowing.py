@@ -1,0 +1,119 @@
+"""Winnowing fingerprint tests (operators/text.py:97-228).
+
+Verifies the SIGMOD'03 guarantee — two documents sharing a substring of
+length >= k + w - 1 share at least one fingerprint — plus density,
+polynomial/xxhash path agreement on set sizes, the short-text filter,
+and fingerprint_overlap_pairs with the max_df stop-fingerprint cap.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xlearning_spark.operators.text import (
+    WINNOW_BASE,
+    WINNOW_PRIME,
+    fingerprint_overlap_pairs,
+    kgram_hashes,
+    winnowing_fingerprints,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_polynomial_kgram_hash_values(spark):
+    # The Rabin-Karp path must equal a reference Horner computed in Python
+    # (this is exactly what the q78 DuckDB oracle replays).
+    text = "abcdefgh"
+    k = 3
+    df = spark.createDataFrame([(text,)], "text string").select(
+        kgram_hashes("text", k, polynomial=True).alias("h")
+    )
+    got = df.collect()[0]["h"]
+
+    def horner(s: str) -> int:
+        h = 0
+        for c in s:
+            h = (h * WINNOW_BASE + ord(c)) % WINNOW_PRIME
+        return h
+
+    want = [horner(text[i : i + k]) for i in range(len(text) - k + 1)]
+    assert got == want
+
+
+def test_shared_substring_guarantee(spark):
+    # SIGMOD'03: any shared run of length >= k + w - 1 => >= 1 shared
+    # fingerprint. Plant a 40-char common substring inside otherwise
+    # unrelated documents (k=8, w=4 => guarantee threshold 11).
+    common = "the quick brown fox jumps over the lazy"
+    a = "zzz unrelated prefix AAAA " + common + " qqq suffix one"
+    b = "totally different start 1234 " + common + " other ending!"
+    fps = winnowing_fingerprints(
+        _docs(spark, [(1, a), (2, b)]), k=8, w=4
+    ).collect()
+    by_id = {r["doc_id"]: set(r["fingerprints"]) for r in fps}
+    assert by_id[1] & by_id[2], "guaranteed shared fingerprint missing"
+
+
+def test_no_spurious_match_on_disjoint_alphabets(spark):
+    fps = winnowing_fingerprints(
+        _docs(
+            spark,
+            [(1, "aaaa bbbb cccc dddd eeee ffff"), (2, "1111 2222 3333 4444 5555 6666")],
+        ),
+        k=8,
+        w=4,
+    ).collect()
+    by_id = {r["doc_id"]: set(r["fingerprints"]) for r in fps}
+    assert not (by_id[1] & by_id[2])
+
+
+def test_density_and_short_text_filter(spark):
+    # Density ~2/(w+1): a long random-ish text must select far fewer
+    # fingerprints than k-grams; texts shorter than k+w-1 are dropped
+    # before any hash work.
+    long_text = " ".join(f"tok{i * 7919 % 101}" for i in range(200))
+    out = winnowing_fingerprints(
+        _docs(spark, [(1, long_text), (2, "tiny")]), k=8, w=4
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    r = out[0]
+    assert r["n_kgrams"] == len(long_text) - 8 + 1
+    assert 0 < len(r["fingerprints"]) < r["n_kgrams"] / 2
+
+
+def test_polynomial_and_xxhash_paths_agree_on_overlap(spark):
+    # Hash family changes values, not structure: both paths must find the
+    # planted overlap and the same n_kgrams.
+    common = "shared winnowing substring payload"
+    rows = [(1, "left pad " + common), (2, common + " right pad")]
+    for poly in (False, True):
+        fps = winnowing_fingerprints(_docs(spark, rows), k=8, w=4, polynomial=poly)
+        got = {r["doc_id"]: set(r["fingerprints"]) for r in fps.collect()}
+        assert got[1] & got[2], f"polynomial={poly}"
+
+
+def test_overlap_pairs_and_max_df(spark):
+    common = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        (1, "doc one starts here " + common),
+        (2, common + " and doc two trails off"),
+        (3, "completely different content with no run shared at all ok"),
+    ]
+    fps = winnowing_fingerprints(_docs(spark, rows), k=8, w=4)
+    pairs = fingerprint_overlap_pairs(fps, min_shared=1).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+    # max_df=1 drops every fingerprint present in >1 doc => no pairs.
+    none = fingerprint_overlap_pairs(fps, min_shared=1, max_df=1).collect()
+    assert none == []
+
+
+def test_invalid_params(spark):
+    with pytest.raises(ValueError):
+        winnowing_fingerprints(_docs(spark, [(1, "abc")]), k=0, w=4)
+    with pytest.raises(ValueError):
+        winnowing_fingerprints(_docs(spark, [(1, "abc")]), k=4, w=0)

@@ -43,7 +43,14 @@ HEADLINE = [
     "q50_lsh_ann_topk",
     "q53_neardup_components",
     "q70_ngram_jaccard",
+    "q78_winnowing_fingerprints",
 ]
+
+#: Per-query extra factors beyond the CLI list: q53 is the one probed
+#: deeper (its r3 ratio was mildly superlinear — more label-propagation
+#: rounds as components grow — so it gets a 16x point to bound the
+#: trend).
+EXTRA_FACTORS = {"q53_neardup_components": [16]}
 
 FACT_TABLES = ("lineitem", "orders")
 
@@ -152,7 +159,10 @@ def main() -> None:
     # copies: the pristine sf0.1 tables are single parquet files,
     # whose scan parallelism differs from a multi-part layout and
     # would confound the comparison.
-    dirs = {f: build_scaled(spark, f) for f in [1, *factors]}
+    all_factors = sorted(
+        {1, *factors, *(f for fs in EXTRA_FACTORS.values() for f in fs)}
+    )
+    dirs = {f: build_scaled(spark, f) for f in all_factors}
 
     # Warm-up absorbs JVM/codegen startup.
     specs[HEADLINE[0]].spark(spark, BASE_SF).write.format("noop").mode(
@@ -164,7 +174,8 @@ def main() -> None:
     results: dict[str, dict[int, float]] = {}
     for name in HEADLINE:
         results[name] = {}
-        for f in sorted(dirs):
+        q_factors = sorted({1, *factors, *EXTRA_FACTORS.get(name, [])})
+        for f in q_factors:
             runs = []
             for _ in range(3):
                 t0 = time.time()
@@ -174,7 +185,7 @@ def main() -> None:
                 runs.append(time.time() - t0)
             results[name][f] = round(statistics.median(runs), 3)
 
-    fs = sorted(dirs)
+    fs = sorted({f for r in results.values() for f in r})
     lines = [
         "# SCALE — data-volume linearity probe (tools/scale_probe.py)",
         "",
@@ -203,10 +214,10 @@ def main() -> None:
     ]
     for name in HEADLINE:
         r = results[name]
-        ratios = [f"{r[f] / r[1]:.2f}" for f in fs[1:]]
+        ratios = [f"{r[f] / r[1]:.2f}" if f in r else "—" for f in fs[1:]]
         lines.append(
             f"| {name} | "
-            + " | ".join(f"{r[f]:.3f}" for f in fs)
+            + " | ".join(f"{r[f]:.3f}" if f in r else "—" for f in fs)
             + " | " + " | ".join(ratios) + " |"
         )
     lines.append("")

@@ -90,6 +90,15 @@ def shingles(col: str | Column, n: int = 5) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+#: Largest prime below 2^58 — the widest modulus whose polynomial
+#: combine step (acc*31 + h, operands < mod) stays under 2^63, i.e.
+#: ANSI-overflow-safe on BIGINT. At this width the birthday bound for
+#: D distinct shingles is D^2/2^59 colliding pairs (~1.6e-7 at D=300k),
+#: so hash-equality == shingle-equality in practice and hashed operators
+#: produce byte-identical results to their string-shingle twins.
+SHINGLE_MOD_58 = 288230376151711717
+
+
 def with_shingle_hashes(
     df,
     text_col: str,

@@ -27,9 +27,12 @@ map-only or one-shuffle shapes; chunking is a per-shard window (shuffle
 by shard key, each shard sorted independently — shards are the unit of
 parallelism exactly like the reference's per-worker file splits);
 decontamination joins on shingles with the *bounded* eval side
-broadcast. The fixture-scale queries join on shingle strings to stay
-oracle-comparable; at 100 TB swap in functions.with_shingle_hashes
-(integer shingle hashes, no per-shingle strings) — same join shape.
+broadcast. Decontamination and repetition stats run on 58-bit integer
+shingle hashes by default (functions.with_shingle_hashes + the
+SHINGLE_MOD_58 collision bound) — no per-shingle string is built or
+shuffled at any scale; the string-shingle path is kept behind
+``hashed=False`` as the oracle-shaped twin, and a pytest asserts the
+two paths agree row-for-row on the fixture corpus.
 """
 
 from __future__ import annotations
@@ -37,7 +40,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from xlearning_spark.functions import shingles, token_count
+from xlearning_spark.functions import (
+    SHINGLE_MOD_58,
+    shingles,
+    token_count,
+    with_shingle_hashes,
+)
 
 #: Width of the hex hash prefix used for bucketing: 8 hex chars = 32
 #: bits, so split boundaries resolve to ~2.3e-10 of the id space.
@@ -214,6 +222,7 @@ def decontaminate(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    hashed: bool = True,
 ) -> DataFrame:
     """Flag training docs whose n-gram overlap with any eval doc is high.
 
@@ -225,17 +234,31 @@ def decontaminate(
     Shape: explode distinct shingles on both sides and equi-join on the
     shingle — the eval side is bounded (benchmarks are small) and
     **broadcast**, so the corpus is scanned once and nothing shuffles
-    at corpus scale. Fixture-scale joins on shingle *strings* to stay
-    oracle-reproducible; at 100 TB use functions.with_shingle_hashes
-    and join on the int hash (same shape, no string materialization).
+    at corpus scale. By default (``hashed=True``) the join key is the
+    58-bit polynomial shingle hash (functions.with_shingle_hashes,
+    mod SHINGLE_MOD_58): no per-shingle string is ever materialized or
+    shuffled, ~3x cheaper at scan time, and wide enough that hash
+    equality is shingle equality in practice (birthday bound ~1.6e-7
+    colliding pairs at 300k distinct shingles) — so results are
+    identical to the string path and the brute-force string oracle
+    still certifies them. ``hashed=False`` keeps the string-shingle
+    join (the oracle-shaped twin, used by the parity test).
     """
     def sh(df: DataFrame, out: str) -> DataFrame:
-        return (
-            df.select(
-                F.col(id_col).alias(out),
-                F.array_distinct(shingles(text_col, n)).alias("__sh"),
+        if hashed:
+            keyed = with_shingle_hashes(
+                df.select(F.col(id_col).alias(out), text_col),
+                text_col,
+                "__sh0",
+                n,
+                SHINGLE_MOD_58,
             )
-            .filter(F.size("__sh") > 0)
+            arr = F.array_distinct("__sh0")
+        else:
+            keyed = df.select(F.col(id_col).alias(out), text_col)
+            arr = F.array_distinct(shingles(text_col, n))
+        return keyed.select(F.col(out), arr.alias("__sh")).filter(
+            F.size("__sh") > 0
         )
 
     train = sh(docs, "train_id").withColumn("__n_train", F.size("__sh"))
@@ -292,7 +315,7 @@ def pii_stats(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def repetition_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", hashed: bool = True
 ) -> DataFrame:
     """Gopher-style repetition metrics per document.
 
@@ -305,13 +328,27 @@ def repetition_stats(
     aggs combine map-side; the (doc, bigram) key is high-cardinality
     but each group is tiny, the Spark-friendly skew shape). Everything
     else is array expressions in one scan.
+
+    By default the bigram mode runs on 58-bit polynomial shingle hashes
+    (functions.with_shingle_hashes, mod SHINGLE_MOD_58) instead of
+    materialized bigram *strings*: the exploded rows carry 8-byte longs,
+    no per-bigram concat ever runs, and the modulus is wide enough that
+    hash equality is bigram equality in practice — identical results to
+    the string path (which ``hashed=False`` keeps for the parity test
+    and the DuckDB oracle shape).
     """
     toks = token_count(text_col)
-    base = df.select(
+    if hashed:
+        src = with_shingle_hashes(df, text_col, "__bg0", 2, SHINGLE_MOD_58)
+        bg = F.col("__bg0")
+    else:
+        src = df
+        bg = shingles(text_col, 2)
+    base = src.select(
         F.col(id_col),
         toks.alias("n_tokens"),
         F.size(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("__nd"),
-        shingles(text_col, 2).alias("__bg"),
+        bg.alias("__bg"),
     )
     top = (
         base.select(id_col, F.explode("__bg").alias("__g"))

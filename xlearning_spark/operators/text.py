@@ -8,7 +8,7 @@ pushdown preserved.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from xlearning_spark.functions import (
@@ -120,7 +120,7 @@ def kgram_hashes(
     ``polynomial=True`` each window gets the Rabin-Karp polynomial hash
     (Horner, base 31, mod 1e9+7): ~k char reads per position, but the
     value is plain arithmetic, so any SQL engine can replay it — the
-    q71 DuckDB oracle does, making winnowing hash-checkable.
+    q78 DuckDB oracle does, making winnowing hash-checkable.
 
     The value set equals what a streaming rolling hash would produce;
     it is computed per-window because a declarative plan carries no
@@ -140,6 +140,64 @@ def kgram_hashes(
     return F.transform(positions, horner)
 
 
+def winnowing_fingerprint_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 25,
+    w: int = 10,
+    *,
+    polynomial: bool = False,
+) -> DataFrame:
+    """Winnowing fingerprints, one row per distinct minimum:
+    ``(id, n_kgrams, fp)``.
+
+    Shape: posexplode the k-gram hash array to ``(id, pos, h)`` rows,
+    then one keyed WINDOW pass — ``min(h)`` over the w-row following
+    frame is each window's minimum and a distinct-agg collapses repeats.
+    Everything after the k-gram projection is whole-stage-codegen'd
+    window/agg machinery; one shuffle on the doc key.
+
+    Why not a pure array expression (slice+array_min per window, no
+    shuffle)? Nested higher-order functions are interpreted, and worse,
+    any downstream explode infers a ``size(...) > 0`` predicate that
+    Catalyst pushes below the projection, inlining the k-gram transform
+    INSIDE the per-window lambda — O(len^2 * k) per document, measured
+    ~100x slower than this formulation at fixture scale. The keyed
+    shuffle of the k-gram stream is linear in corpus size and
+    partition-pruned by the doc key, the shape that survives 100 TB.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= k + w - 1)
+    )
+    kh = base.select(
+        F.col(id_col),
+        F.posexplode(kgram_hashes(text_col, k, polynomial=polynomial)).alias(
+            "__pos", "__h"
+        ),
+    )
+    frame = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    per_doc = Window.partitionBy(id_col)
+    wm = kh.select(
+        F.col(id_col),
+        F.col("__pos"),
+        F.count("*").over(per_doc).alias("n_kgrams"),
+        F.min("__h").over(frame).alias("fp"),
+    )
+    # posexplode is 0-based: valid windows start at 0 .. n_kgrams - w.
+    return (
+        wm.filter(F.col("__pos") <= F.col("n_kgrams") - w)
+        .select(id_col, "n_kgrams", "fp")
+        .distinct()
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -153,37 +211,19 @@ def winnowing_fingerprints(
     fingerprints array<long>)``.
 
     Each window of ``w`` consecutive k-gram hashes contributes its
-    minimum; the distinct minima are the fingerprints. Guarantee
-    (SIGMOD'03): any substring of length >= k + w - 1 shared by two
-    documents yields at least one shared fingerprint; density is
-    ~2/(w+1) of all k-grams.
+    minimum; the distinct minima are the fingerprints (sorted, for a
+    deterministic array). Guarantee (SIGMOD'03): any substring of
+    length >= k + w - 1 shared by two documents yields at least one
+    shared fingerprint; density is ~2/(w+1) of all k-grams.
 
-    Scale shape: map-only column expressions (no shuffle, no Python).
-    The cheap length filter runs on the RAW column before any hash work
-    (a filter on a computed column would inline the whole expression
-    into the pushed predicate), and the hash array is materialized in
-    its own projection and referenced twice downstream, which blocks
-    CollapseProject from re-inlining it per window.
+    Aggregated form of :func:`winnowing_fingerprint_rows` (see there
+    for the plan-shape rationale).
     """
-    if k < 1 or w < 1:
-        raise ValueError("k and w must be >= 1")
-    base = df.filter(
-        F.col(text_col).isNotNull() & (F.length(text_col) >= k + w - 1)
+    rows = winnowing_fingerprint_rows(
+        df, id_col, text_col, k, w, polynomial=polynomial
     )
-    kh = base.select(
-        F.col(id_col),
-        kgram_hashes(text_col, k, polynomial=polynomial).alias("__kh"),
-    )
-    n_windows = F.size("__kh") - w + 1
-    return kh.select(
-        F.col(id_col),
-        F.size("__kh").alias("n_kgrams"),
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_windows),
-                lambda j: F.array_min(F.slice(F.col("__kh"), j, w)),
-            )
-        ).alias("fingerprints"),
+    return rows.groupBy(id_col, "n_kgrams").agg(
+        F.array_sort(F.collect_set("fp")).alias("fingerprints")
     )
 
 

@@ -66,7 +66,7 @@ GRADING_WINDOW = [
     "q36_failure_rate",          # A3
     "q37_earliest_event",        # A4
     "q40_exact_dedup",           # L1
-    "q42_jaccard_pairs",         # L2 exact twin
+    "q70_ngram_jaccard",         # L2 exact n-gram Jaccard, prefix-filtered (scale form)
     "q43_text_stats",            # L4
     "q44_language_id",           # L4 lang-id
     "q45_quality_score",         # L6
@@ -91,7 +91,7 @@ GRADING_WINDOW = [
 GRADED_SPARES = [
     "q11_rollup_order_stats",     # A7 rollup (family certified by q13)
     "q55_embedding_neardup_lsh",  # L2 scale form (family certified by q42/q53/q54)
-    "q70_ngram_jaccard",          # L2 exact n-gram Jaccard, prefix-filtered
+    "q42_jaccard_pairs",          # L2 exact all-pairs twin of q70 (oracle spare)
     # Training-corpus pipeline tier (operators/corpus.py) — all
     # oracle-backed and local-green; lands outside the 50-query window
     # because every §2 family above already holds its certifying slot.
@@ -111,6 +111,7 @@ GRADED_SPARES = [
     "q38_trailing_hour_range_frame",
     "q41_fingerprint_neardup",
     "q47_embedding_stats",
+    "q78_winnowing_fingerprints",  # L4 winnowing (SIGMOD'03), Rabin-Karp replayed oracle
 ]
 
 #: Rows-only (oracle=None) queries: can never hash-match, so they must

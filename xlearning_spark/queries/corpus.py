@@ -9,11 +9,13 @@ dependent in Spark and unreproducible in SQL).
 Scale shapes (100 TB): split/mixture/PII are map-only scans; stratified
 sampling and chunking are one window shuffle on the stratum/shard key;
 repetition stats are explode + two map-side-combining hash aggs;
-decontamination broadcasts the bounded eval side. Fixture-scale
-decontamination uses word bigrams (the synthetic vocabulary is tiny, so
-realistic 8-13-gram windows never collide); production decontamination
-swaps ``n`` up and the string shingles for functions.with_shingle_hashes
-— the join shape is unchanged.
+decontamination broadcasts the bounded eval side. Decontamination and
+repetition stats join/aggregate on 58-bit int shingle hashes (no
+shingle strings ever materialize — functions.with_shingle_hashes);
+their DuckDB oracles are the brute-force string-shingle twins, valid
+because the hash outputs never reach the result and SHINGLE_MOD_58
+makes hash-equality == shingle-equality at fixture scale (parity with
+the ``hashed=False`` string path is also pytest-asserted).
 """
 
 from __future__ import annotations
@@ -150,10 +152,12 @@ SELECT train_id, eval_id, ROUND(f, 8) AS overlap_frac FROM r WHERE rn = 1
     "word-n-gram overlap with any eval doc (doc_id % 97 = 0) is >= 0.1, "
     "reporting the worst-offending eval doc. Spark side joins exploded "
     "shingles with the bounded eval side BROADCAST (corpus scanned "
-    "once, no corpus shuffle); the DuckDB oracle is the brute-force "
-    "all-pairs twin, proving the join loses nothing. Fixture uses "
-    "bigrams (tiny synthetic vocabulary); production uses n=8..13 and "
-    "int shingle hashes (functions.with_shingle_hashes) — same shape. "
+    "once, no corpus shuffle) keyed on 58-bit int shingle hashes — no "
+    "shingle string is ever built (functions.with_shingle_hashes, "
+    "collision bound ~1.6e-7 at fixture scale, so results are identical "
+    "to the string path the DuckDB brute-force all-pairs oracle "
+    "computes; parity also pytest-asserted). Fixture uses bigrams "
+    "(tiny synthetic vocabulary); production uses n=8..13, same shape. "
     "operators/corpus.decontaminate.",
 )
 def q74_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,7 +250,9 @@ FROM b LEFT JOIN m ON b.doc_id = m.doc_id
     doc="Gopher-style repetition filters: duplicate-token fraction and "
     "top-bigram coverage per doc; docs exceeding either threshold are "
     "flagged. Array expressions in one scan + explode/two-level "
-    "map-side-combining hash agg for the bigram mode. "
+    "map-side-combining hash agg for the bigram mode, keyed on 58-bit "
+    "int bigram hashes (no bigram strings materialized; string-path "
+    "parity pytest-asserted, and the DuckDB oracle is the string twin). "
     "operators/corpus.repetition_stats.",
 )
 def q76_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -714,3 +714,57 @@ def q50_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "qid", "cid", F.round("cosine", 8).alias("cosine")
     ).orderBy("qid", "cid")
+
+
+# --------------------------------------------------------------------
+# L4: winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+# SIGMOD 2003) — the position-robust fingerprint subset.
+# --------------------------------------------------------------------
+
+def _winnow_oracle_sql(k: int, w: int) -> str:
+    """DuckDB twin of operators/text.winnowing_fingerprints with
+    ``polynomial=True``: replays the identical Rabin-Karp Horner hash
+    (base 31, mod 1e9+7, per-step modulo) per k-character window, then
+    the w-window minima, then distinct — plain arithmetic on both
+    engines, so the compare is exact, same technique as q50's replayed
+    plane literals."""
+    # Seed with a BIGINT zero: DuckDB would otherwise run the Horner
+    # chain in INT32 (ord() is INT32) and overflow on the multiply.
+    h = "CAST(0 AS BIGINT)"
+    for j in range(k):
+        h = f"(({h}) * 31 + ord(text[i + {j}])) % 1000000007"
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND length(text) >= {k + w - 1}),
+kh AS (SELECT doc_id, length(text) - {k} + 1 AS n_kgrams,
+              list_transform(range(1, length(text) - {k} + 2),
+                             i -> {h}) AS kh
+       FROM d),
+mins AS (SELECT doc_id, n_kgrams,
+                list_transform(range(1, n_kgrams - {w} + 2),
+                               j -> list_min(kh[j:j + {w - 1}])) AS m
+         FROM kh)
+SELECT DISTINCT doc_id, n_kgrams, unnest(m) AS fp
+FROM mins
+"""
+
+
+@query(
+    "q78_winnowing_fingerprints",
+    oracle=_winnow_oracle_sql(k=8, w=4),
+    tags=("llm", "L4", "winnowing"),
+    doc="Winnowing fingerprints (SIGMOD'03 local document fingerprinting) "
+    "over documents, hash-checked end-to-end: the Rabin-Karp polynomial "
+    "k-gram hash path (operators/text.kgram_hashes polynomial=True) is "
+    "plain Horner arithmetic, so the DuckDB oracle replays the exact "
+    "hash values, window minima and distinct set. Map-only, no shuffle; "
+    "guarantee tests (shared substring >= k+w-1 => shared fingerprint) "
+    "in tests/test_winnowing.py.",
+)
+def q78_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.text import winnowing_fingerprint_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprint_rows(
+        docs, "doc_id", "text", k=8, w=4, polynomial=True
+    )

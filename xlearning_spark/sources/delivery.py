@@ -16,6 +16,27 @@ so the capability is auditable:
   S9 cache distribution     -> SparkContext.addFile + SparkFiles
      (client/Client.java:699-806's staging dir, built in)
   E5 signal forwarding      -> cancelJobGroup (AMWebServices.java:123-134)
+
+S2 (object stores): every function here takes Hadoop URIs, so s3a://
+works wherever file:// does — the scheme only selects the FileSystem
+implementation (the reference relies on the same property,
+AmazonS3.java / ApplicationMaster.java:768-831). The authority-form
+URI path is covered end-to-end by tests/test_delivery.py's scheme
+tests (file:///). To verify against a REAL S3 endpoint (no S3 service
+exists in this container), run a local MinIO and point the same tests'
+URIs at it:
+
+    minio server /tmp/minio &            # default key/secret minioadmin
+    spark = (SparkSession.builder
+        .config("spark.hadoop.fs.s3a.endpoint", "http://127.0.0.1:9000")
+        .config("spark.hadoop.fs.s3a.access.key", "minioadmin")
+        .config("spark.hadoop.fs.s3a.secret.key", "minioadmin")
+        .config("spark.hadoop.fs.s3a.path.style.access", "true")
+        .getOrCreate())
+    glob_files(spark, "s3a://bucket/prefix/*.txt")   # same code path
+
+(Requires hadoop-aws + aws-sdk jars on the Spark classpath:
+``--packages org.apache.hadoop:hadoop-aws:<hadoop version>``.)
 """
 
 from __future__ import annotations

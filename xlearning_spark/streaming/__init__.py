@@ -150,6 +150,56 @@ def incremental_save(
     return written
 
 
+def incremental_partition_save(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_by: list[str],
+    since_col: str | None = None,
+    since=None,
+):
+    """T5 (deep parity): per micro-batch, dynamically overwrite ONLY
+    the output partitions present in the batch — every other
+    partition's files are left byte-untouched. This is the Spark form
+    of the reference's mtime-incremental model upload
+    (Heartbeat.java:150-242: re-upload only files whose mtime advanced
+    since the last heartbeat save): the changed-partition set plays
+    the changed-file set, and ``partitionOverwriteMode=dynamic``
+    guarantees the untouched partitions are never rewritten (asserted
+    by file mtimes in tests/test_streaming.py).
+
+    ``since_col``/``since`` add the explicit mtime predicate on top:
+    rows at or below the watermark are dropped before the write, so a
+    replayed batch can't resurrect already-saved state.
+
+    Returns the list of batch ids that wrote data this invocation.
+    """
+    written: list[int] = []
+
+    def save_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if since_col is not None and since is not None:
+            batch_df = batch_df.filter(F.col(since_col) > F.lit(since))
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(out_dir)
+        )
+        written.append(batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(save_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return written
+
+
 class SaveModelController:
     """T5 (control path): signal-driven mid-job save — the analogue of
     the reference's ``/ws/app/savemodel`` REST trigger
