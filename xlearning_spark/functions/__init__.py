@@ -90,6 +90,57 @@ def shingles(col: str | Column, n: int = 5) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_hash_rows(
+    df,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    mod: int = None,
+    pos_col: str = "__pos",
+    tok_hash_col: str = "__th",
+    out_col: str = "__h",
+):
+    """``(id, pos, token_hash, shingle_hash)`` rows: posexplode the
+    token stream, hash each token once (xxhash64 mod ``mod``), and
+    combine the n consecutive token hashes polynomially via ``lead()``
+    windows — the ROW-stream twin of :func:`with_shingle_hashes`.
+
+    Zero higher-order functions: every step (generate, hash, lead,
+    arithmetic) is whole-stage-codegen'd. This matters because any
+    filter or explode DOWNSTREAM of a computed-array column makes
+    Catalyst push an inferred predicate below the projection and inline
+    the (interpreted) lambda chain into it — re-evaluating the token
+    transform per element, O(n_tokens^2) per document. Measured on the
+    corpus tier: the array form got SLOWER than string shingles once
+    exploded; this form is the one that holds up.
+
+    Cost shape: one keyed shuffle (doc id) for the lead window — at
+    100 TB that's a linear, key-partitioned shuffle of slim (id, pos,
+    hash) rows, and downstream per-doc aggregations reuse the same key.
+    Docs with fewer than n tokens produce no output rows (the lead past
+    the end nulls the combine), matching with_shingle_hashes' empty
+    array.
+    """
+    from pyspark.sql import Window
+
+    if mod is None:
+        mod = SHINGLE_MOD_58
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens(text_col)).alias(pos_col, "__tok"),
+    )
+    th = toks.select(
+        F.col(id_col),
+        F.col(pos_col),
+        F.pmod(F.xxhash64("__tok"), F.lit(mod)).alias(tok_hash_col),
+    )
+    w = Window.partitionBy(id_col).orderBy(pos_col)
+    acc = F.col(tok_hash_col)
+    for j in range(1, n):
+        acc = F.pmod(acc * 31 + F.lead(tok_hash_col, j).over(w), F.lit(mod))
+    return th.withColumn(out_col, acc)
+
+
 #: Largest prime below 2^58 — the widest modulus whose polynomial
 #: combine step (acc*31 + h, operands < mod) stays under 2^63, i.e.
 #: ANSI-overflow-safe on BIGINT. At this width the birthday bound for

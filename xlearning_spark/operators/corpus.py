@@ -42,9 +42,9 @@ from pyspark.sql import functions as F
 
 from xlearning_spark.functions import (
     SHINGLE_MOD_58,
+    shingle_hash_rows,
     shingles,
     token_count,
-    with_shingle_hashes,
 )
 
 #: Width of the hex hash prefix used for bucketing: 8 hex chars = 32
@@ -231,40 +231,44 @@ def decontaminate(
     rows with ``max_overlap >= threshold`` are returned with the
     offending eval doc (lowest id on ties).
 
-    Shape: explode distinct shingles on both sides and equi-join on the
-    shingle — the eval side is bounded (benchmarks are small) and
+    Shape: stream distinct shingle hashes on both sides and equi-join
+    on the hash — the eval side is bounded (benchmarks are small) and
     **broadcast**, so the corpus is scanned once and nothing shuffles
-    at corpus scale. By default (``hashed=True``) the join key is the
-    58-bit polynomial shingle hash (functions.with_shingle_hashes,
-    mod SHINGLE_MOD_58): no per-shingle string is ever materialized or
-    shuffled, ~3x cheaper at scan time, and wide enough that hash
-    equality is shingle equality in practice (birthday bound ~1.6e-7
-    colliding pairs at 300k distinct shingles) — so results are
-    identical to the string path and the brute-force string oracle
-    still certifies them. ``hashed=False`` keeps the string-shingle
-    join (the oracle-shaped twin, used by the parity test).
+    at corpus scale except the slim (id, hash) stream. By default
+    (``hashed=True``) the join key is the 58-bit polynomial shingle
+    hash built by functions.shingle_hash_rows — a pure codegen
+    posexplode + lead() pipeline, no shingle string and no lambda
+    interpretation anywhere — wide enough that hash equality is
+    shingle equality in practice (birthday bound ~1.6e-7 colliding
+    pairs at 300k distinct shingles), so results are identical to the
+    string path and the brute-force string oracle still certifies
+    them. ``hashed=False`` keeps the string-shingle join (the
+    oracle-shaped twin, used by the parity test).
     """
     def sh(df: DataFrame, out: str) -> DataFrame:
+        # Distinct (id, shingle-key) rows.
         if hashed:
-            keyed = with_shingle_hashes(
-                df.select(F.col(id_col).alias(out), text_col),
-                text_col,
-                "__sh0",
-                n,
-                SHINGLE_MOD_58,
+            rows = shingle_hash_rows(
+                df.select(F.col(id_col).alias(out), text_col), out, text_col, n
             )
-            arr = F.array_distinct("__sh0")
-        else:
-            keyed = df.select(F.col(id_col).alias(out), text_col)
-            arr = F.array_distinct(shingles(text_col, n))
-        return keyed.select(F.col(out), arr.alias("__sh")).filter(
-            F.size("__sh") > 0
+            return (
+                rows.filter(F.col("__h").isNotNull())
+                .select(F.col(out), F.col("__h").alias("__g"))
+                .distinct()
+            )
+        return (
+            df.select(
+                F.col(id_col).alias(out),
+                F.explode_outer(shingles(text_col, n)).alias("__g"),
+            )
+            .filter(F.col("__g").isNotNull())
+            .distinct()
         )
 
-    train = sh(docs, "train_id").withColumn("__n_train", F.size("__sh"))
-    ev = sh(eval_docs, "eval_id")
-    t = train.select("train_id", "__n_train", F.explode("__sh").alias("__g"))
-    e = ev.select("eval_id", F.explode("__sh").alias("__g"))
+    t = sh(docs, "train_id").withColumn(
+        "__n_train", F.count("*").over(Window.partitionBy("train_id"))
+    )
+    e = sh(eval_docs, "eval_id")
     overlap = (
         t.join(F.broadcast(e), "__g")
         .groupBy("train_id", "eval_id", "__n_train")
@@ -324,41 +328,65 @@ def repetition_stats(
     - ``top_bigram_frac``: tokens covered by the most frequent word
       bigram (2 * its count / total tokens).
 
-    The bigram mode is computed by explode -> two-level hash agg (both
-    aggs combine map-side; the (doc, bigram) key is high-cardinality
-    but each group is tiny, the Spark-friendly skew shape). Everything
-    else is array expressions in one scan.
+    By default everything runs off ONE posexplode'd token stream
+    (functions.shingle_hash_rows): token counts and distinct-token
+    counts aggregate the per-token hashes, bigram modes aggregate the
+    lead()-combined 58-bit bigram hashes — pure whole-stage codegen,
+    no shingle strings, no higher-order functions (whose interpreted
+    lambdas get re-inlined by pushed-down predicates — the array form
+    measured SLOWER than string shingles at fixture scale). Both aggs
+    combine map-side; the (doc, bigram) key is high-cardinality but
+    each group is tiny, the Spark-friendly skew shape.
 
-    By default the bigram mode runs on 58-bit polynomial shingle hashes
-    (functions.with_shingle_hashes, mod SHINGLE_MOD_58) instead of
-    materialized bigram *strings*: the exploded rows carry 8-byte longs,
-    no per-bigram concat ever runs, and the modulus is wide enough that
-    hash equality is bigram equality in practice — identical results to
-    the string path (which ``hashed=False`` keeps for the parity test
-    and the DuckDB oracle shape).
+    ``hashed=False`` keeps the original string-shingle/array form (the
+    DuckDB-oracle-shaped twin, used by the parity test). Hash-equality
+    == token/bigram-equality at the SHINGLE_MOD_58 birthday bound, so
+    the two paths return identical rows.
     """
-    toks = token_count(text_col)
-    if hashed:
-        src = with_shingle_hashes(df, text_col, "__bg0", 2, SHINGLE_MOD_58)
-        bg = F.col("__bg0")
-    else:
-        src = df
-        bg = shingles(text_col, 2)
-    base = src.select(
-        F.col(id_col),
-        toks.alias("n_tokens"),
-        F.size(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("__nd"),
-        bg.alias("__bg"),
+    if not hashed:
+        toks = token_count(text_col)
+        base = df.select(
+            F.col(id_col),
+            toks.alias("n_tokens"),
+            F.size(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("__nd"),
+            shingles(text_col, 2).alias("__bg"),
+        )
+        top = (
+            base.select(id_col, F.explode("__bg").alias("__g"))
+            .groupBy(id_col, "__g")
+            .agg(F.count("*").alias("__c"))
+            .groupBy(id_col)
+            .agg(F.max("__c").alias("__top"))
+        )
+        return (
+            base.join(top, id_col, "left")
+            .select(
+                id_col,
+                "n_tokens",
+                F.round(1.0 - F.col("__nd") / F.col("n_tokens"), 8).alias(
+                    "dup_token_frac"
+                ),
+                F.round(
+                    F.coalesce(2.0 * F.col("__top") / F.col("n_tokens"), F.lit(0.0)),
+                    8,
+                ).alias("top_bigram_frac"),
+            )
+        )
+
+    rows = shingle_hash_rows(df, id_col, text_col, 2)
+    stats = rows.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("__th").alias("__nd"),
     )
     top = (
-        base.select(id_col, F.explode("__bg").alias("__g"))
-        .groupBy(id_col, "__g")
+        rows.filter(F.col("__h").isNotNull())
+        .groupBy(id_col, "__h")
         .agg(F.count("*").alias("__c"))
         .groupBy(id_col)
         .agg(F.max("__c").alias("__top"))
     )
     return (
-        base.join(top, id_col, "left")
+        stats.join(top, id_col, "left")
         .select(
             id_col,
             "n_tokens",

@@ -172,17 +172,42 @@ def winnowing_fingerprint_rows(
     base = df.filter(
         F.col(text_col).isNotNull() & (F.length(text_col) >= k + w - 1)
     )
-    kh = base.select(
-        F.col(id_col),
-        F.posexplode(kgram_hashes(text_col, k, polynomial=polynomial)).alias(
-            "__pos", "__h"
-        ),
-    )
-    frame = (
-        Window.partitionBy(id_col)
-        .orderBy("__pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
+    order = Window.partitionBy(id_col).orderBy("__pos")
+    if polynomial:
+        # Character stream + lead() Horner: posexplode the text into
+        # (id, pos, char) rows and fold the k codepoints with window
+        # leads — pure arithmetic, zero substring calls (substring(t,
+        # i, 1) re-scans the string's byte prefix per call, O(len^2)
+        # per doc across positions), zero higher-order functions.
+        chars = base.select(
+            F.col(id_col),
+            F.posexplode_outer(F.split(F.col(text_col), "")).alias(
+                "__pos", "__c"
+            ),
+        )
+        code = F.ascii("__c").cast("long")
+        h = code
+        for j in range(1, k):
+            h = (h * WINNOW_BASE + F.lead(code, j).over(order)) % WINNOW_PRIME
+        kh = chars.select(
+            F.col(id_col), F.col("__pos"), h.alias("__h")
+        ).filter(F.col("__h").isNotNull())
+    else:
+        # One xxhash64(substring) per k-gram, computed in a codegen'd
+        # projection after the position explode (never inside a lambda).
+        pos = base.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.posexplode_outer(
+                F.sequence(F.lit(1), F.length(text_col) - k + 1)
+            ).alias("__pos", "__i"),
+        )
+        kh = pos.select(
+            F.col(id_col),
+            F.col("__pos"),
+            F.xxhash64(F.expr(f"substring({text_col}, __i, {k})")).alias("__h"),
+        )
+    frame = order.rowsBetween(Window.currentRow, w - 1)
     per_doc = Window.partitionBy(id_col)
     wm = kh.select(
         F.col(id_col),
@@ -190,7 +215,8 @@ def winnowing_fingerprint_rows(
         F.count("*").over(per_doc).alias("n_kgrams"),
         F.min("__h").over(frame).alias("fp"),
     )
-    # posexplode is 0-based: valid windows start at 0 .. n_kgrams - w.
+    # __pos is the 0-based k-gram index: valid windows start at
+    # 0 .. n_kgrams - w.
     return (
         wm.filter(F.col("__pos") <= F.col("n_kgrams") - w)
         .select(id_col, "n_kgrams", "fp")

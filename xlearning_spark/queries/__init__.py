@@ -112,6 +112,7 @@ GRADED_SPARES = [
     "q41_fingerprint_neardup",
     "q47_embedding_stats",
     "q78_winnowing_fingerprints",  # L4 winnowing (SIGMOD'03), Rabin-Karp replayed oracle
+    "q79_winnowing_overlap_pairs", # L4/L2 winnowing near-dup report (max_df cap)
 ]
 
 #: Rows-only (oracle=None) queries: can never hash-match, so they must

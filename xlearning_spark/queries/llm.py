@@ -757,7 +757,9 @@ FROM mins
     "over documents, hash-checked end-to-end: the Rabin-Karp polynomial "
     "k-gram hash path (operators/text.kgram_hashes polynomial=True) is "
     "plain Horner arithmetic, so the DuckDB oracle replays the exact "
-    "hash values, window minima and distinct set. Map-only, no shuffle; "
+    "hash values, window minima and distinct set. One keyed shuffle of "
+    "the k-gram stream into a codegen'd window-min (see "
+    "winnowing_fingerprint_rows for why the map-only array form loses); "
     "guarantee tests (shared substring >= k+w-1 => shared fingerprint) "
     "in tests/test_winnowing.py.",
 )
@@ -768,3 +770,56 @@ def q78_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprint_rows(
         docs, "doc_id", "text", k=8, w=4, polynomial=True
     )
+
+
+def _winnow_overlap_oracle_sql(
+    k: int, w: int, min_shared: int, max_df: int
+) -> str:
+    """DuckDB twin of fingerprint_overlap_pairs over the q78
+    fingerprints: same replayed Horner hashes, then the fingerprint-key
+    equi-join with the doc-frequency stop-fingerprint cap."""
+    h = "CAST(0 AS BIGINT)"
+    for j in range(k):
+        h = f"(({h}) * 31 + ord(text[i + {j}])) % 1000000007"
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND length(text) >= {k + w - 1}),
+kh AS (SELECT doc_id, length(text) - {k} + 1 AS n_kgrams,
+              list_transform(range(1, length(text) - {k} + 2),
+                             i -> {h}) AS kh
+       FROM d),
+mins AS (SELECT doc_id, n_kgrams,
+                list_transform(range(1, n_kgrams - {w} + 2),
+                               j -> list_min(kh[j:j + {w - 1}])) AS m
+         FROM kh),
+fp AS (SELECT DISTINCT doc_id, unnest(m) AS fp FROM mins),
+rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {max_df}),
+f2 AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+"""
+
+
+@query(
+    "q79_winnowing_overlap_pairs",
+    oracle=_winnow_overlap_oracle_sql(k=8, w=4, min_shared=2, max_df=20),
+    tags=("llm", "L4", "L2", "winnowing"),
+    doc="Winnowing near-dup report (the SIGMOD'03 plagiarism query): "
+    "document pairs sharing >= 2 fingerprints, with the max_df stop-"
+    "fingerprint cap (boilerplate shared by >20 docs carries no signal "
+    "and would blow the per-key pair product). Join is fingerprint-key-"
+    "local — same bucketed family as the MinHash band join, never "
+    "all-pairs. Fully hash-checked: the oracle replays the q78 Horner "
+    "hashes through the identical cap/join/threshold.",
+)
+def q79_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.text import (
+        fingerprint_overlap_pairs,
+        winnowing_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, w=4, polynomial=True)
+    return fingerprint_overlap_pairs(fps, min_shared=2, max_df=20)
