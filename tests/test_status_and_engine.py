@@ -226,10 +226,10 @@ def test_df_hash_injective_over_delimiter_rich_strings(rows1, rows2):
 
 def test_connected_components_deep_chain(spark):
     # A 150-hop path is the adversarial diameter case for label
-    # propagation: plain 1-hop flooding needs 150 rounds, but the
-    # doubled pointer jumps shrink label depth ~4x per round, so the
-    # default max_iter=20 must be ample. Also exercises >1 doubling
-    # jump per round (repeated self-join aliasing, see dedup.py).
+    # propagation: plain 1-hop flooding needs 150 rounds, but pointer
+    # doubling halves label depth per round, so the default
+    # max_iter=20 must be ample. The 2-jump variant also runs (it
+    # exercises the repeated self-join aliasing, see dedup.py).
     from xlearning_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
@@ -238,3 +238,5 @@ def test_connected_components_deep_chain(spark):
     rows = connected_components(pairs).collect()
     assert len(rows) == 151
     assert {r.component for r in rows} == {0}
+    rows2 = connected_components(pairs, doubling_jumps=2).collect()
+    assert {r.component for r in rows2} == {0}

@@ -311,22 +311,24 @@ def connected_components(
     pairs: DataFrame,
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
-    doubling_jumps: int = 2,
+    doubling_jumps: int = 1,
 ) -> DataFrame:
     """Min-label propagation over dup pairs -> (id, component) groups.
 
     Each round takes the min label over the 1-hop neighborhood, then
     compresses paths by jumping every label to its label's label
-    (pointer doubling), ``doubling_jumps`` times. Each jump halves the
-    remaining label depth, so a round shrinks depth ~4x at the default
-    2 jumps and convergence is ~log4(diameter) rounds, not diameter
-    rounds — a 1M-hop chain converges within the default ``max_iter``.
-    The jumps are self-joins on the LABEL table (nodes-with-dup-edges,
-    far smaller than the corpus), so an extra jump costs much less
-    than the round it saves: per-round fixed cost (job scheduling +
-    checkpoint + probe) dominates wall-clock at every scale we probe.
-    A graph that still hasn't converged raises instead of returning
-    wrong groups.
+    (pointer doubling). Label depth halves per round, so convergence
+    is ~log2(diameter) rounds, not diameter rounds — a 1M-hop chain
+    converges within the default ``max_iter``. A graph that still
+    hasn't converged raises instead of returning wrong groups.
+
+    ``doubling_jumps`` > 1 compresses depth 2^j per round BUT the
+    jumps are unmaterialized self-joins, so each extra jump RE-EXECUTES
+    the whole round tree below it (~2x work per jump; measured 5.5x
+    slower at fixture scale for jumps=2, where dup graphs are shallow
+    cliques converging in ~3 rounds anyway). Raise it only for
+    genuinely deep graphs where halving rounds beats doubling
+    per-round cost — and consider checkpointing between jumps first.
 
     The convergence probe is a FILTER on the checkpointed frame (the
     pre-round label rides along as a ``__old`` column), not a

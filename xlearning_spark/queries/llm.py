@@ -823,3 +823,98 @@ def q79_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, w=4, polynomial=True)
     return fingerprint_overlap_pairs(fps, min_shared=2, max_df=20)
+
+
+@query(
+    "q80_neardup_sweep",
+    oracle=f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, source,
+             list_distinct({_TOKS}) AS toks
+      FROM documents),
+p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(a.toks || b.toks)) >= 0.30),
+e AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+reach(u, v) AS (SELECT u, v FROM e
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+         FROM reach GROUP BY u)
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+""",
+    tags=("llm", "L1", "L2", "dedup", "pipeline"),
+    doc="End-to-end near-dup sweep — the operator a corpus pipeline "
+    "actually runs: exact-Jaccard pairs (q42 semantics) -> connected "
+    "components -> keep each group's min-id doc, anti-join the rest "
+    "out of the corpus. Spark side composes jaccard pairs + "
+    "pointer-doubling components + LEFT ANTI join (corpus never "
+    "shuffles for the drop — the component table is the small side, "
+    "broadcast). The DuckDB oracle recomputes the same groups via a "
+    "RECURSIVE transitive-closure CTE + min-reachable-id labels, an "
+    "independent formulation of connectivity, so the hash check "
+    "certifies the component semantics too (q53's own oracle uses the "
+    "same recursion).",
+)
+def q80_neardup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = q42_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("id") != F.col("component")).select("id")
+    return docs.join(
+        F.broadcast(losers), docs.doc_id == losers.id, "left_anti"
+    ).select("doc_id", "source")
+
+
+@query(
+    "q81_term_salience",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  ROUND(CAST(tf.tf AS DOUBLE) / df.df, 12) AS salience
+           FROM tf JOIN df USING (term)),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY salience DESC, term) AS rank
+      FROM scored)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       salience, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 5
+""",
+    tags=("llm", "L4", "tfidf"),
+    doc="Per-document salient terms: tf x inverse document frequency "
+    "(linear 1/df weighting — log-free so both engines score with one "
+    "exactly-rounded IEEE division and the hash compare is bit-stable; "
+    "same ranking family as TF-IDF keyword extraction). Shape: one "
+    "token explode feeding two map-side-combining aggs (tf by (doc, "
+    "term), df by term), broadcast-joined back, one per-doc ranking "
+    "window — at 100 TB the df table is vocabulary-sized (small) and "
+    "broadcast, the corpus-sized tf stream shuffles once on its "
+    "natural key.",
+)
+def q81_term_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode_outer(tokens("text")).alias("term")
+    ).filter(F.col("term").isNotNull())
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf").cast("double") / F.col("df"), 12).alias("salience"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("salience").desc(), F.col("term")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    ).select("doc_id", "term", "tf", "df", "salience", "rank")
