@@ -198,3 +198,23 @@ def test_incremental_partition_save_since_predicate(spark, events_dir, tmp_path)
     got = spark.read.parquet(out)
     assert got.count() == full.filter(F.col("ts") > F.lit(cutoff_ts)).count()
     assert got.agg(F.min("ts")).collect()[0][0] > cutoff_ts
+
+
+def test_dedup_stream_drops_redeliveries(spark, events_dir, tmp_path):
+    # L1 x T: a doubled stream (every event delivered twice) dedups to
+    # the batch-distinct row set; state is watermark-bounded by
+    # construction (dropDuplicatesWithinWatermark).
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    full = spark.read.schema(st.EVENTS_SCHEMA).parquet(events_dir)
+    full.write.mode("append").parquet(src)
+    full.write.mode("append").parquet(src)  # exact re-delivery
+
+    deduped = st.dedup_stream(
+        st.read_events_stream(spark, src), ["event_id"]
+    )
+    got = st.run_available_now(deduped, str(tmp_path / "ckpt")).collect()
+    assert len(got) == full.count()
+    assert len({r.event_id for r in got}) == len(got)

@@ -117,3 +117,33 @@ def test_invalid_params(spark):
         winnowing_fingerprints(_docs(spark, [(1, "abc")]), k=0, w=4)
     with pytest.raises(ValueError):
         winnowing_fingerprints(_docs(spark, [(1, "abc")]), k=4, w=0)
+
+
+def test_rows_path_equals_spec_hashes(spark):
+    # The production row-stream pipeline must produce exactly the spec
+    # k-gram hash values (kgram_hashes) for both hash families: take
+    # the spec array, winnow it in Python, compare with the operator.
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaaaaaaaa",
+        "abcdefghijklmnopqrstuvwxyz0123456789",
+    ]
+    k, w = 8, 4
+    for poly in (False, True):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        spec = {
+            r["doc_id"]: r["h"]
+            for r in df.select(
+                "doc_id", kgram_hashes("text", k, polynomial=poly).alias("h")
+            ).collect()
+        }
+        want = {}
+        for i, hs in spec.items():
+            mins = {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+            want[i] = (len(hs), mins)
+        got = {}
+        for r in winnowing_fingerprints(df, k=k, w=w, polynomial=poly).collect():
+            got[r["doc_id"]] = (r["n_kgrams"], set(r["fingerprints"]))
+        assert got == want, f"polynomial={poly}"

@@ -113,18 +113,23 @@ WINNOW_BASE = 31
 def kgram_hashes(
     text_col: str | Column, k: int, *, polynomial: bool = False
 ) -> Column:
-    """``array<long>`` of hashes of every k-character window of the text.
+    """``array<long>`` of hashes of every k-character window of the text
+    — the SPEC form of the winnowing k-gram hash, used by tests to pin
+    the hash definition (tests/test_winnowing.py checks it against a
+    Python Horner reference, the same arithmetic the q78 DuckDB oracle
+    replays, and against the row-stream implementation below).
 
-    Default is one ``xxhash64(substring(text, i, k))`` per position —
-    a single well-mixed JVM call, the production path. With
-    ``polynomial=True`` each window gets the Rabin-Karp polynomial hash
-    (Horner, base 31, mod 1e9+7): ~k char reads per position, but the
-    value is plain arithmetic, so any SQL engine can replay it — the
-    q78 DuckDB oracle does, making winnowing hash-checkable.
+    Default is one ``xxhash64(substring(text, i, k))`` per position.
+    With ``polynomial=True`` each window gets the Rabin-Karp polynomial
+    hash (Horner, base 31, mod 1e9+7) — plain arithmetic any SQL engine
+    can replay.
 
-    The value set equals what a streaming rolling hash would produce;
-    it is computed per-window because a declarative plan carries no
-    per-row loop state. Stays inside JVM codegen either way.
+    NOT the production path: :func:`winnowing_fingerprint_rows`
+    computes the identical values as a posexplode'd char/position
+    stream with lead() windows, because an array-expression pipeline
+    gets its interpreted lambdas re-inlined by downstream pushed
+    predicates (see there). Keep this form for specification and
+    verification only.
     """
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     positions = F.sequence(F.lit(1), F.length(t) - k + 1)

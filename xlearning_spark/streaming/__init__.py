@@ -53,6 +53,33 @@ def read_events_stream(spark, path: str, fmt: str = "parquet") -> DataFrame:
     return spark.readStream.format(fmt).schema(EVENTS_SCHEMA).load(path)
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark_col: str = "ts",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup (L1 x T): emit each key's first arrival,
+    drop re-deliveries within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on
+    ``key_cols`` and EVICTS a key's state once the watermark passes
+    ``delay`` — so state is bounded by (arrival rate x delay), never by
+    stream length: the only dedup shape that survives an unbounded
+    100 TB ingest stream. (Plain ``dropDuplicates`` on a stream keeps
+    every key forever.) The trade, stated honestly: a duplicate
+    arriving more than ``delay`` after its original is re-emitted —
+    cross-horizon dedup belongs to the batch operators
+    (operators/dedup.py) over the landed corpus.
+
+    The batch twin for tests is ``df.dropDuplicates(key_cols)``
+    restricted to duplicates within the horizon.
+    """
+    return events.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def tumbling_counts(
     events: DataFrame, window_len: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
