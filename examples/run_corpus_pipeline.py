@@ -1,0 +1,92 @@
+"""Training-corpus pipeline demo: the record-level corpus construction
+the reference leaves to user code (it splits FILES across workers,
+ApplicationMaster.java:971-1041), run end-to-end as Spark operators:
+
+  1. deterministic train/val/test split (hash-keyed, layout-independent)
+  2. domain mixture (per-source sampling rates, broadcast weights)
+  3. near-dup sweep (exact-Jaccard pairs -> components -> keep min-id)
+  4. benchmark decontamination (int-shingle stream vs broadcast eval set)
+  5. PII redaction (map-only regex scan)
+  6. token packing into fixed context windows (per-shard window)
+
+Every stage is a pure DataFrame transform: the pipeline composes
+lazily and Catalyst plans the whole thing; nothing collects until the
+final summary.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+
+def main(spark, sf_dir: str = DEFAULT_SF) -> None:
+    from pyspark.sql import functions as F
+
+    from xlearning_spark.functions import token_count
+    from xlearning_spark.operators.corpus import (
+        decontaminate,
+        deterministic_split,
+        pack_token_chunks,
+        pii_stats,
+        weighted_source_sample,
+    )
+    from xlearning_spark.operators.dedup import connected_components
+    from xlearning_spark.queries.llm import q42_jaccard_pairs
+    from xlearning_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    # 1. reproducible split — same row lands in the same split on any
+    # cluster size (hash-keyed, no rand()).
+    split = deterministic_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    print("split counts:", dict(split.groupBy("split").count().collect()))
+
+    # 2. domain mixture: downweight even-numbered sources.
+    weights = {f"src{i}": (0.5 if i % 2 == 0 else 1.0) for i in range(20)}
+    mixed = weighted_source_sample(split.filter(F.col("split") == "train"),
+                                   "doc_id", "source", weights)
+    print("mixture kept:", mixed.count(), "of", split.filter(F.col("split") == "train").count())
+
+    # 3. near-dup sweep: drop every non-keeper member of a dup group.
+    pairs = q42_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("id") != F.col("component")).select("id")
+    swept = mixed.join(F.broadcast(losers), mixed.doc_id == losers.id, "left_anti")
+    print("after near-dup sweep:", swept.count())
+
+    # 4. decontamination vs a held-out "benchmark" slice.
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = decontaminate(swept, ev, n=2, threshold=0.1)
+    swept = swept.join(
+        F.broadcast(flagged.select(F.col("train_id").alias("doc_id"))),
+        "doc_id",
+        "left_anti",
+    )
+    print("decontaminated:", swept.count(), f"(flagged {flagged.count()})")
+
+    # 5. PII scrub (map-only).
+    clean = pii_stats(swept, "text").drop("text").withColumnRenamed("redacted", "text")
+
+    # 6. pack into 512-token context windows per source shard.
+    packed = pack_token_chunks(
+        clean.withColumn("nt", token_count("text")), "source", "doc_id", "nt", 512
+    )
+    summary = packed.groupBy("source").agg(
+        F.countDistinct("chunk_id").alias("n_chunks"),
+        F.sum("nt").alias("n_tokens"),
+    )
+    print("packed chunks per source (first 5):",
+          summary.orderBy("source").limit(5).collect())
+
+
+if __name__ == "__main__":
+    from xlearning_spark.engine import build_session
+
+    s = build_session(app_name="corpus_pipeline_example")
+    s.sparkContext.setLogLevel("ERROR")
+    main(s, sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF)

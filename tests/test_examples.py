@@ -25,6 +25,7 @@ EXAMPLES_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "example
         "run_streaming_monitor",
         "run_job_lifecycle",
         "run_multimodal",
+        "run_corpus_pipeline",
     ],
 )
 def test_example_runs(spark, mod_name, capsys):
