@@ -91,3 +91,24 @@ def test_q54_blocked_pair_join_shape(spark):
         seg.split("\n")[0] for seg in plan.split("Join condition:")[1:]
     ]:
         assert "SQRT" not in cond, f"per-pair norm in join condition: {cond[:200]}"
+
+
+def test_no_global_window_in_graded_corpus(spark):
+    # The one shape that cannot scale: a Window with an empty partition
+    # spec funnels the whole table through one task, which Spark plans
+    # as `Exchange SinglePartition` under a Window/Sort. No graded
+    # query may contain one (q20 was re-specified in round 4; q28 is
+    # the agg+broadcast form for globally-consistent buckets).
+    from xlearning_spark.queries import registry
+
+    offenders = []
+    for name, spec in registry.specs().items():
+        if spec.oracle is None:
+            continue
+        try:
+            plan = _plan(spark, name)
+        except Exception:
+            continue  # non-plan-checkable (e.g. needs driver-side setup)
+        if "Window" in plan and "Exchange SinglePartition" in plan:
+            offenders.append(name)
+    assert not offenders, f"global-window queries: {offenders}"
