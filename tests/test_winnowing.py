@@ -147,3 +147,30 @@ def test_rows_path_equals_spec_hashes(spark):
         for r in winnowing_fingerprints(df, k=k, w=w, polynomial=poly).collect():
             got[r["doc_id"]] = (r["n_kgrams"], set(r["fingerprints"]))
         assert got == want, f"polynomial={poly}"
+
+
+def test_guarantee_randomized_batch(spark):
+    # SIGMOD'03 guarantee over 30 seeded-random document pairs, checked
+    # in ONE Spark pass: every pair plants a common substring of length
+    # k + w - 1 (the exact guarantee threshold) inside otherwise
+    # independent random text; each pair must share >= 1 fingerprint.
+    import random
+
+    rng = random.Random(42)
+    alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
+
+    def rand_text(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    k, w = 8, 4
+    rows = []
+    for p in range(30):
+        common = rand_text(k + w - 1)
+        rows.append((2 * p, rand_text(rng.randrange(0, 60)) + common + rand_text(rng.randrange(0, 60))))
+        rows.append((2 * p + 1, rand_text(rng.randrange(0, 60)) + common + rand_text(rng.randrange(0, 60))))
+    fps = winnowing_fingerprints(_docs(spark, rows), k=k, w=w).collect()
+    by_id = {r["doc_id"]: set(r["fingerprints"]) for r in fps}
+    missing = [
+        p for p in range(30) if not (by_id[2 * p] & by_id[2 * p + 1])
+    ]
+    assert not missing, f"guarantee violated for pairs {missing}"
