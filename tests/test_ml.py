@@ -40,3 +40,63 @@ def test_text_classifier_trains(spark):
     assert acc > 0.95, acc
     pred = model.transform(docs)
     assert pred.count() == docs.count()
+
+
+def test_framework_env_contracts():
+    # E4: exact env-variable contract per framework
+    # (HboxContainer.java:944-1050).
+    import json
+
+    from xlearning_spark.ml import framework_env
+
+    cluster = {
+        "worker": ["h1:2222", "h2:2222"],
+        "ps": ["h0:2000"],
+        "tracker": ["h0:9091"],
+    }
+
+    tf = framework_env("tensorflow", "worker", 1, cluster)
+    assert tf["TF_ROLE"] == "worker" and tf["TF_INDEX"] == "1"
+    cfg = json.loads(tf["TF_CONFIG"])
+    assert cfg["cluster"]["worker"] == ["h1:2222", "h2:2222"]
+    assert cfg["task"] == {"type": "worker", "index": 1}
+    assert json.loads(tf["TF_CLUSTER_DEF"]) == cfg["cluster"]
+
+    mx_w = framework_env("mxnet", "worker", 0, cluster)
+    assert mx_w["DMLC_PS_ROOT_URI"] == "h0" and mx_w["DMLC_PS_ROOT_PORT"] == "2000"
+    assert mx_w["DMLC_NUM_WORKER"] == "2" and mx_w["DMLC_NUM_SERVER"] == "1"
+    assert mx_w["DMLC_WORKER_ID"] == "0" and "DMLC_SERVER_ID" not in mx_w
+    mx_s = framework_env("mxnet", "ps", 0, cluster)
+    assert mx_s["DMLC_SERVER_ID"] == "0" and "DMLC_WORKER_ID" not in mx_s
+
+    xgb = framework_env("xgboost", "worker", 1, cluster)
+    assert xgb["DMLC_TRACKER_URI"] == "h0" and xgb["DMLC_TRACKER_PORT"] == "9091"
+    assert xgb["DMLC_TASK_ID"] == "1"
+
+    gen = framework_env("generic", "worker", 3)
+    assert gen == {"INDEX": "3", "ROLE": "worker"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        framework_env("caffe", "worker", 0)
+    with _pytest.raises(ValueError):
+        framework_env("mxnet", "worker", 0, {"worker": ["h1:1"]})
+
+
+def test_framework_env_through_pipe(spark):
+    # The env contract must actually reach a launched child: pipe a
+    # command that echoes TF_CONFIG back and parse it.
+    from xlearning_spark.ml import framework_env
+    from xlearning_spark.operators.pipe import pipe_lines
+
+    env = framework_env(
+        "tensorflow", "worker", 0, {"worker": ["h1:2222"], "ps": ["h0:2000"]}
+    )
+    df = spark.createDataFrame([("x",)], "line string").coalesce(1)
+    out = pipe_lines(df, ["sh", "-c", 'echo "$TF_CONFIG"'], env=env).collect()
+    import json
+
+    cfg = json.loads(out[0]["line"])
+    assert cfg["cluster"]["ps"] == ["h0:2000"]
+    assert cfg["task"] == {"type": "worker", "index": 0}

@@ -101,3 +101,85 @@ def train_text_classifier(
         (F.sum((F.col("__label") == F.col("prediction")).cast("int")) / F.count("*"))
     ).collect()[0][0]
     return model, float(acc)
+
+
+#: Frameworks whose child-process env contract the reference wires up
+#: (HboxContainer.java:944-1050); "generic" is the plain INDEX/ROLE
+#: contract every non-special framework gets.
+FRAMEWORKS = ("tensorflow", "mxnet", "xgboost", "generic")
+
+
+def framework_env(
+    framework: str,
+    role: str,
+    index: int,
+    cluster: dict[str, list[str]] | None = None,
+) -> dict[str, str]:
+    """E4 launch-contract twin: the environment the reference exports
+    to a framework's child process, derived from a Spark-side cluster
+    spec instead of YARN container state (HboxContainer.java:944-1050;
+    env names in common/HboxConstants).
+
+    ``cluster`` maps role -> ["host:port", ...] (the output shape of
+    :func:`build_cluster_specs`, or any explicit allocation). Feed the
+    result to ``operators.pipe.pipe_lines(env=...)`` or
+    ``job.JobSpec(env=...)`` — the pipe operator is the engine's
+    process launcher, so together they reproduce the reference's
+    launcher surface for commands that read these variables.
+
+    Contracts reproduced:
+      - tensorflow: TF_ROLE / TF_INDEX + TF_CONFIG (cluster + task
+        json, what tf.distribute reads) and TF_CLUSTER_DEF
+        (HboxContainer.java:946-953)
+      - mxnet (parameter-server mode): DMLC_PS_ROOT_URI/PORT from the
+        first ps entry, DMLC_NUM_WORKER / DMLC_NUM_SERVER, DMLC_ROLE,
+        and DMLC_WORKER_ID or DMLC_SERVER_ID per role
+        (HboxContainer.java:957-969)
+      - xgboost (rabit tracker): DMLC_TRACKER_URI/PORT from the
+        tracker entry, DMLC_NUM_WORKER, DMLC_TASK_ID, DMLC_ROLE
+        (HboxContainer.java:971-976)
+      - generic: INDEX + ROLE (the default contract every worker gets)
+    """
+    if framework not in FRAMEWORKS:
+        raise ValueError(f"framework must be one of {FRAMEWORKS}")
+    cluster = cluster or {}
+    env = {"INDEX": str(index), "ROLE": role}
+    if framework == "tensorflow":
+        workers = cluster.get("worker", [])
+        ps = cluster.get("ps", [])
+        spec = {k: v for k, v in (("worker", workers), ("ps", ps)) if v}
+        env.update(
+            TF_ROLE=role,
+            TF_INDEX=str(index),
+            TF_CLUSTER_DEF=json.dumps(spec, sort_keys=True),
+            TF_CONFIG=json.dumps(
+                {"cluster": spec, "task": {"type": role, "index": index}},
+                sort_keys=True,
+            ),
+        )
+    elif framework == "mxnet":
+        ps = cluster.get("ps", [])
+        if not ps:
+            raise ValueError("mxnet PS mode needs cluster['ps']")
+        host, port = ps[0].rsplit(":", 1)
+        env.update(
+            DMLC_PS_ROOT_URI=host,
+            DMLC_PS_ROOT_PORT=port,
+            DMLC_NUM_WORKER=str(len(cluster.get("worker", []))),
+            DMLC_NUM_SERVER=str(len(ps)),
+            DMLC_ROLE=role,
+        )
+        env["DMLC_SERVER_ID" if role == "ps" else "DMLC_WORKER_ID"] = str(index)
+    elif framework == "xgboost":
+        tracker = cluster.get("tracker", cluster.get("ps", []))
+        if not tracker:
+            raise ValueError("xgboost needs cluster['tracker'] (rabit tracker)")
+        host, port = tracker[0].rsplit(":", 1)
+        env.update(
+            DMLC_TRACKER_URI=host,
+            DMLC_TRACKER_PORT=port,
+            DMLC_NUM_WORKER=str(len(cluster.get("worker", []))),
+            DMLC_TASK_ID=str(index),
+            DMLC_ROLE=role,
+        )
+    return env
