@@ -169,6 +169,15 @@ def test_hashed_string_path_parity(spark):
     from xlearning_spark.operators.corpus import decontaminate, repetition_stats
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # The fixture has no NULL-text / sub-n-token docs; plant both so the
+    # parity claim covers the degenerate rows (r4 advice: the outer
+    # explode used to count a NULL token, diverging from the string twin
+    # exactly here).
+    extras = spark.createDataFrame(
+        [(10_000_001, None), (10_000_002, "solo"), (10_000_003, "")],
+        "doc_id bigint, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(extras)
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     tr = docs.filter(F.col("doc_id") % 97 != 0)
 
@@ -178,4 +187,8 @@ def test_hashed_string_path_parity(spark):
 
     ra = repetition_stats(docs, hashed=True).collect()
     rb = repetition_stats(docs, hashed=False).collect()
-    assert sorted(map(tuple, ra)) == sorted(map(tuple, rb))
+    assert len(ra) == len(rb) == docs.count()
+    key = lambda r: (r is None, r)
+    assert sorted(map(tuple, ra), key=lambda t: [key(v) for v in t]) == sorted(
+        map(tuple, rb), key=lambda t: [key(v) for v in t]
+    )

@@ -119,7 +119,11 @@ def shingle_hash_rows(
     hash) rows, and downstream per-doc aggregations reuse the same key.
     Docs with fewer than n tokens produce no output rows (the lead past
     the end nulls the combine), matching with_shingle_hashes' empty
-    array.
+    array. NULL-text docs produce ZERO rows (posexplode, not _outer:
+    xxhash64(NULL) is the non-null seed, so an outer null row would
+    count as a phantom token — and at n=1 emit a phantom shingle);
+    callers that need a row per doc left-join back from the id side
+    (see repetition_stats).
     """
     from pyspark.sql import Window
 
@@ -127,7 +131,7 @@ def shingle_hash_rows(
         mod = SHINGLE_MOD_58
     toks = df.select(
         F.col(id_col),
-        F.posexplode_outer(tokens(text_col)).alias(pos_col, "__tok"),
+        F.posexplode(tokens(text_col)).alias(pos_col, "__tok"),
     )
     th = toks.select(
         F.col(id_col),

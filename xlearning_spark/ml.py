@@ -105,8 +105,22 @@ def train_text_classifier(
 
 #: Frameworks whose child-process env contract the reference wires up
 #: (HboxContainer.java:944-1050); "generic" is the plain INDEX/ROLE
-#: contract every non-special framework gets.
-FRAMEWORKS = ("tensorflow", "mxnet", "xgboost", "generic")
+#: contract every non-special framework gets. "horovod"/"tensornet"
+#: share the MPI contract (the reference branches them together).
+FRAMEWORKS = (
+    "tensorflow",
+    "mxnet",
+    "xgboost",
+    "lightgbm",
+    "lightlda",
+    "torch",
+    "xdl",
+    "xflow",
+    "mpi",
+    "horovod",
+    "tensornet",
+    "generic",
+)
 
 
 def framework_env(
@@ -114,6 +128,9 @@ def framework_env(
     role: str,
     index: int,
     cluster: dict[str, list[str]] | None = None,
+    resources: dict[str, str] | None = None,
+    mpi_install_dir: str = "/usr/local/openmpi",
+    mpi_app_dir: str = ".",
 ) -> dict[str, str]:
     """E4 launch-contract twin: the environment the reference exports
     to a framework's child process, derived from a Spark-side cluster
@@ -138,6 +155,31 @@ def framework_env(
       - xgboost (rabit tracker): DMLC_TRACKER_URI/PORT from the
         tracker entry, DMLC_NUM_WORKER, DMLC_TASK_ID, DMLC_ROLE
         (HboxContainer.java:971-976)
+      - lightgbm: LIGHTGBM_NUM_MACHINE (worker count) +
+        LIGHTGBM_LOCAL_LISTEN_PORT (this worker's own reserved port,
+        i.e. the port of cluster['worker'][index]); the machine list
+        itself travels as a file — see :func:`rendezvous_files`
+        (HboxContainer.java:976-978, 804-839)
+      - lightlda: LIGHTLDA_WORKER_NUM / LIGHTLDA_SERVER_NUM /
+        LIGHTLDA_RANK / LIGHTLDA_ROLE, plus LIGHTLDA_SERVER_ENDPOINT
+        (own endpoint) on ps-role containers only — workers instead
+        read the endpoint file from :func:`rendezvous_files`
+        (HboxContainer.java:979-984, 841-880)
+      - torch (DISTTORCH): INIT_METHOD=tcp://<rank0 host:port>, RANK,
+        WORLD_SIZE, master_addr / master_port (lowercase, as the
+        reference exports them) — rank 0 is cluster['worker'][0]
+        (HboxContainer.java:1035-1041, 882-910)
+      - xdl: TASK_NAME / TASK_INDEX / ZK_ADDR (cluster['zk'][0]);
+        scheduler role additionally gets PS_NUM + PS_CPU_CORES /
+        PS_MEMORY_M (from ``resources``), worker role gets TASK_NUM
+        (HboxContainer.java:1042-1055)
+      - xflow: the mxnet DMLC contract plus HEAPPROFILE=./W<i> or
+        ./S<i> per role (HboxContainer.java:1020-1034)
+      - mpi / horovod / tensornet: OPAL_PREFIX (the MPI install dir),
+        HOME and PWD (the per-app exec dir — the rsh agent uses $HOME
+        as working dir), HBOX_TF_INDEX (the reference reuses the TF
+        index slot as MPI rank marker); the mpiexec launch itself is
+        :func:`mpi_command` (HboxContainer.java:990-1010)
       - generic: INDEX + ROLE (the default contract every worker gets)
     """
     if framework not in FRAMEWORKS:
@@ -157,10 +199,10 @@ def framework_env(
                 sort_keys=True,
             ),
         )
-    elif framework == "mxnet":
+    elif framework in ("mxnet", "xflow"):
         ps = cluster.get("ps", [])
         if not ps:
-            raise ValueError("mxnet PS mode needs cluster['ps']")
+            raise ValueError(f"{framework} PS mode needs cluster['ps']")
         host, port = ps[0].rsplit(":", 1)
         env.update(
             DMLC_PS_ROOT_URI=host,
@@ -169,7 +211,12 @@ def framework_env(
             DMLC_NUM_SERVER=str(len(ps)),
             DMLC_ROLE=role,
         )
-        env["DMLC_SERVER_ID" if role == "ps" else "DMLC_WORKER_ID"] = str(index)
+        # Reference contract (HboxContainer.java:957-963): WORKER_ID
+        # for role 'worker', SERVER_ID for EVERY other role — not just
+        # 'ps' (r4 advice fix).
+        env["DMLC_WORKER_ID" if role == "worker" else "DMLC_SERVER_ID"] = str(index)
+        if framework == "xflow":
+            env["HEAPPROFILE"] = ("./W" if role == "worker" else "./S") + str(index)
     elif framework == "xgboost":
         tracker = cluster.get("tracker", cluster.get("ps", []))
         if not tracker:
@@ -182,4 +229,174 @@ def framework_env(
             DMLC_TASK_ID=str(index),
             DMLC_ROLE=role,
         )
+    elif framework == "lightgbm":
+        workers = cluster.get("worker", [])
+        if not workers:
+            raise ValueError("lightgbm needs cluster['worker']")
+        env.update(
+            LIGHTGBM_NUM_MACHINE=str(len(workers)),
+            LIGHTGBM_LOCAL_LISTEN_PORT=workers[index].rsplit(":", 1)[1],
+        )
+    elif framework == "lightlda":
+        workers = cluster.get("worker", [])
+        ps = cluster.get("ps", [])
+        if not ps:
+            raise ValueError("lightlda needs cluster['ps']")
+        env.update(
+            LIGHTLDA_WORKER_NUM=str(len(workers)),
+            LIGHTLDA_SERVER_NUM=str(len(ps)),
+            LIGHTLDA_RANK=str(index),
+            LIGHTLDA_ROLE=role,
+        )
+        if role == "ps":
+            # Only ps containers export their own endpoint (the
+            # reference leaves it unset on workers, which read the
+            # endpoint FILE instead — rendezvous_files).
+            env["LIGHTLDA_SERVER_ENDPOINT"] = ps[index]
+    elif framework == "torch":
+        workers = cluster.get("worker", [])
+        if not workers:
+            raise ValueError("torch needs cluster['worker'] (rank 0 first)")
+        rank0_host, rank0_port = workers[0].rsplit(":", 1)
+        env.update(
+            INIT_METHOD=f"tcp://{workers[0]}",
+            RANK=str(index),
+            WORLD_SIZE=str(len(workers)),
+            master_addr=rank0_host,
+            master_port=rank0_port,
+        )
+    elif framework == "xdl":
+        zk = cluster.get("zk", [])
+        if not zk:
+            raise ValueError("xdl needs cluster['zk'] (zookeeper address)")
+        env.update(TASK_NAME=role, TASK_INDEX=str(index), ZK_ADDR=zk[0])
+        resources = resources or {}
+        if role == "scheduler":
+            env["PS_NUM"] = str(len(cluster.get("ps", [])))
+            for k in ("PS_CPU_CORES", "PS_MEMORY_M"):
+                if k in resources:
+                    env[k] = str(resources[k])
+        elif role == "worker":
+            env["TASK_NUM"] = str(len(cluster.get("worker", [])))
+    elif framework in ("mpi", "horovod", "tensornet"):
+        lib = f"{mpi_install_dir}/lib"
+        env.update(
+            OPAL_PREFIX=mpi_install_dir,
+            HOME=mpi_app_dir,
+            PWD=mpi_app_dir,
+            HBOX_TF_INDEX=str(index),
+            LD_LIBRARY_PATH=f"{lib}:{lib}/openmpi:{lib}/pmix",
+        )
     return env
+
+
+def rendezvous_files(
+    framework: str, cluster: dict[str, list[str]]
+) -> dict[str, str]:
+    """E4 rendezvous-FILE twin: the machine-list files the reference's
+    containers assemble from AM-polled peer reports before launch.
+
+    - lightgbm: every worker writes ``lightGBMlist.txt`` — one
+      ``"ip port"`` line per worker (HboxContainer.java:830-838; the
+      reported string is ``host + " " + port``, :814).
+    - lightlda: workers write ``lightLdaEndPoints.txt`` — one
+      ``"rank host:port"`` line per ps (HboxContainer.java:853, 871-879).
+
+    Feed the result to ``pipe_lines(input_files=...)``-style staging or
+    just write the files into the child's working dir before launch.
+    Spark-side the peer list comes from :func:`build_cluster_specs`
+    (barrier ``getTaskInfos()``) instead of AM polling, so the files
+    can be produced deterministically with no side-channel at all.
+    """
+    if framework == "lightgbm":
+        workers = cluster.get("worker", [])
+        return {
+            "lightGBMlist.txt": "".join(
+                f"{w.rsplit(':', 1)[0]} {w.rsplit(':', 1)[1]}\n" for w in workers
+            )
+        }
+    if framework == "lightlda":
+        ps = cluster.get("ps", [])
+        return {
+            "lightLdaEndPoints.txt": "".join(
+                f"{i} {ep}\n" for i, ep in enumerate(ps)
+            )
+        }
+    return {}
+
+
+#: The MCA options the reference AM exports around its mpiexec child
+#: (ApplicationMaster.java:1670-1680): bind-to none, no rsh agent
+#: (containers are already placed), verbose plm, oversubscribe, one
+#: proc per node.
+MPI_EXEC_ENV = {
+    "OMPI_MCA_hwloc_base_binding_policy": "none",
+    "OMPI_MCA_plm_rsh_agent": "/bin/true",
+    "OMPI_MCA_plm_base_verbose": "1",
+    "OMPI_MCA_rmaps_base_oversubscribe": "1",
+    "OMPI_MCA_rmaps_ppr_pernode": "1",
+}
+
+
+def mpi_command(
+    hosts: list[str],
+    command: list[str],
+    mpi_install_dir: str = "/usr/local/openmpi",
+    log_dir: str = ".",
+) -> tuple[list[str], dict[str, str]]:
+    """E4 MPI-rendezvous twin: the exact ``mpiexec`` argv + env the
+    reference AM assembles and execs (ApplicationMaster.java:1618-1697).
+
+    ``hosts`` is the worker host list (the reference iterates its
+    acquired containers, :1639-1643; Spark-side use
+    :func:`build_mpi_hosts`). The ``/bin/sh -c`` shim between mpiexec
+    and the user command reproduces the reference's per-rank log
+    redirect (:1655): every rank appends to stdout/stderr files under
+    the log dir; rank HBOX_TF_INDEX==1 additionally tees to the
+    console. Returns ``(argv, env)`` — run with ``subprocess`` from
+    the driver, the analogue of the AM-local mpiexec process.
+    """
+    if not hosts:
+        raise ValueError("mpi needs at least one host")
+    shim = (
+        '[ "$HBOX_TF_INDEX" != 1 ] && exec "$@" 1>> "{d}"/stdout 2>> "{d}"/stderr; '
+        '"$@" 2>&1 | tee -a "{d}"/stdout'
+    ).format(d=log_dir)
+    argv = [
+        f"{mpi_install_dir}/bin/mpiexec",
+        "--host",
+        ",".join(hosts),
+        "/bin/sh",
+        "-c",
+        shim,
+        "--",
+        *command,
+    ]
+    env = dict(MPI_EXEC_ENV)
+    env["OPAL_PREFIX"] = mpi_install_dir
+    env["LD_LIBRARY_PATH"] = f"{mpi_install_dir}/lib"
+    return argv, env
+
+
+def build_mpi_hosts(spark, n_workers: int) -> list[str]:
+    """Assemble the MPI host list from a barrier stage — the Spark
+    analogue of the reference AM's acquired-container walk
+    (ApplicationMaster.java:1639-1643), using the same rendezvous
+    mechanism as :func:`build_cluster_specs`: every task enters
+    ``barrier()``, reads ``getTaskInfos()``, and the deterministic
+    per-partition host order IS the rank order.
+    """
+    sc = spark.sparkContext
+
+    def assemble(index_iter):
+        from pyspark import BarrierTaskContext
+
+        ctx = BarrierTaskContext.get()
+        ctx.barrier()
+        if ctx.partitionId() == 0:
+            yield json.dumps(
+                [info.address.split(":")[0] for info in ctx.getTaskInfos()]
+            )
+
+    rdd = sc.parallelize(range(n_workers), n_workers).barrier().mapPartitions(assemble)
+    return json.loads(rdd.collect()[0])

@@ -385,8 +385,15 @@ def repetition_stats(
         .groupBy(id_col)
         .agg(F.max("__c").alias("__top"))
     )
+    # NULL-text docs produce zero token rows (shingle_hash_rows uses a
+    # non-outer explode), so restore them from the id side: the string
+    # twin emits (id, NULL, NULL, 0.0) for them and the paths must
+    # agree. The ids scan is a slim single-column pass; both joins
+    # co-partition on the doc key.
     return (
-        stats.join(top, id_col, "left")
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .join(top, id_col, "left")
         .select(
             id_col,
             "n_tokens",
