@@ -176,6 +176,75 @@ def test_incremental_partition_save_writes_strict_delta(spark, events_dir, tmp_p
     assert files_of(delta_type) != before_delta
 
 
+def test_incremental_partition_save_multibatch_split(spark, events_dir, tmp_path):
+    # r4 advice: when ONE availableNow invocation splits into several
+    # micro-batches (maxFilesPerTrigger=1), later batches must not
+    # overwrite what earlier batches of the same invocation wrote to
+    # the same partition — every delivered row survives.
+    import os
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    full = spark.read.schema(st.EVENTS_SCHEMA).parquet(events_dir).limit(600)
+    # Three source files, same partition mix in each -> 3 micro-batches
+    # all touching every event_type partition.
+    for i in range(3):
+        full.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(st.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    w = st.incremental_partition_save(
+        stream, out, str(tmp_path / "ckpt"), partition_by=["event_type"]
+    )
+    assert len(w) == 3, f"expected 3 micro-batches, got {w}"
+    got = spark.read.parquet(out)
+    assert got.count() == full.count()
+    assert {r[0] for r in got.select("event_id").collect()} == {
+        r[0] for r in full.select("event_id").collect()
+    }
+
+
+def test_incremental_partition_save_accumulates_with_keys(
+    spark, events_dir, tmp_path
+):
+    # key_cols mode: a later invocation delivering ONLY delta rows for
+    # an already-saved partition merges instead of replacing, deduped
+    # on the key (batch wins over existing).
+    import os
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    full = spark.read.schema(st.EVENTS_SCHEMA).parquet(events_dir).limit(400)
+
+    first = full.filter(F.col("event_id") % 2 == 0)
+    first.write.mode("append").parquet(src)
+    st.incremental_partition_save(
+        st.read_events_stream(spark, src), out, str(tmp_path / "ckpt"),
+        partition_by=["event_type"], key_cols=["event_id"],
+    )
+    assert spark.read.parquet(out).count() == first.count()
+
+    # Second invocation: odd rows only (a strict delta; partitions
+    # overlap the saved ones).
+    full.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    st.incremental_partition_save(
+        st.read_events_stream(spark, src), out, str(tmp_path / "ckpt"),
+        partition_by=["event_type"], key_cols=["event_id"],
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == full.count()
+    assert {r[0] for r in got.select("event_id").collect()} == {
+        r[0] for r in full.select("event_id").collect()
+    }
+
+
 def test_incremental_partition_save_since_predicate(spark, events_dir, tmp_path):
     # The explicit mtime/watermark predicate: rows at or below `since`
     # never reach the sink.

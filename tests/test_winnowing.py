@@ -174,3 +174,46 @@ def test_guarantee_randomized_batch(spark):
         p for p in range(30) if not (by_id[2 * p] & by_id[2 * p + 1])
     ]
     assert not missing, f"guarantee violated for pairs {missing}"
+
+
+def test_unicode_codepoint_parity(spark):
+    # r4 advice flagged a possible UTF-16-unit vs codepoint divergence
+    # between the char-stream path and the DuckDB oracle on non-ASCII
+    # text. Pin the intended semantics — CODEPOINTS — on BMP accents,
+    # Greek, and astral-plane (non-BMP) symbols: the spec path, the
+    # row-stream path, and a Python ord() Horner must all agree
+    # (DuckDB's ord(text[i]) replay is codepoint-based by definition;
+    # Spark 4.1.2 split/substring/ascii are codepoint-aware and do not
+    # split surrogate pairs).
+    from xlearning_spark.operators.text import winnowing_fingerprint_rows
+
+    k, w = 5, 3
+
+    def horner(s: str) -> int:
+        h = 0
+        for c in s:
+            h = (h * WINNOW_BASE + ord(c)) % WINNOW_PRIME
+        return h
+
+    def winnow(hs: list[int]) -> set[int]:
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    texts = [
+        "héllo wörld — ünïcode ça va? Ωμέγα test string",
+        "\U0001d11e music clef \U0001d11e beyond bmp plane here",  # astral
+    ]
+    for doc_id, text in enumerate(texts):
+        df = _docs(spark, [(doc_id, text)])
+        want_h = [horner(text[i : i + k]) for i in range(len(text) - k + 1)]
+        got_spec = (
+            df.select(kgram_hashes("text", k, polynomial=True).alias("h"))
+            .collect()[0]["h"]
+        )
+        assert got_spec == want_h, f"spec path diverged on {text!r}"
+        got_rows = sorted(
+            r["fp"]
+            for r in winnowing_fingerprint_rows(
+                df, k=k, w=w, polynomial=True
+            ).collect()
+        )
+        assert got_rows == sorted(winnow(want_h)), f"row path diverged on {text!r}"

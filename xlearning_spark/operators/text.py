@@ -124,6 +124,14 @@ def kgram_hashes(
     hash (Horner, base 31, mod 1e9+7) — plain arithmetic any SQL engine
     can replay.
 
+    Unicode: all three computations of this hash — this spec form, the
+    char-stream row form, and the DuckDB oracle's ``ord(text[i])``
+    replay — operate on CODEPOINTS, verified beyond the BMP (Spark's
+    ``split``/``substring``/``ascii``/``length`` are codepoint-aware on
+    UTF8String, they do not split surrogate pairs;
+    tests/test_winnowing.py::test_unicode_codepoint_parity pins this
+    against a Python ``ord()`` reference on BMP and astral text).
+
     NOT the production path: :func:`winnowing_fingerprint_rows`
     computes the identical values as a posexplode'd char/position
     stream with lead() windows, because an array-expression pipeline

@@ -184,6 +184,7 @@ def incremental_partition_save(
     partition_by: list[str],
     since_col: str | None = None,
     since=None,
+    key_cols: list[str] | None = None,
 ):
     """T5 (deep parity): per micro-batch, dynamically overwrite ONLY
     the output partitions present in the batch — every other
@@ -195,25 +196,90 @@ def incremental_partition_save(
     guarantees the untouched partitions are never rewritten (asserted
     by file mtimes in tests/test_streaming.py).
 
+    Semantics per touched partition:
+
+    - default (``key_cols=None``): **snapshot per invocation** — one
+      ``incremental_partition_save`` call replaces each touched
+      partition with ALL rows this invocation delivered for it. When
+      the availableNow run splits into several micro-batches (e.g.
+      ``maxFilesPerTrigger``), later batches UNION the rows earlier
+      batches of the same invocation already wrote, so an
+      intra-invocation split can never drop rows (r4 advice fix). A
+      LATER invocation that touches the partition still replaces it —
+      callers resend the partition's full row set, exactly like the
+      reference re-uploads the whole changed file.
+    - ``key_cols=[...]``: **accumulate across invocations** — touched
+      partitions are merged with their existing on-disk rows, deduped
+      on the key (batch wins), so delta-only redelivery is safe and a
+      replayed batch is idempotent.
+
     ``since_col``/``since`` add the explicit mtime predicate on top:
     rows at or below the watermark are dropped before the write, so a
     replayed batch can't resurrect already-saved state.
 
+    The per-batch distinct partition-value collect is bounded by the
+    number of partitions touched per batch (model-save cardinality,
+    not row cardinality).
+
     Returns the list of batch ids that wrote data this invocation.
     """
     written: list[int] = []
+    touched: set[tuple] = set()  # partitions written by THIS invocation
 
     def save_batch(batch_df: DataFrame, batch_id: int) -> None:
         if since_col is not None and since is not None:
             batch_df = batch_df.filter(F.col(since_col) > F.lit(since))
         if batch_df.isEmpty():
             return
+        parts = {
+            tuple(r) for r in batch_df.select(*partition_by).distinct().collect()
+        }
+        # Partitions whose on-disk rows must be carried over: every
+        # touched one in accumulate mode, only intra-invocation repeats
+        # in snapshot mode.
+        merge = parts if key_cols is not None else parts & touched
+        out = batch_df
+        if merge:
+            try:
+                existing = batch_df.sparkSession.read.parquet(out_dir)
+                # Partition columns read back with inferred types; cast
+                # to the batch schema so the union is exact.
+                existing = existing.select(
+                    *[
+                        F.col(c).cast(batch_df.schema[c].dataType).alias(c)
+                        for c in batch_df.columns
+                    ]
+                )
+                hit = F.lit(False)
+                for p in merge:
+                    eq = F.lit(True)
+                    for col, val in zip(partition_by, p):
+                        eq = eq & (
+                            F.col(col).eqNullSafe(F.lit(val))
+                            if val is not None
+                            else F.col(col).isNull()
+                        )
+                    hit = hit | eq
+                old = existing.filter(hit)
+                if key_cols is not None:
+                    old = old.join(
+                        batch_df.select(*key_cols).distinct(), key_cols, "left_anti"
+                    )
+                # Materialize the carried-over rows BEFORE the write:
+                # the sink overwrites the very files they come from, and
+                # Spark (rightly) refuses a lazy self-overwrite plan.
+                old = old.localCheckpoint(eager=True)
+                out = batch_df.unionByName(old)
+            except Exception as e:  # first write: nothing on disk yet
+                if "PATH_NOT_FOUND" not in str(e):
+                    raise
         (
-            batch_df.write.mode("overwrite")
+            out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_by)
             .parquet(out_dir)
         )
+        touched.update(parts)
         written.append(batch_id)
 
     q = (
