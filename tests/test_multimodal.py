@@ -103,6 +103,153 @@ def test_bmp_malformed_falls_back_to_stub(spark):
     assert len(r.feature) == 8  # stub shape, not a crash
 
 
+def _make_png(
+    pixels, color_type: int, filters: list[int], palette: bytes | None = None
+) -> bytes:
+    """Hand-rolled PNG encoder (stdlib only): applies the requested
+    scanline filter per row — the exact inverse of the decoder's
+    defilter — so round-tripping proves each filter implementation."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    height, width, nch = px.shape
+    flat = px.reshape(height, width * nch).astype(np.int32)
+    stride = width * nch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    out = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(height):
+        raw, f = flat[y], filters[y % len(filters)]
+        if f == 0:
+            enc = raw.copy()
+        elif f == 1:
+            enc = raw.copy()
+            enc[nch:] = (raw[nch:] - raw[:-nch]) & 0xFF
+        elif f == 2:
+            enc = (raw - prev) & 0xFF
+        elif f == 3:
+            enc = np.array(
+                [
+                    (raw[x] - (((raw[x - nch] if x >= nch else 0) + prev[x]) >> 1))
+                    & 0xFF
+                    for x in range(stride)
+                ],
+                np.int32,
+            )
+        else:  # Paeth
+            enc = np.array(
+                [
+                    (
+                        raw[x]
+                        - paeth(
+                            raw[x - nch] if x >= nch else 0,
+                            prev[x],
+                            prev[x - nch] if x >= nch else 0,
+                        )
+                    )
+                    & 0xFF
+                    for x in range(stride)
+                ],
+                np.int32,
+            )
+        out += bytes([f]) + bytes(enc.astype(np.uint8))
+        prev = raw
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += chunk(b"PLTE", palette)
+    png += chunk(b"IDAT", zlib.compress(bytes(out))) + chunk(b"IEND", b"")
+    return png
+
+
+def test_png_decodes_all_filters_and_color_types(spark):
+    # Seeded random images, every scanline filter (0..4 cycling) and
+    # every 8-bit color type; decode must recover the EXACT numpy
+    # per-channel means — which proves the defilter reconstructed every
+    # pixel byte (a single wrong byte shifts a mean by >= 1/(255*w*h)).
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    cases = []
+    gray = rng.randint(0, 256, (9, 7))
+    cases.append(("g.png", _make_png(gray, 0, [0, 1, 2, 3, 4]), gray[:, :, None], 1))
+    rgb = rng.randint(0, 256, (6, 5, 3))
+    cases.append(("rgb.png", _make_png(rgb, 2, [4, 3, 2, 1, 0]), rgb, 3))
+    ga = rng.randint(0, 256, (5, 8, 2))
+    cases.append(("ga.png", _make_png(ga, 4, [3, 4, 1]), ga, 2))
+    rgba = rng.randint(0, 256, (4, 4, 4))
+    cases.append(("rgba.png", _make_png(rgba, 6, [1, 4]), rgba, 4))
+    # palette: indices into a 4-entry PLTE; true means come from the
+    # RESOLVED RGB values.
+    pal = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30))
+    idx = rng.randint(0, 4, (6, 6))
+    pal_rgb = np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx]
+    cases.append(("pal.png", _make_png(idx, 3, [0, 2, 1], palette=pal), pal_rgb, 3))
+
+    df = spark.createDataFrame(
+        [(name, content) for name, content, _, _ in cases], ["path", "content"]
+    )
+    got = {r.path: r for r in mm.decode_image(df).collect()}
+    for name, _content, px, nch in cases:
+        r = got[name]
+        assert r.media_type == "image/png", name
+        assert (r.width, r.height) == (px.shape[1], px.shape[0]), name
+        assert r.n_channels == nch, name
+        want = px.astype(np.float64).mean(axis=(0, 1)) / 255.0
+        assert [round(x, 10) for x in r.feature] == [
+            round(float(x), 10) for x in want
+        ], name
+
+
+def test_png_unsupported_falls_back_to_stub(spark):
+    # 16-bit depth and truncated payloads sniff as png but must take
+    # the deterministic stub path, not crash.
+    import struct
+    import zlib
+
+    def chunk(cid, body):
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body))
+        )
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 18))
+        + chunk(b"IEND", b"")
+    )
+    trunc = b"\x89PNG\r\n\x1a\n" + b"\x00" * 40
+    df = spark.createDataFrame(
+        [("deep.png", deep), ("trunc.png", trunc)], ["path", "content"]
+    )
+    rows = {r.path: r for r in mm.decode_image(df).collect()}
+    for r in rows.values():
+        assert r.media_type == "image/png"
+        assert len(r.feature) == 8  # stub shape
+
+
 def _make_wav(
     rate: int,
     samples_by_channel: list[list],

@@ -11,12 +11,13 @@ InputInfo.java:16-24; DOWNLOAD delivery HboxContainer.java:292-344):
   - decode / feature-extract: ``mapInPandas`` stages with explicit
     output schemas and bounded Arrow batch sizes
 
-Decoding: BMP (images) and WAV/PCM (audio) are decoded FOR REAL —
-both are plain little-endian headers + raw sample/pixel payloads, no
-codec library needed — yielding true dimensions / sample rates and a
+Decoding: BMP and PNG (images) and WAV/PCM (audio) are decoded FOR
+REAL — BMP/WAV are plain little-endian headers + raw payloads, and
+PNG is zlib (Python stdlib) + the five per-scanline filters, so none
+needs a codec library — yielding true dimensions / sample rates and a
 numpy-computed feature (per-channel pixel mean; per-channel RMS).
-Formats that do need codec libraries (PNG/JPEG/MP3/video — not in
-this environment) fall back to a clearly marked STUB: the Spark-side
+Formats that do need codec libraries (JPEG/MP3/video — not in this
+environment) fall back to a clearly marked STUB: the Spark-side
 plumbing (schema, batching, partitioning) is real and tested; the
 stub body is a deterministic fake keyed on the content hash. Swap
 ``_fake_decode`` for a PIL/libav call in production.
@@ -151,6 +152,103 @@ def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                     feature = [float(x) for x in means[::-1]]
             return width, h_abs, channels, feature
 
+        def decode_png(content: bytes):
+            # REAL decoder, stdlib-only: PNG is big-endian chunk
+            # framing + zlib-compressed scanlines, each prefixed by a
+            # filter-type byte (spec: RFC 2083). Supports the whole
+            # 8-bit-depth matrix — gray / RGB / palette / gray+alpha /
+            # RGBA, all five scanline filters, non-interlaced. 16-bit,
+            # 1/2/4-bit packed, and Adam7 payloads return None ->
+            # deterministic stub, same contract as decode_bmp. Feature
+            # = per-channel pixel mean (palette resolved through PLTE,
+            # so its feature is true RGB).
+            import zlib
+
+            if content is None or len(content) < 45 or content[:8] != b"\x89PNG\r\n\x1a\n":
+                return None
+            width = height = bitd = ctype = interlace = None
+            idat: list[bytes] = []
+            plte = None
+            pos = 8
+            while pos + 8 <= len(content):
+                ln = struct.unpack_from(">I", content, pos)[0]
+                cid = content[pos + 4 : pos + 8]
+                body = content[pos + 8 : pos + 8 + ln]
+                if cid == b"IHDR" and len(body) >= 13:
+                    width, height, bitd, ctype, _c, _f, interlace = struct.unpack_from(
+                        ">IIBBBBB", body, 0
+                    )
+                elif cid == b"IDAT":
+                    idat.append(body)
+                elif cid == b"PLTE":
+                    plte = body
+                elif cid == b"IEND":
+                    break
+                pos += 12 + ln  # len + type + body + CRC
+            nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+            if (
+                width is None
+                or not idat
+                or nch is None
+                or bitd != 8
+                or interlace != 0
+                or width < 1
+                or height < 1
+                or (ctype == 3 and plte is None)
+            ):
+                return None
+            try:
+                raw = zlib.decompress(b"".join(idat))
+            except zlib.error:
+                return None
+            stride = width * nch
+            if len(raw) < height * (stride + 1):
+                return None
+            rows = np.frombuffer(raw[: height * (stride + 1)], np.uint8).reshape(
+                height, stride + 1
+            )
+            ftypes, data = rows[:, 0], rows[:, 1:].astype(np.int32)
+            px = np.empty((height, stride), np.uint8)
+            prev = np.zeros(stride, np.int32)
+            for y in range(height):
+                f, cur = ftypes[y], data[y].copy()
+                if f == 0:
+                    pass
+                elif f == 2:  # Up — vectorized
+                    cur = (cur + prev) & 0xFF
+                elif f == 1:  # Sub — left-neighbor recurrence
+                    for x in range(nch, stride):
+                        cur[x] = (cur[x] + cur[x - nch]) & 0xFF
+                elif f == 3:  # Average
+                    for x in range(stride):
+                        left = cur[x - nch] if x >= nch else 0
+                        cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+                elif f == 4:  # Paeth
+                    for x in range(stride):
+                        a = int(cur[x - nch]) if x >= nch else 0
+                        b = int(prev[x])
+                        c = int(prev[x - nch]) if x >= nch else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                        cur[x] = (cur[x] + pred) & 0xFF
+                else:
+                    return None
+                px[y] = cur
+                prev = px[y].astype(np.int32)
+            img = px.reshape(height, width, nch)
+            out_ch = nch
+            if ctype == 3:  # palette indices -> true RGB
+                pal = np.frombuffer(plte, np.uint8)
+                pal = pal[: len(pal) // 3 * 3].reshape(-1, 3)
+                if img.max() >= len(pal):
+                    return None
+                img = pal[img[:, :, 0]]
+                out_ch = 3
+            means = img.astype(np.float64).mean(axis=(0, 1)) / 255.0
+            return width, height, out_ch, [float(x) for x in means]
+
+        real = {"image/bmp": decode_bmp, "image/png": decode_png}
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
@@ -163,11 +261,8 @@ def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                     "feature": [],
                 }
                 for _, row in chunk.iterrows():
-                    decoded = (
-                        decode_bmp(row["content"])
-                        if row["media_type"] == "image/bmp"
-                        else None
-                    )
+                    decoder = real.get(row["media_type"])
+                    decoded = decoder(row["content"]) if decoder else None
                     w, h, c, feat = decoded if decoded else fake(row["content"])
                     out["path"].append(row["path"])
                     out["media_type"].append(row["media_type"])

@@ -37,18 +37,18 @@ GRADING_WINDOW = [
     "q01_pricing_summary",       # A5 hash agg (flagship, TPC-H Q1 shape)
     "q03_shipping_priority",     # J1 equi join + sort/limit (§2.8)
     "q05_regional_revenue",      # J2 broadcast hash
-    "q06_semi_join_active_customers",    # J3 semi
+    "q07_anti_join_dormant_customers",   # J3 anti (r5 rotation; semi spare: q06, driver-green r1-r4)
     "q08_range_join_price_bands",        # J4 theta/range
     "q09_asof_join_purchase_signup",     # J5 as-of
     "q10_cross_join_region_nation",      # J6 cross
-    "q13_grouping_sets",         # A7 grouping sets (rollup/cube spares: q11/q12)
+    "q11_rollup_order_stats",    # A7 rollup (r5 rotation; grouping-sets spare: q13, driver-green r1-r4)
     "q69_multimodal_audio",      # L5 multimodal decode (real WAV decoder)
     "q14_distinct_and_percentiles",      # A6 exact distinct + percentiles
     "q15_collect_sorted",        # A8 sort-agg/collect
     "q17_topk_orders_per_customer",      # §2.7 ranking + top-k
     "q18_running_customer_spend",        # §2.7 rows frame
     "q19_lead_lag_event_gaps",   # §2.7 analytic
-    "q28_quantile_buckets",      # §2.7 ranking, scale form
+    "q82_multimodal_image",      # L5 real PNG decode (r5; §2.7 q28 rotates to spares — q17/q18/q19 keep the family certified)
     "q39_correlated_max_order",  # correlated subquery
     "q21_set_operations",        # §2.9
     "q22_string_functions",      # §2.6 string
@@ -89,7 +89,11 @@ GRADING_WINDOW = [
 #: Oracle-backed family-mates already driver-green in round 2; falling
 #: outside the window costs nothing (their family is certified above).
 GRADED_SPARES = [
-    "q11_rollup_order_stats",     # A7 rollup (family certified by q13)
+    # r5 rotations OUT of the window (driver-green r1-r4; their families
+    # stay certified by the rotated-in mates q11/q07 and by q17-q19):
+    "q13_grouping_sets",
+    "q06_semi_join_active_customers",
+    "q28_quantile_buckets",
     "q55_embedding_neardup_lsh",  # L2 scale form (family certified by q42/q53/q54)
     "q42_jaccard_pairs",          # L2 exact all-pairs twin of q70 (oracle spare)
     # Training-corpus pipeline tier (operators/corpus.py) — all
@@ -104,7 +108,6 @@ GRADED_SPARES = [
     "q77_stratified_sample",
     "q02_filter_project_pushdown",
     "q04_customer_order_counts",
-    "q07_anti_join_dormant_customers",
     "q12_cube_lineitem",
     "q20_ntile_dense_rank",
     "q34_timeout_gap_detection",

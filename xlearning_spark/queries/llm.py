@@ -698,6 +698,88 @@ def q69_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q82_multimodal_image",
+    oracle="""
+SELECT doc_id,
+       CAST(doc_id % 24 + 8 AS INT) AS width,
+       CAST(doc_id % 16 + 8 AS INT) AS height,
+       3 AS n_channels,
+       CAST(doc_id % 256 AS DOUBLE) / 255.0 AS mean_r,
+       CAST((doc_id * 3) % 256 AS DOUBLE) / 255.0 AS mean_g,
+       CAST((doc_id * 7) % 256 AS DOUBLE) / 255.0 AS mean_b
+FROM documents
+""",
+    tags=("llm", "L5", "multimodal"),
+    doc="L5 multimodal IMAGE decode, hash-checked end-to-end (the PNG "
+    "twin of q69): synthesizes a deterministic PNG per document — "
+    "solid-RGB 8-bit truecolor keyed on doc_id, scanlines cycling "
+    "through None/Sub/Up filters so the defilter logic is in the "
+    "certified path — runs it through the REAL stdlib decoder "
+    "(operators/multimodal.decode_image: zlib inflate + per-scanline "
+    "defilter), and emits recovered dimensions + per-channel means. "
+    "The oracle computes the same values analytically: a solid color "
+    "(r,g,b) has channel means exactly r/255 etc. (the pixel sum "
+    "n*r is an exact double, its /n quotient is the integer r, and "
+    "both engines perform the identical IEEE r/255.0 division), so "
+    "the compare is bit-stable. All five filters and all color types "
+    "are pixel-exact-tested in tests/test_multimodal.py.",
+)
+def q82_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.multimodal import decode_image
+
+    @F.pandas_udf("binary")
+    def png_of(doc_id: pd.Series) -> pd.Series:
+        import struct
+        import zlib
+
+        def chunk(cid: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + cid
+                + body
+                + struct.pack(">I", zlib.crc32(cid + body))
+            )
+
+        out = []
+        for did in doc_id:
+            did = int(did)
+            w, h = did % 24 + 8, did % 16 + 8
+            r, g, b = did % 256, (did * 3) % 256, (did * 7) % 256
+            px = bytes((r, g, b))
+            scan = bytearray()
+            for y in range(h):
+                f = y % 3 if y else 0  # None / Sub / Up cycling
+                if f == 0:
+                    scan += b"\x00" + px * w
+                elif f == 1:  # Sub of a solid row: first pixel, then 0s
+                    scan += b"\x01" + px + b"\x00" * (3 * (w - 1))
+                else:  # Up onto an identical row: all 0s
+                    scan += b"\x02" + b"\x00" * (3 * w)
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            out.append(
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(scan)))
+                + chunk(b"IEND", b"")
+            )
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        png_of("doc_id").alias("content"),
+    )
+    return decode_image(docs).select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "width",
+        "height",
+        "n_channels",
+        F.element_at("feature", 1).alias("mean_r"),
+        F.element_at("feature", 2).alias("mean_g"),
+        F.element_at("feature", 3).alias("mean_b"),
+    )
+
+
+@query(
     "q50_lsh_ann_topk",
     oracle=_lsh_oracle_sql(),
     tags=("llm", "L3", "lsh"),
