@@ -23,6 +23,7 @@ EXAMPLES_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "example
         "run_dedup_pipeline",
         "run_similarity",
         "run_streaming_monitor",
+        "run_streaming_ingest",
         "run_job_lifecycle",
         "run_multimodal",
         "run_corpus_pipeline",

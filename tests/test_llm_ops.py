@@ -176,6 +176,46 @@ def test_ivf_recall_vs_brute_force(spark):
     assert all(v == 5 for v in per_q.values())
 
 
+def test_ivf_build_probe_split_reuses_one_fit(spark, monkeypatch):
+    # r4 verdict item 3: the index must be build-once / probe-many.
+    # Build, then poison KMeans.fit — two subsequent probe batches must
+    # succeed (they never refit) and match the one-shot ivf_topk.
+    from pyspark.ml.clustering import KMeans
+
+    from xlearning_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe,
+        ivf_topk,
+    )
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    index = build_ivf_index(emb, id_col="vec_id", n_cells=8)
+    assert index.cells.storageLevel.useMemory  # cached for reuse
+    assert len(index.centroids) == 8
+
+    def boom(self, df):
+        raise AssertionError("probe must not refit KMeans")
+
+    monkeypatch.setattr(KMeans, "fit", boom)
+
+    for lo, hi in ((0, 5), (5, 10)):
+        q = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        got = {
+            (r.qid, r.cid)
+            for r in ivf_probe(index, q, id_col="vec_id", k=5, n_probe=4).collect()
+        }
+        monkeypatch.undo()
+        want = {
+            (r.qid, r.cid)
+            for r in ivf_topk(
+                emb, q, id_col="vec_id", k=5, n_cells=8, n_probe=4
+            ).collect()
+        }
+        monkeypatch.setattr(KMeans, "fit", boom)
+        assert got == want, f"probe batch [{lo},{hi}) diverged from one-shot"
+    index.unpersist()
+
+
 def test_exclude_self_flag(spark):
     emb = read_table(spark, SF_SMOKE, "embeddings").limit(20)
     with_self = brute_force_topk(emb, emb.limit(3), id_col="vec_id", k=1, exclude_self=False)

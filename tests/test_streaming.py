@@ -287,3 +287,67 @@ def test_dedup_stream_drops_redeliveries(spark, events_dir, tmp_path):
     got = st.run_available_now(deduped, str(tmp_path / "ckpt")).collect()
     assert len(got) == full.count()
     assert len({r.event_id for r in got}) == len(got)
+
+
+def test_neardup_ingest_accumulates_novel_docs(spark, tmp_path):
+    # L2 x T (r4 verdict item 8): landed batches near-dup against the
+    # accumulated corpus with corpus precedence; within-batch clusters
+    # collapse to their min-id member (q80 component semantics).
+    import os
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "doc_id bigint, text string"
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        return st.neardup_ingest(
+            spark.readStream.format("parquet").schema(schema).load(src),
+            corpus, ckpt, threshold=0.5, shingle_size=2,
+        )
+
+    # Batch 1: d2 ~ d1 (2-gram Jaccard 0.6) -> min-id d1 survives.
+    w1 = land([
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),
+        (3, "one two three four five"),
+    ])
+    assert w1
+    got1 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {1, 3}
+
+    # Batch 2: d5 ~ corpus d1 -> dropped (corpus precedence);
+    # d6 ~ d7 within batch -> d6 survives; d8 novel.
+    w2 = land([
+        (5, "alpha beta gamma delta omega"),
+        (6, "red green blue cyan magenta"),
+        (7, "red green blue cyan yellow"),
+        (8, "totally novel words land here"),
+    ])
+    assert w2
+    got2 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got2 == {1, 3, 6, 8}
+
+    # Batch 3: transitive chain — d9 ~ d6 (corpus), d10 ~ d9 but not
+    # ~ d6 directly: the whole component drops (q80 closure semantics).
+    # d9 shingles {gb,bc,cm,mx}: vs d6 {rg,gb,bc,cm} J=3/5=0.6;
+    # d10 {bc,cm,mx,xf}: vs d9 J=3/5=0.6, vs d6 J=2/6=0.33 < 0.5.
+    w3 = land([
+        (9, "green blue cyan magenta extra"),
+        (10, "blue cyan magenta extra flux"),
+    ])
+    got3 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got3 == {1, 3, 6, 8}, got3
+    assert not w3  # nothing novel appended
+
+    # Re-running with no new files is a no-op (checkpoint replay).
+    w4 = st.neardup_ingest(
+        spark.readStream.format("parquet").schema(schema).load(src),
+        corpus, ckpt, threshold=0.5, shingle_size=2,
+    )
+    assert not w4
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 3, 6, 8}

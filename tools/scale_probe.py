@@ -44,13 +44,27 @@ HEADLINE = [
     "q53_neardup_components",
     "q70_ngram_jaccard",
     "q78_winnowing_fingerprints",
+    # r5 additions (r4 verdict item 4): the end-to-end sweep pipelines
+    # — q80 composes the block-quadratic q42 generator (watch its curve
+    # like q53's), q83 the sub-quadratic q70 generator (the scale
+    # path) — and the broadcast-decontamination corpus query.
+    "q74_decontamination",
+    "q80_neardup_sweep",
+    "q83_neardup_sweep_scaled",
 ]
 
-#: Per-query extra factors beyond the CLI list: q53 is the one probed
-#: deeper (its r3 ratio was mildly superlinear — more label-propagation
-#: rounds as components grow — so it gets a 16x point to bound the
-#: trend).
-EXTRA_FACTORS = {"q53_neardup_components": [16]}
+#: Per-query extra factors beyond the CLI list: the queries probed
+#: deeper. q53 got a 16x point in r4 to settle its r3 superlinearity
+#: flag; the two sweeps get 16x points because their generators are
+#: the quadratic-vs-subquadratic comparison the 100 TB story rests on,
+#: and q74 because its broadcast side grows with the corpus here
+#: (scaled replicas multiply the eval docs too).
+EXTRA_FACTORS = {
+    "q53_neardup_components": [16],
+    "q74_decontamination": [16],
+    "q80_neardup_sweep": [16],
+    "q83_neardup_sweep_scaled": [16],
+}
 
 FACT_TABLES = ("lineitem", "orders")
 
@@ -138,6 +152,53 @@ def build_scaled(spark, factor: int) -> str:
     return out_dir
 
 
+#: Narrative findings appended to SCALE.md on every regeneration —
+#: update alongside new probe rounds so the analysis survives rewrites.
+NOTES = """
+q53 deep-probe note (round 4): the row above is the FINAL operator
+config — pointer doubling with one jump per round and the convergence
+probe as a filter on the checkpointed frame (no new-vs-old join). The
+16x point: 2.50x time at 16x volume, i.e. growth is strongly sublinear
+and flattening (8x -> 16x doubles the data for 1.18x the time), which
+settles the r3 "mildly superlinear" flag: the trend was per-round fixed
+cost + linear join volume, not round-count growth (the Caesar-replica
+construction keeps component structure constant, so rounds stay
+constant by design). A 2-jump variant was measured and REJECTED:
+un-materialized self-join jumps re-execute the round tree beneath them
+(~2x per jump), costing 5.5x at 1x for zero round savings on shallow
+dup graphs — documented in connected_components' docstring, kept
+available for deep graphs.
+
+q70 ratio note: the 4x/8x ratios divide by a warm sub-second 1x base —
+the persisted shingle frame makes the 1x run mostly fixed overhead, so
+the ratio overstates growth. Candidate volume is linear by construction
+(prefix keys are Caesar-disjoint across replicas).
+
+Sweep-generator comparison (round 5, r4 verdict item 4/5): q80
+composes the block-quadratic q42 pair generator, q83 the sub-quadratic
+prefix-filtered q70 generator — same components + broadcast-anti-join
+tail. On this probe's scaling design both are expected near-linear
+(q42's blocks stay constant-size by construction; block count grows),
+so the in-probe curves CANNOT indict the quadratic generator — the
+distinction that matters is analytic: at 100 TB with organic (unsalted,
+unbounded-block) data, q80's generator degrades toward the block
+square while q83's candidate volume stays ~(1-t)*m keys per doc.
+Pipelines at scale should copy q83 end-to-end; q80 remains the
+oracle-certified exact twin. The q83-vs-q80 1x gap is the prefix
+filter's fixed cost (sort + prefix explode); the crossover in its
+favor arrives as soon as any block outgrows ~sqrt(corpus/blocks) — on
+organic corpora, immediately.
+
+IVF build/probe split (round 5, r4 verdict item 3): sf0.1 embeddings
+(2000 x 64d), local[32], 3-run medians — build_ivf_index (KMeans fit +
+cell assignment + cache materialize) 1.83 s ONCE; ivf_probe per query
+batch 1.14 s; one-shot ivf_topk (fit per call, the r4 shape) 2.19 s.
+Repeated query batches now pay only the probe cost; the fit is
+amortized across batches (tests/test_llm_ops.py proves probes never
+refit by poisoning KMeans.fit after build).
+"""
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [4, 8]
 
@@ -220,6 +281,8 @@ def main() -> None:
             + " | ".join(f"{r[f]:.3f}" if f in r else "—" for f in fs)
             + " | " + " | ".join(ratios) + " |"
         )
+    lines.append("")
+    lines.append(NOTES.strip())
     lines.append("")
     out = os.path.join(REPO, "SCALE.md")
     open(out, "w").write("\n".join(lines))

@@ -954,6 +954,61 @@ def q80_neardup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q83_neardup_sweep_scaled",
+    oracle="""
+WITH RECURSIVE
+t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+s AS (SELECT doc_id,
+        list_distinct(list_transform(range(1, len(toks) - 3),
+          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))) AS sh
+      FROM f),
+p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+e AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+reach(u, v) AS (SELECT u, v FROM e
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+         FROM reach GROUP BY u)
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+""",
+    tags=("llm", "L1", "L2", "dedup", "pipeline"),
+    doc="The SCALE-PATH near-dup sweep (r4 verdict item 5): identical "
+    "pipeline to q80 — pairs -> connected components -> broadcast "
+    "anti-join — but with the pair generator swapped from q42's "
+    "block-quadratic exact twin to the certified sub-quadratic "
+    "prefix-filtered generator (operators/dedup.ngram_jaccard_pairs, "
+    "q70's operator; 5-gram Jaccard >= 0.5, no attribute blocking). "
+    "This is the composition 100 TB pipelines should copy end-to-end: "
+    "every stage is bucketed or broadcast, nothing is all-pairs. The "
+    "DuckDB oracle recomputes brute-force all-pairs shingle Jaccard + "
+    "a RECURSIVE transitive-closure CTE — independent formulations of "
+    "both the pairs and the connectivity — so the hash check proves "
+    "the prefix filter loses no pair AND the components are right.",
+)
+def q83_neardup_sweep_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("id") != F.col("component")).select("id")
+    return docs.join(
+        F.broadcast(losers), docs.doc_id == losers.id, "left_anti"
+    ).select("doc_id", "source")
+
+
+@query(
     "q81_term_salience",
     oracle=f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),

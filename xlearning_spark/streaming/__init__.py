@@ -333,6 +333,114 @@ class SaveModelController:
             return version_dir, written
 
 
+def neardup_ingest(
+    stream_df: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_size: int = 5,
+) -> list[int]:
+    """Streaming near-dup ingest (L2 x T, the last batch-only gap in
+    the LLM tier): every landed micro-batch is near-dup checked against
+    the ACCUMULATED corpus and against itself, and only novel docs are
+    appended — the streaming composition of the q80/q83 sweep.
+
+    Per batch (foreachBatch, availableNow):
+
+    1. exact-dedup the batch on ``id_col`` (first arrival wins; for
+       redelivery ACROSS batches put :func:`dedup_stream` upstream);
+    2. n-gram Jaccard pairs over corpus ∪ batch via the sub-quadratic
+       prefix-filtered generator (operators/dedup.ngram_jaccard_pairs
+       — q83's scale path, never all-pairs);
+    3. connected components over the pairs, then CORPUS-PRECEDENCE
+       survivor selection: a batch doc is dropped if its component
+       contains any corpus doc (the corpus member landed first), else
+       the component's min-id batch doc survives. These are q80's
+       component-level semantics — the whole transitive near-dup
+       closure collapses to one survivor (a doc chained to the corpus
+       only through another batch doc still drops), deterministic
+       regardless of row order within the batch;
+    4. survivors append to ``corpus_dir``.
+
+    Scale notes, stated honestly: the corpus side's shingle prefixes
+    are recomputed per batch (read + one map pass — at 100 TB persist
+    the shingle-prefix frame alongside the corpus and join batch
+    prefixes against it instead); components run over corpus∪batch
+    pairs, whose count is bounded because the corpus is already
+    deduped (near-threshold corpus-corpus pairs are the survivors'
+    residue, not whole dup clusters).
+
+    Returns the batch ids that appended at least one document.
+    """
+    from xlearning_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    written: list[int] = []
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
+        if batch.isEmpty():
+            return
+        try:
+            corpus = spark.read.parquet(corpus_dir).select(id_col, text_col)
+        except Exception as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            corpus = None
+        if corpus is None:
+            pool = batch.withColumn("__corpus", F.lit(False))
+        else:
+            pool = corpus.withColumn("__corpus", F.lit(True)).unionByName(
+                batch.withColumn("__corpus", F.lit(False))
+            )
+        pairs = ngram_jaccard_pairs(
+            pool, id_col, text_col, threshold=threshold, shingle_size=shingle_size
+        ).select("id_a", "id_b")
+        comps = connected_components(pairs)  # (id, component)
+        rank = pool.select(F.col(id_col).alias("id"), "__corpus")
+        labeled = comps.join(rank, "id")
+        # Component verdicts: corpus member present -> all batch
+        # members drop; else min batch id survives. Components are the
+        # small side (dup residue), broadcast both ways.
+        verdict = labeled.groupBy("component").agg(
+            F.max(F.col("__corpus").cast("int")).alias("__has_corpus"),
+            F.min(F.when(~F.col("__corpus"), F.col("id"))).alias("__min_batch"),
+        )
+        losers = (
+            labeled.filter(~F.col("__corpus"))
+            .join(F.broadcast(verdict), "component")
+            .filter(
+                (F.col("__has_corpus") == 1) | (F.col("id") != F.col("__min_batch"))
+            )
+            .select("id")
+        )
+        survivors = batch.join(
+            F.broadcast(losers), batch[id_col] == losers.id, "left_anti"
+        )
+        # Materialize before writing: corpus_dir is both read above and
+        # appended here, and a lazy plan would self-overlap.
+        survivors = survivors.localCheckpoint(eager=True)
+        if survivors.isEmpty():
+            return
+        survivors.write.mode("append").parquet(corpus_dir)
+        written.append(batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(ingest)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return written
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str, out_mode: str = "append"):
     """T5/T6: drain everything currently available into an in-memory
     sink and return the collected rows. ``Trigger.AvailableNow`` is the
