@@ -220,13 +220,21 @@ def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_acctbal
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '2000-01-01')
 """,
     tags=("join", "J3", "anti"),
+    doc="Dormant = no order placed since 2000-01-01 (orders span "
+    "1995-2001, so both sides of the anti-join are non-trivially "
+    "populated at every SF; the bare no-orders-ever form returns 0 "
+    "rows at small SF, which certifies nothing). The date filter is "
+    "applied to the right side BEFORE the anti-join — at 100 TB that "
+    "prunes the shuffled build side to the recent partitions.",
 )
 def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_acctbal"
     )
