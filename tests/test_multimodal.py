@@ -398,3 +398,204 @@ def test_resize_stage_schema_and_scaling(spark, media_dir):
         assert all(
             abs(rv - ov * s) < 1e-9 for rv, ov in zip(r.feature, o.feature)
         )
+
+
+# ------------------------------------------------------------------
+# GIF decode (real stdlib LZW decoder)
+# ------------------------------------------------------------------
+
+def _gif_lzw_encode(indices, min_code: int) -> bytes:
+    """Hand-rolled GIF-flavor LZW encoder (test-side inverse of the
+    decoder): variable-width codes LSB-first, clear emitted first,
+    width grows after assigning slot (1 << width) — one step ahead of
+    the decoder's grow-at-slot-(1 << width) timing, which is exactly
+    the one-behind synchronization the wire format requires."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    buf: tuple = ()
+    for s in indices:
+        cand = buf + (int(s),)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code >= (1 << width) + 1 and width < 12:
+                width += 1
+        buf = (int(s),)
+    if buf:
+        emit(table[buf])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(
+    idx,
+    palette: bytes,
+    min_code: int = 2,
+    interlace: bool = False,
+    local_palette: bool = False,
+    version: bytes = b"GIF89a",
+) -> bytes:
+    """Hand-rolled single-frame GIF (header + palette + image
+    descriptor + LZW sub-blocks + trailer)."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(idx, dtype=np.uint8)
+    h, w = idx.shape
+    n_entries = len(palette) // 3
+    size_field = max(1, (n_entries - 1).bit_length()) - 1
+    assert 2 << size_field == n_entries, "palette length must be power of two"
+    rows = idx
+    if interlace:
+        perm = [
+            r
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for r in range(start, h, step)
+        ]
+        rows = idx[perm]  # stored in pass order
+    out = bytearray(version)
+    gflag = 0 if local_palette else (0x80 | size_field)
+    out += struct.pack("<HHBBB", w, h, gflag, 0, 0)
+    if not local_palette:
+        out += palette
+    iflag = (0x80 | size_field) if local_palette else 0
+    if interlace:
+        iflag |= 0x40
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflag)
+    if local_palette:
+        out += palette
+    out += bytes([min_code])
+    data = _gif_lzw_encode(rows.flatten().tolist(), min_code)
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+_PAL4 = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 40, 80, 120))
+
+
+def test_gif_decodes_pixels_exactly(spark):
+    # Seeded random index images over a 4- and a 16-entry palette;
+    # long enough streams to cross several LZW width boundaries. The
+    # decoder must recover the EXACT palette-resolved per-channel
+    # means (one wrong index shifts a mean by >= 1/(255*w*h)).
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    pal16 = bytes(rng.randint(0, 256, 48, dtype=np.uint8))
+    cases = []
+    a = rng.randint(0, 4, (13, 17))
+    cases.append(("a.gif", _make_gif(a, _PAL4, min_code=2), a, _PAL4))
+    b = rng.randint(0, 16, (31, 29))
+    cases.append(("b.gif", _make_gif(b, pal16, min_code=4), b, pal16))
+    run = np.ones((9, 11), np.uint8)  # solid runs: KwKwK path
+    cases.append(("run.gif", _make_gif(run, _PAL4, min_code=2), run, _PAL4))
+    inter = rng.randint(0, 4, (10, 6))
+    cases.append(
+        ("i.gif", _make_gif(inter, _PAL4, interlace=True), inter, _PAL4)
+    )
+    loc = rng.randint(0, 4, (5, 5))
+    cases.append(
+        (
+            "l.gif",
+            _make_gif(loc, _PAL4, local_palette=True, version=b"GIF87a"),
+            loc,
+            _PAL4,
+        )
+    )
+
+    df = spark.createDataFrame(
+        [(name, content) for name, content, _, _ in cases], ["path", "content"]
+    )
+    got = {r.path: r for r in mm.decode_image(df).collect()}
+    for name, _c, px, pal in cases:
+        r = got[name]
+        assert r.media_type == "image/gif", name
+        assert (r.width, r.height) == (px.shape[1], px.shape[0]), name
+        assert r.n_channels == 3, name
+        rgb = np.frombuffer(pal, np.uint8).reshape(-1, 3)[px]
+        want = rgb.astype(np.float64).mean(axis=(0, 1)) / 255.0
+        assert [round(x, 10) for x in r.feature] == [
+            round(float(x), 10) for x in want
+        ], name
+
+
+def test_gif_lzw_wire_format_hand_packed(spark):
+    # Independent of the test encoder: codes for pixels [1,2,1] with
+    # min_code=2 are clear(4),1,2,1,end(5), all 3 bits wide, LSB-first
+    # -> 4 | 1<<3 | 2<<6 | 1<<9 | 5<<12 = 0x528C = bytes 8C 52 (worked
+    # out by hand from the GIF89a spec's packing rules). Pins bit
+    # order + control codes.
+    import struct
+
+    pal = _PAL4
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 3, 1, 0x81, 0, 0)
+        + pal
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, 3, 1, 0)
+        + bytes([2])
+        + bytes([2, 0x8C, 0x52, 0x00])
+        + b"\x3b"
+    )
+    df = spark.createDataFrame([("hand.gif", gif)], ["path", "content"])
+    r = mm.decode_image(df).collect()[0]
+    assert (r.width, r.height, r.n_channels) == (3, 1, 3)
+    # pixels: palette[1], palette[2], palette[1] = (0,255,0) x2, (0,0,255)
+    assert [round(x, 10) for x in r.feature] == [
+        0.0,
+        round(2 * 255 / 3 / 255.0, 10),
+        round(255 / 3 / 255.0, 10),
+    ]
+
+
+def test_gif_skips_extensions_and_falls_back_when_malformed(spark):
+    import struct
+
+    import numpy as np
+
+    px = np.full((2, 2), 3, np.uint8)
+    body = _make_gif(px, _PAL4)
+    # splice a Graphic Control Extension between palette and image
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    cut = 13 + len(_PAL4)
+    with_ext = body[:cut] + gce + body[cut:]
+    truncated = body[: len(body) // 2]
+    bad_index = _make_gif(np.full((2, 2), 3, np.uint8), _PAL4)  # idx 3 ok
+    df = spark.createDataFrame(
+        [("ext.gif", with_ext), ("trunc.gif", truncated), ("ok.gif", bad_index)],
+        ["path", "content"],
+    )
+    got = {r.path: r for r in mm.decode_image(df).collect()}
+    assert (got["ext.gif"].width, got["ext.gif"].height) == (2, 2)
+    assert [round(x, 10) for x in got["ext.gif"].feature] == [
+        round(x / 255.0, 10) for x in (40, 80, 120)
+    ]
+    assert got["ok.gif"].n_channels == 3
+    # truncated payload: stub path (8-element digest feature), no crash
+    assert len(got["trunc.gif"].feature) == 8

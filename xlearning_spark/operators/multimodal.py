@@ -11,11 +11,13 @@ InputInfo.java:16-24; DOWNLOAD delivery HboxContainer.java:292-344):
   - decode / feature-extract: ``mapInPandas`` stages with explicit
     output schemas and bounded Arrow batch sizes
 
-Decoding: BMP and PNG (images) and WAV/PCM (audio) are decoded FOR
-REAL — BMP/WAV are plain little-endian headers + raw payloads, and
-PNG is zlib (Python stdlib) + the five per-scanline filters, so none
-needs a codec library — yielding true dimensions / sample rates and a
-numpy-computed feature (per-channel pixel mean; per-channel RMS).
+Decoding: BMP, PNG and GIF (images) and WAV/PCM (audio) are decoded
+FOR REAL — BMP/WAV are plain little-endian headers + raw payloads,
+PNG is zlib (Python stdlib) + the five per-scanline filters, and GIF
+is a self-contained variable-width LZW decoder (the algorithm is in
+the GIF89a spec; ~40 lines, no codec library) — yielding true
+dimensions / sample rates and a numpy-computed feature (per-channel
+pixel mean; per-channel RMS).
 Formats that do need codec libraries (JPEG/MP3/video — not in this
 environment) fall back to a clearly marked STUB: the Spark-side
 plumbing (schema, batching, partitioning) is real and tested; the
@@ -248,7 +250,130 @@ def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
             means = img.astype(np.float64).mean(axis=(0, 1)) / 255.0
             return width, height, out_ch, [float(x) for x in means]
 
-        real = {"image/bmp": decode_bmp, "image/png": decode_png}
+        def _gif_lzw(data: bytes, min_code: int, npix: int):
+            # GIF-flavor LZW: variable-width codes (min_code+1 .. 12
+            # bits), LSB-first bit packing, clear/end control codes,
+            # and the one-behind dictionary with the KwKwK case. Width
+            # grows when the decoder's next free slot reaches
+            # 1 << width (mirrors the classic giflib timing: the
+            # encoder has already assigned that slot, so the next code
+            # on the wire may need the extra bit).
+            clear, end = 1 << min_code, (1 << min_code) + 1
+            width = min_code + 1
+            table: dict[int, tuple] = {i: (i,) for i in range(clear)}
+            next_code = end + 1
+            out: list[int] = []
+            prev: tuple | None = None
+            bitpos, total = 0, len(data) * 8
+            while bitpos + width <= total and len(out) < npix:
+                byte, shift = bitpos >> 3, bitpos & 7
+                word = int.from_bytes(data[byte : byte + 4], "little")
+                code = (word >> shift) & ((1 << width) - 1)
+                bitpos += width
+                if code == clear:
+                    width = min_code + 1
+                    table = {i: (i,) for i in range(clear)}
+                    next_code, prev = end + 1, None
+                    continue
+                if code == end:
+                    break
+                if code in table:
+                    entry = table[code]
+                elif code == next_code and prev is not None:
+                    entry = prev + (prev[0],)  # KwKwK
+                else:
+                    return None  # corrupt stream
+                out.extend(entry)
+                if prev is not None and next_code < 4096:
+                    table[next_code] = prev + (entry[0],)
+                    next_code += 1
+                    if next_code >= (1 << width) and width < 12:
+                        width += 1
+                prev = entry
+            return out
+
+        def decode_gif(content: bytes):
+            # REAL decoder, stdlib-only: GIF87a/89a is little-endian
+            # headers + a 2^n-entry RGB palette + an LZW-compressed
+            # index stream in length-prefixed sub-blocks (spec:
+            # GIF89a, CompuServe 1990). First image frame only;
+            # extension blocks skipped; local color table and Adam-
+            # style 4-pass interlacing honored. Feature = per-channel
+            # mean of the palette-resolved RGB pixels, same contract
+            # as decode_bmp/decode_png; malformed payloads -> None ->
+            # deterministic stub.
+            if (
+                content is None
+                or len(content) < 14
+                or content[:6] not in (b"GIF87a", b"GIF89a")
+            ):
+                return None
+            packed = content[10]
+            pos = 13
+            gct = None
+            if packed & 0x80:
+                n = 2 << (packed & 0x07)
+                gct = content[pos : pos + 3 * n]
+                pos += 3 * n
+            while pos < len(content):
+                b0 = content[pos]
+                if b0 == 0x21:  # extension: label byte + sub-blocks
+                    pos += 2
+                    while pos < len(content) and content[pos] != 0:
+                        pos += 1 + content[pos]
+                    pos += 1
+                    continue
+                if b0 != 0x2C:  # trailer (0x3B) or garbage before image
+                    return None
+                if pos + 10 > len(content):
+                    return None
+                _l, _t, width, height, ipacked = struct.unpack_from(
+                    "<HHHHB", content, pos + 1
+                )
+                pos += 10
+                pal = gct
+                if ipacked & 0x80:
+                    n = 2 << (ipacked & 0x07)
+                    pal = content[pos : pos + 3 * n]
+                    pos += 3 * n
+                if pal is None or width < 1 or height < 1 or pos >= len(content):
+                    return None
+                min_code = content[pos]
+                pos += 1
+                if not 2 <= min_code <= 11:
+                    return None
+                data = bytearray()
+                while pos < len(content) and content[pos] != 0:
+                    ln = content[pos]
+                    data += content[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                idx = _gif_lzw(bytes(data), min_code, width * height)
+                if idx is None or len(idx) < width * height:
+                    return None
+                arr = np.array(idx[: width * height], np.int64).reshape(height, width)
+                if ipacked & 0x40:  # interlaced: stored in 4 passes
+                    perm = [
+                        r
+                        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                        for r in range(start, height, step)
+                    ]
+                    disp = np.empty_like(arr)
+                    disp[perm] = arr
+                    arr = disp
+                pal_arr = np.frombuffer(pal, np.uint8)
+                pal_arr = pal_arr[: len(pal_arr) // 3 * 3].reshape(-1, 3)
+                if arr.max() >= len(pal_arr):
+                    return None
+                img = pal_arr[arr]
+                means = img.astype(np.float64).mean(axis=(0, 1)) / 255.0
+                return width, height, 3, [float(x) for x in means]
+            return None
+
+        real = {
+            "image/bmp": decode_bmp,
+            "image/png": decode_png,
+            "image/gif": decode_gif,
+        }
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]

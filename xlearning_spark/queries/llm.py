@@ -780,6 +780,110 @@ def q82_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q84_multimodal_gif",
+    oracle="""
+SELECT doc_id,
+       CAST(doc_id % 21 + 7 AS INT) AS width,
+       CAST(doc_id % 13 + 7 AS INT) AS height,
+       3 AS n_channels,
+       CAST((doc_id * 5) % 256 AS DOUBLE) / 255.0 AS mean_r,
+       CAST((doc_id * 11) % 256 AS DOUBLE) / 255.0 AS mean_g,
+       CAST((doc_id * 13) % 256 AS DOUBLE) / 255.0 AS mean_b
+FROM documents
+""",
+    tags=("llm", "L5", "multimodal"),
+    doc="L5 multimodal GIF decode, hash-checked end-to-end (the LZW "
+    "twin of q82's PNG): synthesizes a deterministic single-frame GIF "
+    "per document — 4-entry palette with the doc color at index 1, "
+    "every pixel index 1, LZW-compressed with a spec-conformant "
+    "variable-width encoder (the solid run grows dictionary chains, "
+    "so the certified decode path exercises code-width growth AND the "
+    "KwKwK case on every document) — runs it through the REAL stdlib "
+    "LZW decoder (operators/multimodal.decode_image), and emits "
+    "recovered dimensions + palette-resolved channel means. Oracle is "
+    "analytic: a solid (r,g,b) image has channel means exactly "
+    "r/255.0 etc., bit-stable in both engines (same argument as q82).",
+)
+def q84_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.multimodal import decode_image
+
+    @F.pandas_udf("binary")
+    def gif_of(doc_id: pd.Series) -> pd.Series:
+        import struct
+
+        def lzw(indices: list[int], min_code: int) -> bytes:
+            clear, end = 1 << min_code, (1 << min_code) + 1
+            width = min_code + 1
+            out = bytearray()
+            acc = nbits = 0
+
+            def emit(code: int) -> None:
+                nonlocal acc, nbits
+                acc |= code << nbits
+                nbits += width
+                while nbits >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            emit(clear)
+            buf: tuple = ()
+            for s in indices:
+                cand = buf + (s,)
+                if cand in table:
+                    buf = cand
+                    continue
+                emit(table[buf])
+                if next_code < 4096:
+                    table[cand] = next_code
+                    next_code += 1
+                    if next_code >= (1 << width) + 1 and width < 12:
+                        width += 1
+                buf = (s,)
+            if buf:
+                emit(table[buf])
+            emit(end)
+            if nbits:
+                out.append(acc & 0xFF)
+            return bytes(out)
+
+        res = []
+        for did in doc_id:
+            did = int(did)
+            w, h = did % 21 + 7, did % 13 + 7
+            r, g, b = (did * 5) % 256, (did * 11) % 256, (did * 13) % 256
+            pal = bytes((0, 0, 0, r, g, b, 255, 255, 255, 1, 2, 3))
+            gif = bytearray(b"GIF89a")
+            gif += struct.pack("<HHBBB", w, h, 0x81, 0, 0)  # GCT, 4 entries
+            gif += pal
+            gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            gif += bytes([2])  # LZW min code size
+            data = lzw([1] * (w * h), 2)
+            for i in range(0, len(data), 255):
+                blk = data[i : i + 255]
+                gif += bytes([len(blk)]) + blk
+            gif += b"\x00\x3b"
+            res.append(bytes(gif))
+        return pd.Series(res)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        gif_of("doc_id").alias("content"),
+    )
+    return decode_image(docs).select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "width",
+        "height",
+        "n_channels",
+        F.element_at("feature", 1).alias("mean_r"),
+        F.element_at("feature", 2).alias("mean_g"),
+        F.element_at("feature", 3).alias("mean_b"),
+    )
+
+
+@query(
     "q50_lsh_ann_topk",
     oracle=_lsh_oracle_sql(),
     tags=("llm", "L3", "lsh"),
