@@ -66,6 +66,12 @@ EXTRA_FACTORS = {
     "q83_neardup_sweep_scaled": [16],
 }
 
+#: 5-run medians everywhere: the shared local-mode JVM throws
+#: multi-second GC pauses after big builds (observed q80@16x spread
+#: 10-74 s across clean sessions; a 3-run median let single outlier
+#: cells through, e.g. a 5.5 s q78@4x against 1.1-1.8 s neighbors).
+RUNS = 5
+
 FACT_TABLES = ("lineitem", "orders")
 
 #: documents replicas are Caesar-ciphered (token structure and
@@ -155,15 +161,16 @@ def build_scaled(spark, factor: int) -> str:
 #: Narrative findings appended to SCALE.md on every regeneration —
 #: update alongside new probe rounds so the analysis survives rewrites.
 NOTES = """
-q53 deep-probe note (round 4): the row above is the FINAL operator
-config — pointer doubling with one jump per round and the convergence
-probe as a filter on the checkpointed frame (no new-vs-old join). The
-16x point: 2.50x time at 16x volume, i.e. growth is strongly sublinear
-and flattening (8x -> 16x doubles the data for 1.18x the time), which
-settles the r3 "mildly superlinear" flag: the trend was per-round fixed
-cost + linear join volume, not round-count growth (the Caesar-replica
-construction keeps component structure constant, so rounds stay
-constant by design). A 2-jump variant was measured and REJECTED:
+q53 deep-probe note (r4, re-measured r5): the row above is the FINAL
+operator config — pointer doubling with one jump per round and the
+convergence probe as a filter on the checkpointed frame (no new-vs-old
+join). Growth is sublinear at every factor (r5 5-run medians: 1.6x /
+2.7x / 4.1x time at 4/8/16x volume; 8x -> 16x doubles the data for
+1.55x the time), which settles the r3 "mildly superlinear" flag: the
+trend is per-round fixed cost + linear join volume, not round-count
+growth (the Caesar-replica construction keeps component structure
+constant, so rounds stay constant by design). A 2-jump variant was
+measured and REJECTED:
 un-materialized self-join jumps re-execute the round tree beneath them
 (~2x per jump), costing 5.5x at 1x for zero round savings on shallow
 dup graphs — documented in connected_components' docstring, kept
@@ -184,10 +191,23 @@ distinction that matters is analytic: at 100 TB with organic (unsalted,
 unbounded-block) data, q80's generator degrades toward the block
 square while q83's candidate volume stays ~(1-t)*m keys per doc.
 Pipelines at scale should copy q83 end-to-end; q80 remains the
-oracle-certified exact twin. The q83-vs-q80 1x gap is the prefix
-filter's fixed cost (sort + prefix explode); the crossover in its
-favor arrives as soon as any block outgrows ~sqrt(corpus/blocks) — on
-organic corpora, immediately.
+oracle-certified exact twin. Measured (r5 5-run medians): q83 beats
+q80 3.4x at 1x (1.26 s vs 4.32 s) and 3.2x at 16x (4.01 s vs 12.86 s),
+with both curves sublinear on this constant-block-size probe design;
+on organic (unsalted, unbounded-block) corpora q80's generator cost
+becomes the block square while q83's stays ~(1-t)*m prefix keys per
+doc — the gap there is structural, not a constant factor.
+
+Variance note (round 5): the iterative sweeps are the one noisy spot
+in this probe — q80@16x measured 10.9/14.5/19.1 s medians across three
+clean sessions with one 74 s GC outlier observed, while the q83 curve
+reproduced within 10% every time (1.25 / ~1.5 / ~3.2 / ~3.9 s). The
+noise is local-mode JVM artifact (checkpoint blocks awaiting
+ContextCleaner + full-heap GC pauses on a 24 g driver), not plan
+instability: stage counts and shuffle volumes are identical across
+runs. Probed with 5-run medians (all queries) + an inter-query GC nudge
+since r5; the stable headline is the RATIO between generators, not
+any single cell.
 
 IVF build/probe split (round 5, r4 verdict item 3): sf0.1 embeddings
 (2000 x 64d), local[32], 3-run medians — build_ivf_index (KMeans fit +
@@ -237,8 +257,15 @@ def main() -> None:
         results[name] = {}
         q_factors = sorted({1, *factors, *EXTRA_FACTORS.get(name, [])})
         for f in q_factors:
+            # Session-order hygiene: earlier queries leave cached
+            # relations, shuffle files and to-be-GC'd checkpoint blocks
+            # behind; without this, a cheap query measured after 12
+            # heavy runs inherits their GC debt (observed: q80@1x 2x
+            # inflated when measured late in the session).
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
             runs = []
-            for _ in range(3):
+            for _ in range(RUNS):
                 t0 = time.time()
                 specs[name].spark(spark, dirs[f]).write.format("noop").mode(
                     "overwrite"
