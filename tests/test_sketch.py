@@ -1,0 +1,70 @@
+"""Portable-HLL sketch tests (A6 deep parity, operators/sketch.py).
+
+The hash-certified engine parity (Spark estimate == DuckDB replay,
+bit-for-bit) is covered by q85's oracle in the driver gate; these
+tests pin the operator properties that parity alone doesn't:
+determinism under partitioning, accuracy vs exact, grouped mode,
+NULL semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from xlearning_spark.operators.sketch import hll_distinct
+from xlearning_spark.sources import read_table
+
+
+def test_partition_invariance(spark):
+    # Register MAX is associative/commutative, so the estimate must be
+    # EXACTLY identical no matter how rows are partitioned — the
+    # property that makes the sketch mergeable across 1000 executors.
+    li = read_table(spark, SF_SMOKE, "lineitem").select("l_orderkey")
+    e1 = hll_distinct(li.repartition(1), "l_orderkey").collect()[0][0]
+    e13 = hll_distinct(li.repartition(13), "l_orderkey").collect()[0][0]
+    assert e1 == e13
+
+
+def test_accuracy_within_hll_error(spark):
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    est = hll_distinct(li, "l_orderkey", p=9).collect()[0][0]
+    exact = li.select("l_orderkey").distinct().count()
+    sigma = 1.04 / math.sqrt(1 << 9)
+    assert abs(est - exact) / exact < 3 * sigma, (est, exact)
+
+
+def test_grouped_estimates(spark):
+    # p=4 keeps every o_orderstatus group in the raw-HLL zone
+    # (n > 2.5m = 40) at smoke scale; error target 1.04/4 = 26%.
+    o = read_table(spark, SF_SMOKE, "orders")
+    got = {
+        r.o_orderstatus: r.hll_custkeys
+        for r in hll_distinct(
+            o, "o_custkey", p=4, out_col="hll_custkeys", group_cols=["o_orderstatus"]
+        ).collect()
+    }
+    exact = {
+        r.o_orderstatus: r.n
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        if n > 40:  # raw zone only; tiny groups are out of contract
+            assert abs(got[k] - n) / n < 3 * (1.04 / 4), (k, got[k], n)
+
+
+def test_null_rows_ignored(spark):
+    base = spark.createDataFrame(
+        [(i, f"v{i % 50}") for i in range(500)], ["i", "v"]
+    )
+    with_nulls = base.unionByName(
+        spark.createDataFrame([(9999, None)] * 25, "i bigint, v string")
+    )
+    e_base = hll_distinct(base, "v", p=4).collect()[0][0]
+    e_null = hll_distinct(with_nulls, "v", p=4).collect()[0][0]
+    assert e_base == e_null

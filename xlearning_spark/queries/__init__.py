@@ -119,6 +119,7 @@ GRADED_SPARES = [
     "q80_neardup_sweep",           # end-to-end dedup sweep (recursive-CTE oracle)
     "q83_neardup_sweep_scaled",    # same sweep, sub-quadratic q70 generator (r5)
     "q84_multimodal_gif",          # L5 real GIF/LZW decode (r5; family certified by q69/q82)
+    "q85_portable_hll",            # A6 hash-certified portable HyperLogLog (r5)
     "q81_term_salience",           # L4 tf x 1/df keyword extraction
 ]
 

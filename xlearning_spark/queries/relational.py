@@ -470,6 +470,39 @@ def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q85_oracle() -> str:
+    from xlearning_spark.operators.sketch import hll_distinct_oracle_sql
+
+    return f"""
+SELECT est.hll_orders, ex.exact_orders
+FROM {hll_distinct_oracle_sql('l_orderkey', 'lineitem', out_col='hll_orders')} est,
+     (SELECT COUNT(DISTINCT l_orderkey) AS exact_orders FROM lineitem) ex
+"""
+
+
+@query(
+    "q85_portable_hll",
+    oracle=_q85_oracle(),
+    tags=("agg", "A6", "approx", "sketch"),
+    doc="A6 approx-distinct, HASH-CERTIFIED (r5): q16's engine-native "
+    "HLL++ can never match another engine, but this portable classic "
+    "HyperLogLog (operators/sketch.py) is built from md5 + exact "
+    "integer register arithmetic + one IEEE division, so Spark and "
+    "DuckDB produce the bit-identical ESTIMATE — the approximate "
+    "value itself carries the oracle, not just a tolerance test. "
+    "p=9 (512 registers, ~4.6% target error); fixtures sit in the "
+    "raw-HLL zone at every SF so no engine-specific ln() correction "
+    "is needed.",
+)
+def q85_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.sketch import hll_distinct
+
+    l = _t(spark, sf_dir, "lineitem")
+    return hll_distinct(l, "l_orderkey", out_col="hll_orders").crossJoin(
+        l.agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+    )
+
+
 @query(
     "q29_pivot_status_by_priority",
     oracle="""
