@@ -68,3 +68,51 @@ def test_null_rows_ignored(spark):
     e_base = hll_distinct(base, "v", p=4).collect()[0][0]
     e_null = hll_distinct(with_nulls, "v", p=4).collect()[0][0]
     assert e_base == e_null
+
+
+def test_portable_minhash_finds_planted_neardups(spark):
+    from xlearning_spark.operators.sketch import portable_minhash_pairs
+
+    # Planted pairs at very high shingle-Jaccard (doc vs doc + one
+    # trailing token) must all surface: at j ~ 0.9 the 12-band/4-row
+    # s-curve miss probability is (1 - 0.9^4)^12 ~ 2e-6 per pair, and
+    # the generator is deterministic, so this is a hard assertion,
+    # not a flaky one.
+    base = (
+        read_table(spark, SF_SMOKE, "documents")
+        .limit(40)
+        .select("doc_id", "text")
+    )
+    dup = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", "text", F.lit("zzz")).alias("text"),
+    )
+    pairs = portable_minhash_pairs(
+        base.unionByName(dup), "doc_id", "text", threshold=0.5
+    )
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {
+        (r.doc_id, r.doc_id + 1_000_000) for r in base.select("doc_id").collect()
+    }
+    missing = {p for p in planted if p not in found}
+    assert not missing, f"planted near-dups missed: {sorted(missing)[:5]}"
+
+
+def test_portable_simhash_hamming_tracks_similarity(spark):
+    from xlearning_spark.operators.sketch import portable_simhash
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 20),
+            (2, "the quick brown fox jumps over the lazy dog " * 20 + "tail"),
+            (3, "entirely different vocabulary about spark engines " * 20),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = {r.id: r.simhash for r in portable_simhash(df, "doc_id", "text").collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(fp[1], fp[2]) <= 8  # one extra token barely moves votes
+    assert ham(fp[1], fp[3]) >= 15  # disjoint vocab ~ independent bits

@@ -98,6 +98,268 @@ def hll_distinct(
     return regs.agg(est)
 
 
+#: Mersenne prime 2^31-1: universal-hash modulus small enough that
+#: (a % P)(h % P) products stay inside a signed 64-bit integer in both
+#: engines — the property that makes the MinHash replayable.
+MINHASH_P = (1 << 31) - 1
+
+
+def _minhash_coeffs(num_hashes: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    """Deterministic LCG-derived universal-hash coefficients, shared
+    verbatim by the Spark expressions and the DuckDB VALUES literal
+    (the same replay trick as q50's hyperplane literals)."""
+    coeffs = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(num_hashes):
+        x = (6364136223846793005 * x + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        a = (x >> 16) % (MINHASH_P - 1) + 1
+        x = (6364136223846793005 * x + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        b = (x >> 16) % MINHASH_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+#: Portable per-token hash: md5 -> 60-bit int -> mod P. The Spark
+#: expression and the DuckDB snippet below MUST stay in lockstep.
+_SPARK_TOK_HASH = (
+    "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % {P}L"
+)
+_DUCK_TOK_HASH = (
+    "(('0x' || substr(md5(tok), 1, 15))::UBIGINT % {P})::BIGINT"
+)
+
+
+def portable_minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 48,
+    bands: int = 12,
+    threshold: float = 0.5,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs whose ENTIRE machinery — shingle
+    hash, universal-hash signatures, band buckets, candidate join,
+    exact Jaccard verification — is replayable in another engine, so
+    the approximate candidate generation itself carries a
+    hash-certified oracle (:func:`portable_minhash_oracle_sql`). The
+    production path (operators/dedup.minhash_*) keeps xxhash64 +
+    bucket caps; this twin certifies that the banding algebra is
+    implemented right.
+
+    Jaccard is over ``shingle_size``-gram shingle SETS (the
+    production/q70 semantics) — unigram token sets are useless on
+    natural corpora, where every pair shares most of the vocabulary.
+
+    Same distributed shape as the production path: map-side
+    signatures, one bucket-local shuffle join, verification
+    proportional to candidate volume. Returns (id_a, id_b, jaccard)
+    for candidates with shingle-set Jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+    coeffs = _minhash_coeffs(num_hashes)
+    tok_hash = _SPARK_TOK_HASH.format(P=MINHASH_P)
+
+    from xlearning_spark.functions import tokens
+
+    base = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__w"))
+        .filter(F.size("__w") >= shingle_size)
+        .select(
+            "id",
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(__w) - {shingle_size - 1}),"
+                    f" i -> concat_ws(' ', slice(__w, i, {shingle_size})))"
+                )
+            ).alias("toks"),
+        )
+    )
+    hashed = base.withColumn("__ht", F.expr(f"transform(toks, t -> {tok_hash})"))
+    sigs = hashed.select(
+        "id",
+        "toks",
+        F.array(
+            *[
+                F.expr(
+                    f"array_min(transform(__ht, x -> pmod({a}L * x + {b}L,"
+                    f" {MINHASH_P}L)))"
+                )
+                for (a, b) in coeffs
+            ]
+        ).alias("mh"),
+    )
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("mh", b * rows_per_band + i + 1)
+                            for i in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = banded.select("band", "key", F.col("id").alias("id_a"))
+    b = banded.select("band", "key", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = base.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", F.round(jac, 8))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def portable_minhash_oracle_sql(
+    id_expr: str,
+    text_col: str,
+    from_clause: str,
+    num_hashes: int = 48,
+    bands: int = 12,
+    threshold: float = 0.5,
+    shingle_size: int = 5,
+) -> str:
+    """DuckDB replay of :func:`portable_minhash_pairs` — identical
+    coefficients, hash, shingling, banding and verification, in an
+    independent engine."""
+    rows_per_band = num_hashes // bands
+    coeffs = _minhash_coeffs(num_hashes)
+    values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    tok_hash = _DUCK_TOK_HASH.format(P=MINHASH_P)
+    k = shingle_size
+    shingle = "concat_ws(' ', " + ", ".join(
+        f"w[i+{j}]" if j else "w[i]" for j in range(k)
+    ) + ")"
+    return f"""
+WITH coef(i, a, b) AS (VALUES {values}),
+t AS (
+  SELECT {id_expr} AS id,
+         string_split_regex({text_col}, '\\s+') AS w
+  FROM {from_clause}
+),
+base AS (
+  SELECT id,
+         list_distinct(list_transform(range(1, len(w) - {k - 2}),
+                                      i -> {shingle})) AS toks
+  FROM t WHERE len(w) >= {k}
+),
+h AS (
+  SELECT id, {tok_hash} AS ht
+  FROM base, unnest(toks) AS u(tok)
+),
+sig AS (
+  SELECT h.id, coef.i, MIN((coef.a * h.ht + coef.b) % {MINHASH_P}) AS mh
+  FROM h CROSS JOIN coef
+  GROUP BY h.id, coef.i
+),
+band AS (
+  SELECT id, i // {rows_per_band} AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY i) AS key
+  FROM sig GROUP BY id, i // {rows_per_band}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
+  WHERE a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+             / len(list_distinct(ta.toks || tb.toks)), 8) AS jaccard
+FROM cand c
+JOIN base ta ON ta.id = c.id_a
+JOIN base tb ON tb.id = c.id_b
+WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+      / len(list_distinct(ta.toks || tb.toks)) >= {threshold}
+"""
+
+
+def portable_simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 60,
+) -> DataFrame:
+    """(id, simhash bigint) — Charikar SimHash over whitespace tokens
+    with the engine-portable md5 hash, so the fingerprint VALUE
+    carries a hash-certified oracle (:func:`portable_simhash_oracle_sql`;
+    the production xxhash64 simhash in operators/dedup.py stays
+    rows-only). Per-bit vote: +1 per token occurrence with the bit
+    set, -1 otherwise; fingerprint bit = vote > 0. All integer
+    arithmetic — nothing engine-specific anywhere.
+
+    One explode + one partial+final hash-agg; the 60 per-bit votes are
+    columns of a single aggregate, not 60 passes.
+    """
+    assert 1 <= bits <= _HASH_BITS
+    h = F.conv(
+        F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10
+    ).cast("long")
+
+    from xlearning_spark.functions import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("__tok")
+    ).withColumn("__h", h)
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"__v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return votes.select("id", fp.alias("simhash"))
+
+
+def portable_simhash_oracle_sql(
+    id_expr: str,
+    text_col: str,
+    from_clause: str,
+    bits: int = 60,
+) -> str:
+    """DuckDB replay of :func:`portable_simhash` — same hash, same
+    votes, same bit packing, independent engine."""
+    return f"""
+WITH tok AS (
+  SELECT {id_expr} AS id,
+         ('0x' || substr(md5(u.tok), 1, 15))::UBIGINT::BIGINT AS h
+  FROM {from_clause}, unnest(string_split_regex({text_col}, '\\s+')) AS u(tok)
+),
+votes AS (
+  SELECT id, b.b,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok CROSS JOIN (SELECT unnest(range(0, {bits})) AS b) b
+  GROUP BY id, b.b
+)
+SELECT id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY id
+"""
+
+
 def hll_distinct_oracle_sql(
     expr: str,
     from_clause: str,

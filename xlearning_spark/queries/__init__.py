@@ -120,11 +120,17 @@ GRADED_SPARES = [
     "q83_neardup_sweep_scaled",    # same sweep, sub-quadratic q70 generator (r5)
     "q84_multimodal_gif",          # L5 real GIF/LZW decode (r5; family certified by q69/q82)
     "q85_portable_hll",            # A6 hash-certified portable HyperLogLog (r5)
+    "q86_portable_minhash",        # L2 hash-certified portable MinHash-LSH (r5)
+    "q87_portable_simhash",        # L2 hash-certified portable SimHash (r5)
     "q81_term_salience",           # L4 tf x 1/df keyword extraction
 ]
 
 #: Rows-only (oracle=None) queries: can never hash-match, so they must
-#: never occupy a graded slot.
+#: never occupy a graded slot. Since r5 each family here has a
+#: HASH-CERTIFIED portable twin (q85 for q16's HLL, q86 for q48's
+#: MinHash-LSH, q87 for q49's SimHash, q50 already certifying the LSH
+#: ANN family beside q52's KMeans-based IVF) — these four stay
+#: registered as the fast engine-native/xxhash64 production forms.
 ROWS_ONLY = [
     "q16_approx_distinct",
     "q48_minhash_neardup",

@@ -465,6 +465,62 @@ def q49_simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(d, "doc_id", "text").orderBy("doc_id")
 
 
+def _q86_oracle() -> str:
+    from xlearning_spark.operators.sketch import portable_minhash_oracle_sql
+
+    return portable_minhash_oracle_sql("doc_id", "text", "documents")
+
+
+@query(
+    "q86_portable_minhash",
+    oracle=_q86_oracle(),
+    tags=("llm", "L2", "minhash", "sketch"),
+    doc="L2 MinHash-LSH, HASH-CERTIFIED end-to-end (r5): q48's "
+    "xxhash64 production path stays rows-only, but this portable twin "
+    "(operators/sketch.portable_minhash_pairs — md5 5-gram-shingle "
+    "hash, LCG-literal universal-hash coefficients, value-tuple band "
+    "keys) is replayed verbatim in DuckDB, so the BANDING MACHINERY "
+    "itself — signatures, bucket join, candidate set, exact-Jaccard "
+    "verify — carries the oracle, not just a recall bound. 48 hashes "
+    "x 12 bands (s-curve midpoint ~0.54), verify threshold 0.5 on "
+    "shingle sets (q70 semantics).",
+)
+def q86_portable_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.sketch import portable_minhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return portable_minhash_pairs(d, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+def _q87_oracle() -> str:
+    from xlearning_spark.operators.sketch import portable_simhash_oracle_sql
+
+    inner = portable_simhash_oracle_sql("doc_id", "text", "documents")
+    return f"SELECT id AS doc_id, simhash FROM ({inner})"
+
+
+@query(
+    "q87_portable_simhash",
+    oracle=_q87_oracle(),
+    tags=("llm", "L2", "simhash", "sketch"),
+    doc="L2 SimHash, HASH-CERTIFIED (r5): the 60-bit Charikar "
+    "fingerprint VALUE itself matches a DuckDB replay bit-for-bit "
+    "(operators/sketch.portable_simhash — md5 token hash, integer "
+    "per-bit votes, integer bit packing), beside q49's rows-only "
+    "xxhash64 production sketch. With q85/q86 this gives every "
+    "approximate-sketch family a certified portable twin.",
+)
+def q87_portable_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.sketch import portable_simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        portable_simhash(d, "doc_id", "text")
+        .select(F.col("id").alias("doc_id"), "simhash")
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "q53_neardup_components",
     oracle=f"""
