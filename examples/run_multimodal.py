@@ -1,10 +1,11 @@
 """Multimodal columns demo (L5): binary ingest -> magic-byte typing ->
-real decode (BMP pixels, WAV PCM samples) -> frame sampling.
+real decode (BMP pixels, PNG zlib scanlines, GIF LZW, WAV PCM
+samples) -> frame sampling.
 
 The pipeline shape is the 100 TB one: binaryFile scan, JVM-side type
 sniffing, and map-only Arrow-batched decode stages that scale with
-executor count. BMP and WAV are decoded for real (pure-bytes formats);
-codec-dependent formats fall back to the declared stub.
+executor count. BMP/PNG/GIF/WAV are decoded for real (stdlib only);
+codec-library formats (JPEG/MP3/video) fall back to the declared stub.
 """
 
 from __future__ import annotations
@@ -37,12 +38,62 @@ def _wav(rate: int, amplitude: int, frames: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+def _png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    import zlib
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body)) + cid + body + struct.pack(
+            ">I", zlib.crc32(cid + body)
+        )
+
+    scan = b"".join(b"\x00" + bytes(rgb) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gif(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    # Single-frame GIF, 4-entry palette, all pixels at index 1,
+    # minimal LZW: a clear code before every pixel keeps the code
+    # width fixed at 3 bits (valid per spec; the decoder's dictionary
+    # paths are exercised by the q84 oracle and tests instead).
+    codes = []
+    for _ in range(width * height):
+        codes += [4, 1]  # clear, then literal index 1
+    codes.append(5)  # end
+    acc = nbits = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 3
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x81, 0, 0)
+    out += bytes((0, 0, 0, *rgb, 255, 255, 255, 9, 9, 9))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0) + bytes([2])
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def main(spark, sf_dir: str = DEFAULT_SF) -> None:
     from xlearning_spark.operators import multimodal as mm
 
     with tempfile.TemporaryDirectory() as d:
         open(os.path.join(d, "red.bmp"), "wb").write(_bmp(8, 4, (0, 0, 255)))
         open(os.path.join(d, "blue.bmp"), "wb").write(_bmp(3, 3, (255, 0, 0)))
+        open(os.path.join(d, "green.png"), "wb").write(_png(6, 5, (0, 200, 0)))
+        open(os.path.join(d, "teal.gif"), "wb").write(_gif(7, 4, (0, 128, 128)))
         open(os.path.join(d, "tone.wav"), "wb").write(_wav(8000, 8192, 800))
         open(os.path.join(d, "note.txt"), "wb").write(b"not media")
 
