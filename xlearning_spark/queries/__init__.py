@@ -68,13 +68,13 @@ GRADING_WINDOW = [
     "q40_exact_dedup",           # L1
     "q70_ngram_jaccard",         # L2 exact n-gram Jaccard, prefix-filtered (scale form)
     "q43_text_stats",            # L4
-    "q44_language_id",           # L4 lang-id
+    "q85_portable_hll",          # A6 hash-certified portable HyperLogLog (r5 rotation; L4 spare: q44, driver-green r1-r4)
     "q45_quality_score",         # L6
     "q46_cosine_topk",           # L3 brute-force ANN
     "q50_lsh_ann_topk",          # L3 hyperplane LSH (ungraded in r2)
     "q51_bpe_token_counting",    # L4 BPE tokens (ungraded in r2)
     "q53_neardup_components",    # L2 connected components (ungraded in r2)
-    "q54_embedding_neardup",     # L2 embedding near-dup
+    "q86_portable_minhash",      # L2 hash-certified MinHash-LSH machinery (r5 rotation; spare: q54, driver-green r1-r4)
     "q60_pipe_wordcount",        # E1/U1 pipe operator (ungraded in r2)
     "q61_input_file_list",       # S5 file-list delivery (ungraded in r2)
     "q62_map_functions",         # §2.6 map (ungraded in r2)
@@ -90,10 +90,13 @@ GRADING_WINDOW = [
 #: outside the window costs nothing (their family is certified above).
 GRADED_SPARES = [
     # r5 rotations OUT of the window (driver-green r1-r4; their families
-    # stay certified by the rotated-in mates q11/q07 and by q17-q19):
+    # stay certified by the rotated-in mates q11/q07/q85/q86 and by
+    # q17-q19 / q43+q51 / q70+q53):
     "q13_grouping_sets",
     "q06_semi_join_active_customers",
     "q28_quantile_buckets",
+    "q44_language_id",
+    "q54_embedding_neardup",
     "q55_embedding_neardup_lsh",  # L2 scale form (family certified by q42/q53/q54)
     "q42_jaccard_pairs",          # L2 exact all-pairs twin of q70 (oracle spare)
     # Training-corpus pipeline tier (operators/corpus.py) — all
@@ -119,9 +122,7 @@ GRADED_SPARES = [
     "q80_neardup_sweep",           # end-to-end dedup sweep (recursive-CTE oracle)
     "q83_neardup_sweep_scaled",    # same sweep, sub-quadratic q70 generator (r5)
     "q84_multimodal_gif",          # L5 real GIF/LZW decode (r5; family certified by q69/q82)
-    "q85_portable_hll",            # A6 hash-certified portable HyperLogLog (r5)
-    "q86_portable_minhash",        # L2 hash-certified portable MinHash-LSH (r5)
-    "q87_portable_simhash",        # L2 hash-certified portable SimHash (r5)
+    "q87_portable_simhash",        # L2 hash-certified portable SimHash (r5; q85/q86 hold window slots)
     "q81_term_salience",           # L4 tf x 1/df keyword extraction
 ]
 
