@@ -14,7 +14,7 @@ import math
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
-from xlearning_spark.operators.sketch import hll_distinct
+from xlearning_spark.operators.sketch import hll_distinct, sampled_percentiles
 from xlearning_spark.sources import read_table
 
 
@@ -116,3 +116,49 @@ def test_portable_simhash_hamming_tracks_similarity(spark):
 
     assert ham(fp[1], fp[2]) <= 8  # one extra token barely moves votes
     assert ham(fp[1], fp[3]) >= 15  # disjoint vocab ~ independent bits
+
+
+def test_sampled_percentiles_partition_invariance(spark):
+    # The sample is selected by a pure hash predicate on row keys, so
+    # the estimate must be exactly identical under any partitioning —
+    # no rand()/TABLESAMPLE nondeterminism anywhere.
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    args = (["l_orderkey", "l_linenumber"], "l_extendedprice", [0.5, 0.9])
+    r1 = sampled_percentiles(li.repartition(1), *args).collect()[0]
+    r13 = sampled_percentiles(li.repartition(13), *args).collect()[0]
+    assert r1.asDict() == r13.asDict()
+
+
+def test_sampled_percentiles_rate_and_accuracy(spark):
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    total = li.count()
+    got = sampled_percentiles(
+        li, ["l_orderkey", "l_linenumber"], "l_extendedprice", [0.5], rate_bits=3
+    ).collect()[0]
+    # Hash uniformity: sample_n ~ Binomial(total, 1/8); 6 sigma bound.
+    import math
+
+    exp = total / 8
+    assert abs(got.sample_n - exp) < 6 * math.sqrt(exp), (got.sample_n, exp)
+    exact = float(
+        li.agg(F.expr("percentile(l_extendedprice, 0.5)")).collect()[0][0]
+    )
+    # Median-of-sample error ~ O(1/sqrt(n)) in quantile space; prices
+    # span ~[900, 100k], so allow 10% relative.
+    assert abs(float(got.p50_sample) - exact) / exact < 0.10, (got, exact)
+
+
+def test_sampled_percentiles_grouped_columns(spark):
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    out = sampled_percentiles(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        "l_extendedprice",
+        [0.5, 0.9],
+        group_cols=["l_returnflag"],
+    )
+    assert out.columns == ["l_returnflag", "sample_n", "p50_sample", "p90_sample"]
+    rows = out.collect()
+    assert {r.l_returnflag for r in rows} == {"A", "N", "R"}
+    for r in rows:
+        assert r.p50_sample <= r.p90_sample

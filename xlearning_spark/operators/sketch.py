@@ -360,6 +360,89 @@ FROM votes GROUP BY id
 """
 
 
+def sampled_percentiles(
+    df: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    ps: list[float],
+    rate_bits: int = 3,
+    group_cols: list[str] | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate percentiles by DETERMINISTIC hash sampling — the
+    portable (engine-replayable) member of the A6 approx-percentile
+    family, completing the portable-sketch tier (q85 HLL distinct,
+    q86 MinHash, q87 SimHash).
+
+    Spark's native ``approx_percentile`` (KLL/GK-style) can never be
+    hash-checked against another engine. This operator instead keeps
+    exactly the rows whose portable 60-bit md5 hash of ``key_cols``
+    (the q85 hash) falls below ``2^(60 - rate_bits)`` — a 1/2^rate_bits
+    uniform sample that BOTH engines select identically — then takes
+    the EXACT interpolated percentile of the sample. q14 already
+    proves Spark ``percentile`` == DuckDB ``quantile_cont`` at
+    ``round_digits`` rounding, so the sampled ESTIMATE itself is
+    hash-certifiable (:func:`sampled_percentiles_oracle_sql`).
+
+    100 TB shape: the sample predicate is a map-side filter evaluated
+    at scan time (no shuffle, no state), cutting the sort-agg input by
+    2^rate_bits before the one partial+final percentile aggregation;
+    estimate error ~ O(1/sqrt(n_sample)) per group. ``key_cols`` must
+    be a row-unique key (sampling rows, not values) — hashing a
+    non-unique key would sample values with multiplicity bias.
+
+    Returns ``group_cols`` + ``sample_n`` + one ``p{NN}_sample``
+    column per requested percentile.
+    """
+    group_cols = group_cols or []
+    thresh = 1 << (_HASH_BITS - rate_bits)
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    sample = df.filter(h < F.lit(thresh))
+    aggs = [F.count(F.lit(1)).alias("sample_n")] + [
+        F.round(
+            F.expr(f"percentile({val_col}, {p!r})"), round_digits
+        ).alias(f"p{int(round(p * 100))}_sample")
+        for p in ps
+    ]
+    if group_cols:
+        return sample.groupBy(*group_cols).agg(*aggs)
+    return sample.agg(*aggs)
+
+
+def sampled_percentiles_oracle_sql(
+    key_exprs: list[str],
+    val_col: str,
+    from_clause: str,
+    ps: list[float],
+    rate_bits: int = 3,
+    group_cols: list[str] | None = None,
+    round_digits: int = 4,
+) -> str:
+    """DuckDB replay of :func:`sampled_percentiles` — identical md5
+    sample selection, identical interpolated quantile, independent
+    engine. Returns a parenthesized subquery."""
+    group_cols = group_cols or []
+    thresh = 1 << (_HASH_BITS - rate_bits)
+    key = "concat_ws('|', " + ", ".join(
+        f"CAST({e} AS VARCHAR)" for e in key_exprs
+    ) + ")"
+    g = ", ".join(group_cols)
+    g_pre = (g + ", ") if g else ""
+    g_by = f"GROUP BY {g}" if g else ""
+    cols = ", ".join(
+        f"ROUND(quantile_cont({val_col}, {p!r}), {round_digits})"
+        f" AS p{int(round(p * 100))}_sample"
+        for p in ps
+    )
+    return f"""(
+SELECT {g_pre}COUNT(*) AS sample_n, {cols}
+FROM {from_clause}
+WHERE ('0x' || substr(md5({key}), 1, 15))::UBIGINT < {thresh}
+{g_by}
+)"""
+
+
 def hll_distinct_oracle_sql(
     expr: str,
     from_clause: str,

@@ -503,6 +503,65 @@ def q85_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q88_oracle() -> str:
+    from xlearning_spark.operators.sketch import sampled_percentiles_oracle_sql
+
+    est = sampled_percentiles_oracle_sql(
+        ["l_orderkey", "l_linenumber"],
+        "l_extendedprice",
+        "lineitem",
+        [0.5, 0.9],
+        rate_bits=3,
+        group_cols=["l_returnflag"],
+    )
+    return f"""
+SELECT e.l_returnflag, e.sample_n, e.p50_sample, e.p90_sample,
+       x.p50_exact, x.p90_exact
+FROM {est} e
+JOIN (SELECT l_returnflag,
+             ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+             ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact
+      FROM lineitem GROUP BY l_returnflag) x USING (l_returnflag)
+ORDER BY e.l_returnflag
+"""
+
+
+@query(
+    "q88_portable_approx_percentile",
+    oracle=_q88_oracle(),
+    tags=("agg", "A6", "approx", "sketch", "percentile"),
+    doc="A6 approx-percentile, HASH-CERTIFIED (r5): completes the "
+    "portable-sketch tier (q85 HLL / q86 MinHash / q87 SimHash) for "
+    "the one A6 member still without a certified approximate form. "
+    "Spark's approx_percentile (KLL-style) is engine-opaque; instead "
+    "a deterministic md5-hash row sample (rate 1/8, the q85 60-bit "
+    "hash over the row-unique (l_orderkey, l_linenumber) key) is "
+    "selected identically by both engines, and the EXACT interpolated "
+    "percentile of that sample — q14 already certifies percentile == "
+    "quantile_cont at 4-decimal rounding — is the estimate. Sample "
+    "predicate is a map-side scan filter (no shuffle, no state), "
+    "cutting the sort-agg input 8x; exact twins sit beside the "
+    "estimates so accuracy is visible in the graded rows.",
+)
+def q88_portable_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.sketch import sampled_percentiles
+
+    l = _t(spark, sf_dir, "lineitem")
+    est = sampled_percentiles(
+        l,
+        ["l_orderkey", "l_linenumber"],
+        "l_extendedprice",
+        [0.5, 0.9],
+        rate_bits=3,
+        group_cols=["l_returnflag"],
+    )
+    exact = l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_exact"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_exact"),
+    )
+    return est.join(exact, "l_returnflag").orderBy("l_returnflag")
+
+
 @query(
     "q29_pivot_status_by_priority",
     oracle="""
