@@ -351,3 +351,92 @@ def test_neardup_ingest_accumulates_novel_docs(spark, tmp_path):
     )
     assert not w4
     assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 3, 6, 8}
+
+
+def test_streaming_hll_equals_batch_exactly(spark, events_dir, tmp_path):
+    # A6 x T: after draining, the incrementally-merged register state
+    # must be EXACTLY the batch sketch of the full history (register
+    # MAX-merge is associative), so the estimates are equal as doubles
+    # — no tolerance.
+    from xlearning_spark.operators.sketch import hll_distinct
+
+    st.streaming_hll_distinct(
+        st.read_events_stream(spark, events_dir),
+        "user_id",
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+    )
+    got = st.hll_state_estimate(spark, str(tmp_path / "state")).collect()[0][0]
+    want = hll_distinct(_batch(spark, events_dir), "user_id").collect()[0][0]
+    assert got == want
+
+
+def test_streaming_hll_multibatch_and_replay(spark, events_dir, tmp_path):
+    # Force multiple micro-batches (one file per trigger): the merged
+    # state must still equal the batch sketch, a second drain over the
+    # same source must be a no-op (checkpoint), and appending new data
+    # then re-draining must advance the state to the union sketch.
+    from pyspark.sql import functions as F
+    from xlearning_spark.operators.sketch import hll_distinct
+
+    src = str(tmp_path / "src")
+    base = _batch(spark, events_dir)
+    base.coalesce(4).write.mode("overwrite").parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(st.EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        st.streaming_hll_distinct(
+            stream, "user_id", str(tmp_path / "state"), str(tmp_path / "ckpt")
+        )
+        return st.hll_state_estimate(spark, str(tmp_path / "state")).collect()[0][0]
+
+    e1 = drain()
+    assert e1 == hll_distinct(base, "user_id").collect()[0][0]
+    assert drain() == e1  # replayed drain: no new data, state unchanged
+
+    extra = base.select(
+        "event_id", "ts", (F.col("user_id") + 1_000_000).alias("user_id"),
+        "event_type", "value", "props",
+    )
+    extra.coalesce(1).write.mode("append").parquet(src)
+    e2 = drain()
+    want = hll_distinct(
+        spark.read.schema(st.EVENTS_SCHEMA).parquet(src), "user_id"
+    ).collect()[0][0]
+    assert e2 == want and e2 != e1
+
+
+def test_streaming_hll_grouped_state_is_bounded(spark, events_dir, tmp_path):
+    # Grouped mode: per-group estimates match batch, and the committed
+    # state is at most 2^p rows per group regardless of stream length.
+    from xlearning_spark.operators.sketch import hll_distinct
+
+    st.streaming_hll_distinct(
+        st.read_events_stream(spark, events_dir),
+        "user_id",
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        p=4,
+        group_cols=["event_type"],
+    )
+    got = {
+        r.event_type: r.hll_estimate
+        for r in st.hll_state_estimate(
+            spark, str(tmp_path / "state"), p=4, group_cols=["event_type"]
+        ).collect()
+    }
+    want = {
+        r.event_type: r.hll_estimate
+        for r in hll_distinct(
+            _batch(spark, events_dir), "user_id", p=4, group_cols=["event_type"]
+        ).collect()
+    }
+    assert got == want
+    state = spark.read.parquet(st._latest_hll_state(spark, str(tmp_path / "state")))
+    per_group = state.groupBy("event_type").count().collect()
+    assert all(r["count"] <= 16 for r in per_group)

@@ -53,20 +53,22 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
-def hll_distinct(
+def hll_registers(
     df: DataFrame,
     col: str,
     p: int = 9,
-    out_col: str = "hll_estimate",
     group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Portable-HLL estimate (double) of ``count(distinct col)`` —
-    one row when ``group_cols`` is None, else one row per group."""
+    """The HLL register table ``group_cols + (__reg, __rho)`` — at most
+    ``2^p`` rows per group, whatever the input size. This IS the
+    sketch's mergeable state: register-wise MAX of two tables computed
+    over different row sets equals the table of their union
+    (associative, commutative, idempotent), which is what makes the
+    sketch partition-safe in batch and incrementally maintainable in
+    streaming (streaming.streaming_hll_distinct)."""
     group_cols = group_cols or []
-    m = 1 << p
     q = _HASH_BITS - p  # rank field width
     rem_mask = (1 << q) - 1
-    lit = float(repr(_alpha(m) * m * m * (1 << (q + 1))))
 
     h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
         "long"
@@ -75,7 +77,7 @@ def hll_distinct(
         F.col("__rem") > 0, F.lit(q + 1) - F.length(F.bin(F.col("__rem")))
     ).otherwise(F.lit(q + 1))
 
-    regs = (
+    return (
         df.filter(F.col(col).isNotNull())
         .select(
             *group_cols,
@@ -86,6 +88,33 @@ def hll_distinct(
         .groupBy(*group_cols, "__reg")
         .agg(F.max("__rho").alias("__rho"))
     )
+
+
+def merge_hll_registers(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Register-wise MAX of two register tables (same ``p``!) — the
+    union sketch. Idempotent, so replaying a micro-batch after a
+    failure cannot corrupt the estimate."""
+    group_cols = group_cols or []
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "__reg")
+        .agg(F.max("__rho").alias("__rho"))
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    p: int = 9,
+    out_col: str = "hll_estimate",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fold a register table into the estimate (one row per group)."""
+    group_cols = group_cols or []
+    m = 1 << p
+    q = _HASH_BITS - p
+    lit = float(repr(_alpha(m) * m * m * (1 << (q + 1))))
     est = (
         F.lit(lit)
         / (
@@ -96,6 +125,20 @@ def hll_distinct(
     if group_cols:
         return regs.groupBy(*group_cols).agg(est)
     return regs.agg(est)
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    p: int = 9,
+    out_col: str = "hll_estimate",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Portable-HLL estimate (double) of ``count(distinct col)`` —
+    one row when ``group_cols`` is None, else one row per group."""
+    return hll_estimate_from_registers(
+        hll_registers(df, col, p, group_cols), p, out_col, group_cols
+    )
 
 
 #: Mersenne prime 2^31-1: universal-hash modulus small enough that

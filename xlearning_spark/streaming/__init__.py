@@ -441,6 +441,100 @@ def neardup_ingest(
     return written
 
 
+def _latest_hll_state(spark, state_dir: str) -> str | None:
+    """Newest ``v*`` version directory under ``state_dir`` (Hadoop FS
+    API, so any scheme works), or None before the first commit."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(state_dir + "/v*")
+    fs = path.getFileSystem(conf)
+    statuses = fs.globStatus(path)
+    if not statuses:
+        return None
+    dirs = sorted(st.getPath().toString() for st in statuses if st.isDirectory())
+    return dirs[-1] if dirs else None
+
+
+def streaming_hll_distinct(
+    stream_df: DataFrame,
+    col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    p: int = 9,
+    group_cols: list[str] | None = None,
+) -> None:
+    """Streaming cardinality (A6 x T): maintain the portable-HLL
+    register table (operators/sketch.py) incrementally over an
+    unbounded stream — the streaming member of the portable-sketch
+    tier, and the only distinct-count shape that survives a 100 TB
+    ingest stream (exact streaming countDistinct keys state on every
+    value seen; this keys it on at most ``2^p`` registers per group,
+    independent of stream length).
+
+    Per micro-batch (foreachBatch, availableNow): sketch the batch
+    (``hll_registers``), register-wise MAX-merge with the accumulated
+    state, commit the merged table as a NEW version directory
+    ``state_dir/v{batch_id}``. Readers always see a complete committed
+    version (never a half-written overwrite), and crash-replay of a
+    micro-batch is harmless twice over: the rewrite targets its own
+    version dir, and register MAX-merge is idempotent — merging a
+    batch into state that already includes it changes nothing. Old
+    versions are register tables too, so they double as point-in-time
+    snapshots; prune them freely.
+
+    Because register MAX is associative/commutative/idempotent, the
+    final state is EXACTLY the batch sketch of the full history — the
+    stream==batch equality asserted in tests is exact, not tolerant.
+
+    Read the current estimate with :func:`hll_state_estimate`.
+    """
+    from xlearning_spark.operators.sketch import hll_registers, merge_hll_registers
+
+    group_cols = group_cols or []
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        regs = hll_registers(batch_df, col, p, group_cols)
+        prev = _latest_hll_state(spark, state_dir)
+        if prev is not None:
+            regs = merge_hll_registers(
+                spark.read.parquet(prev), regs, group_cols
+            )
+        # Materialize before writing: the merged plan reads the previous
+        # version; eager checkpoint severs that scan from the write.
+        regs.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            f"{state_dir}/v{batch_id:010d}"
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(update)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def hll_state_estimate(
+    spark,
+    state_dir: str,
+    p: int = 9,
+    group_cols: list[str] | None = None,
+    out_col: str = "hll_estimate",
+) -> DataFrame | None:
+    """Fold the newest committed register state into the estimate —
+    one row (or one per group); None before the first commit."""
+    from xlearning_spark.operators.sketch import hll_estimate_from_registers
+
+    latest = _latest_hll_state(spark, state_dir)
+    if latest is None:
+        return None
+    return hll_estimate_from_registers(
+        spark.read.parquet(latest), p, out_col, group_cols
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str, out_mode: str = "append"):
     """T5/T6: drain everything currently available into an in-memory
     sink and return the collected rows. ``Trigger.AvailableNow`` is the
