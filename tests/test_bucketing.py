@@ -67,3 +67,56 @@ def test_dynamic_partition_pruning_conf(spark):
     # DPP is the runtime form (dim-filter pushed into fact partition
     # scan); assert the engine leaves it enabled.
     assert spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled") == "true"
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    # Runtime bloom-filter join pruning (Spark's semi-join reduction):
+    # when a selective dim filter can't broadcast, Catalyst builds a
+    # bloom filter from the filtered creation side and injects
+    # might_contain() into the fact scan — rows that can't join are
+    # dropped BEFORE the shuffle. Default-on in the engine; its size
+    # thresholds (creation side <= 10 MB, application scan >= 10 GB)
+    # target cluster scale, so at fixture scale we lower them to prove
+    # the rule fires on our join shapes.
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    keep = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        o = read_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+        assert "bloom_filter_agg" in opt, opt
+        # The filter is applied on the FACT side (l_orderkey), built
+        # from the filtered dim side (o_orderkey).
+        mc = [l for l in opt.split("\n") if "might_contain" in l]
+        assert any("l_orderkey" in l for l in mc), mc
+        agg = [l for l in opt.split("\n") if "bloom_filter_agg" in l]
+        assert any("o_orderkey" in l for l in agg), agg
+        assert j.count() > 0  # and it still executes correctly
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
