@@ -46,6 +46,27 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
         )
         print(f"timed-out keys detected: {timeouts.count()}")
 
+        # Streaming cardinality: portable-HLL register state merged
+        # per micro-batch — distinct-user estimate with state bounded
+        # at 2^p registers however long the stream runs.
+        st.streaming_hll_distinct(
+            st.read_events_stream(spark, events_dir),
+            "user_id",
+            os.path.join(work, "hll-state"),
+            os.path.join(work, "ckpt-hll"),
+        )
+        est = st.hll_state_estimate(spark, os.path.join(work, "hll-state"))
+        exact = (
+            read_table(spark, sf_dir, "events")
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        print(
+            f"streaming distinct-user estimate: "
+            f"{est.collect()[0][0]:.1f} (exact {exact})"
+        )
+
 
 if __name__ == "__main__":
     from xlearning_spark.engine import build_session
