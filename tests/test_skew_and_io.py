@@ -151,3 +151,95 @@ def test_salted_join_spreads_duplicate_hot_rows(spark):
         ).cast("int"),
     )
     assert salted.select("s").distinct().count() > 1
+
+
+# ----------------------------------------------- data layout (S6 depth)
+
+def test_write_sorted_parquet_files_cover_disjoint_ranges(spark, tmp_path):
+    # Range-partitioned + sorted write: every output file must cover a
+    # disjoint o_orderkey range (verified from the actual parquet
+    # footers via pyarrow — the metadata a 100 TB scan prunes on), and
+    # a key predicate must reach the scan as a pushed filter.
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from xlearning_spark.sources.sinks import write_sorted_parquet
+
+    out = str(tmp_path / "orders_sorted")
+    o = read_table(spark, SF_SMOKE, "orders")
+    write_sorted_parquet(o, out, ["o_orderkey"], num_files=6)
+
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "o_orderkey":
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2  # range partitioner actually split
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: ({lo1},{hi1}) ({lo2},{hi2})"
+
+    back = spark.read.parquet(out)
+    assert back.count() == o.count()
+    plan = _plan_str(back.filter(F.col("o_orderkey") < 1000))
+    assert "PushedFilters:" in plan
+    assert "o_orderkey" in plan.split("PushedFilters:")[1][:200]
+
+
+def _plan_str(df):
+    from tests.conftest import plan_string
+
+    return plan_string(df)
+
+
+def test_compact_parquet_hits_file_count_and_preserves_rows(spark, tmp_path):
+    from xlearning_spark.sources.sinks import compact_parquet
+
+    frag = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    li.repartition(40).write.parquet(frag)  # streaming-ingest-style fragmentation
+    import glob
+
+    assert len(glob.glob(frag + "/*.parquet")) == 40
+    n = compact_parquet(spark, frag, out, target_file_mb=1)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == n < 40
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(out)
+    assert b.count() == a.count()
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_with_provenance_matches_independent_engine(spark, tmp_path):
+    # Per-file row counts through Spark's input_file_name must agree
+    # with DuckDB's filename column over the same directory.
+    import duckdb
+
+    from xlearning_spark.sources import with_provenance
+
+    out = str(tmp_path / "multi")
+    read_table(spark, SF_SMOKE, "orders").repartition(5).write.parquet(out)
+    got = {
+        r.source_file: r.n
+        for r in with_provenance(spark.read.parquet(out))
+        .groupBy("source_file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        f: n
+        for f, n in duckdb.sql(
+            "SELECT regexp_extract(filename, '[^/]+$') AS f, COUNT(*) AS n "
+            f"FROM read_parquet('{out}/*.parquet', filename=true) GROUP BY f"
+        ).fetchall()
+    }
+    assert got == want and len(got) == 5

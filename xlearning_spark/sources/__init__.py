@@ -67,6 +67,24 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def with_provenance(df: DataFrame, col: str = "source_file") -> DataFrame:
+    """Record-level provenance (S10 depth): tag every row with the
+    basename of the file it was scanned from (``input_file_name`` is
+    evaluated inside the scan task — a metadata column, not a join, so
+    it costs nothing at any scale).
+
+    For a training-data pipeline this is the lineage column everything
+    downstream keys on: which dump/shard contributed a document, which
+    files a near-dup cluster spans, what to re-ingest after an upstream
+    fix. Basename (not full URI) so the value is stable across
+    mounts/schemes — tests verify parity against an independent
+    engine's filename column on the same directory.
+    """
+    return df.withColumn(
+        col, F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+
+
 def table_exists(spark: SparkSession, path: str) -> bool:
     """Existence check that works for any Hadoop-visible path.
 

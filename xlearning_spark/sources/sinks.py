@@ -39,6 +39,68 @@ def write_csv(df: DataFrame, path: str, mode: str = "error", header: bool = True
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "error",
+) -> None:
+    """S6 layout-aware sink: range-partition on ``sort_cols`` and sort
+    within each file, so every output file covers a DISJOINT key range.
+
+    This is the data-layout half of scan locality at 100 TB: parquet
+    stores per-row-group min/max for every column, and a scan with a
+    predicate on ``sort_cols`` skips whole files/row-groups whose range
+    can't match (the storage-side complement of partition pruning —
+    effective for high-cardinality keys where one-directory-per-value
+    partitioning would explode). tests/test_skew_and_io.py asserts the
+    disjointness from the written footers.
+
+    ``num_files`` defaults to the current shuffle-partition setting;
+    size it as total_bytes / ~128 MB on a real dataset. Range
+    partitioning samples the key distribution, so skewed keys still
+    yield balanced files (contrast hash bucketing, which needs a
+    uniform key).
+    """
+    n = num_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_mb: int = 128,
+    mode: str = "error",
+) -> int:
+    """S6 maintenance sink: rewrite a small-file-fragmented dataset
+    into ~``target_file_mb`` files. Streaming ingest (one appended file
+    per micro-batch — e.g. streaming.neardup_ingest) fragments a
+    corpus into thousands of tiny files whose per-file open/footer cost
+    eventually dominates scans; periodic compaction is how a 100 TB
+    corpus stays scannable. File count is computed from the ACTUAL
+    on-disk byte size (Hadoop FS API, any scheme), not row counts, so
+    wide and narrow schemas both land near the target size. Returns
+    the number of files written.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(src).repartition(n).write.mode(mode).parquet(dst)
+    return n
+
+
 def is_committed(path: str, spark=None) -> bool:
     """S8: job-commit check — the ``_SUCCESS`` marker the reference's
     AM writes after the staging rename (ApplicationMaster.java:3128).
