@@ -364,3 +364,51 @@ def test_hyperplane_signature_dim_mismatch_raises(spark):
     df = spark.createDataFrame([(1, [0.1, 0.2])], ["vec_id", "embedding"])
     with pytest.raises(PySparkException, match="dim=64"):
         hyperplane_signature(df, "embedding", dim=64).collect()
+
+
+# ---------------------------------------------- L4/L6: bigram-LM quality
+
+def test_lm_scores_rank_templated_above_shuffled(spark):
+    # A doc made of the corpus's most common bigrams must score higher
+    # (more probable) than a doc of rare/unseen bigram transitions —
+    # the ordering CCNet-style perplexity filtering relies on.
+    from xlearning_spark.operators.text import lm_bigram_scores
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(20)]
+        + [(100 + i, f"doc number {i} talks about topic {i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame(
+        [(1000, "the cat sat on the mat"), (1001, "mat the on cat sat the")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.lm_logp
+        for r in lm_bigram_scores(probe, train_df=train).collect()
+    }
+    assert got[1000] > got[1001]
+
+
+def test_lm_scores_out_of_corpus_unseen_bigrams(spark):
+    # Scoring docs the LM never saw must be well-defined (add-k mass),
+    # strictly below any seen bigram's probability, and short docs
+    # (< 2 tokens) must drop out rather than emit null scores.
+    import math
+
+    from xlearning_spark.operators.text import lm_bigram_scores
+
+    train = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)], ["doc_id", "text"]
+    )
+    probe = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "zz qq"), (3, "alpha"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in lm_bigram_scores(probe, train_df=train).collect()}
+    assert set(rows) == {1, 2}  # 3 has one token, 4 is null text
+    assert rows[1].n_bigrams == 1 and rows[2].n_bigrams == 1
+    assert rows[2].lm_logp < rows[1].lm_logp
+    # Unseen bigram with unseen context: p = k / (k*V) = 1/V exactly.
+    v = 4  # alpha beta gamma delta
+    assert abs(rows[2].lm_logp - round(math.log(1 / v), 4)) < 1e-9

@@ -94,6 +94,82 @@ def quality_score(text_col: str = "text") -> Column:
     return F.round(score, 6)
 
 
+def lm_bigram_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """Statistical-LM quality scoring (L4/L6): per-document mean bigram
+    log-probability under an add-k-smoothed bigram language model — the
+    CCNet/Gopher-style "perplexity filter" (Wenzek et al., "CCNet",
+    LREC 2020 — public paper; docs whose token stream the corpus LM
+    finds improbable are boilerplate/garbage candidates; very probable
+    ones are templated repetition). Everything is count arithmetic +
+    one ln per bigram, so the score is engine-replayable (q89 oracle).
+
+    Model: p(tok|prev) = (c(prev,tok) + k) / (c(prev) + k*V), trained
+    on ``train_df`` (default: the scored corpus itself) with V = the
+    TRAINING vocabulary size; unseen bigrams/contexts fall back to the
+    smoothing mass, so scoring out-of-corpus docs is well-defined.
+
+    100 TB shape: one keyed-window shuffle builds each side's bigram
+    stream; the LM is two hash-aggs whose result is bounded by the
+    corpus's DISTINCT bigram count (vocab-shaped, not corpus-shaped —
+    prune to top-N contexts before broadcast in a production LM);
+    scoring is a join on (prev, tok) + one per-doc agg. No UDFs.
+
+    Returns (id_col, n_bigrams, lm_logp): docs with < 2 tokens drop
+    out (no bigram evidence — filter them with the length-based
+    quality_score instead).
+    """
+
+    def bigrams(src: DataFrame, with_id: bool) -> DataFrame:
+        t = src.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(tokens(text_col)).alias("__pos", "prev"),
+        )
+        w = Window.partitionBy("__id").orderBy("__pos")
+        out = t.withColumn("tok", F.lead("prev").over(w)).filter(
+            F.col("tok").isNotNull()
+        )
+        return out.select("__id", "prev", "tok") if with_id else out.select(
+            "prev", "tok"
+        )
+
+    train = train_df if train_df is not None else df
+    train_bi = bigrams(train, with_id=False)
+    c2 = train_bi.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("__n2"))
+    c1 = c2.groupBy("prev").agg(F.sum("__n2").alias("__n1"))
+    vocab = (
+        train.select(F.explode(tokens(text_col)).alias("__t"))
+        .agg(F.countDistinct("__t").alias("__v"))
+    )
+
+    scored = (
+        bigrams(df, with_id=True)
+        .join(c2, ["prev", "tok"], "left")
+        .join(c1, "prev", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__lp",
+            F.log(
+                (F.coalesce(F.col("__n2"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("__n1"), F.lit(0)) + F.lit(k) * F.col("__v"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("__lp"), 4).alias("lm_logp"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
 # --------------------------------------------------------------------
 # L4: document fingerprinting — winnowing over a rolling k-gram hash
 # (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document

@@ -124,6 +124,7 @@ GRADED_SPARES = [
     "q84_multimodal_gif",          # L5 real GIF/LZW decode (r5; family certified by q69/q82)
     "q87_portable_simhash",        # L2 hash-certified portable SimHash (r5; q85/q86 hold window slots)
     "q88_portable_approx_percentile",  # A6 hash-certified sampled percentiles (r5; completes the portable-sketch tier)
+    "q89_lm_quality",              # L4/L6 CCNet-style bigram-LM perplexity filter (r5)
     "q81_term_salience",           # L4 tf x 1/df keyword extraction
 ]
 

@@ -1215,3 +1215,42 @@ def q81_term_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= 5
     ).select("doc_id", "term", "tf", "df", "salience", "rank")
+
+
+@query(
+    "q89_lm_quality",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+bi AS (
+  SELECT t.doc_id, t.w[u.i] AS prev, t.w[u.i + 1] AS tok
+  FROM t, unnest(range(1, len(t.w))) AS u(i)
+  WHERE len(t.w) >= 2
+),
+c2 AS (SELECT prev, tok, COUNT(*) AS n2 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT prev, SUM(n2) AS n1 FROM c2 GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT tok) AS nv
+      FROM (SELECT unnest(w) AS tok FROM t)),
+s AS (
+  SELECT bi.doc_id,
+         ln((c2.n2 + 0.5) / (c1.n1 + 0.5 * v.nv)) AS lp
+  FROM bi JOIN c2 USING (prev, tok) JOIN c1 USING (prev) CROSS JOIN v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(lp), 4) AS lm_logp
+FROM s GROUP BY doc_id
+""",
+    tags=("llm", "L4", "L6", "lm", "quality"),
+    doc="Statistical-LM quality scoring (CCNet-style perplexity "
+    "filter, Wenzek et al. LREC 2020): per-document mean bigram "
+    "log-probability under an add-k bigram LM trained on the corpus "
+    "itself (operators/text.lm_bigram_scores). The model is count "
+    "arithmetic + one ln per bigram, so the DuckDB oracle replays it "
+    "end-to-end; the per-doc AVERAGE is rounded to 4 decimals, which "
+    "absorbs last-ulp ln() differences between engines. Shape: one "
+    "keyed-window shuffle per bigram stream, two vocab-bounded "
+    "hash-aggs for the LM, a (prev,tok) join, one per-doc agg.",
+)
+def q89_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.text import lm_bigram_scores
+
+    return lm_bigram_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
