@@ -192,3 +192,47 @@ def test_hashed_string_path_parity(spark):
     assert sorted(map(tuple, ra), key=lambda t: [key(v) for v in t]) == sorted(
         map(tuple, rb), key=lambda t: [key(v) for v in t]
     )
+
+
+# ------------------------------------- temperature (alpha) mixture
+
+def test_temperature_sample_flattens_mixture(spark):
+    # alpha-smoothing must move domain shares TOWARD uniform: the
+    # dominant domain's share shrinks, the smallest domain's share
+    # grows, and tiny domains keep (nearly) everything (rate caps at 1).
+    from xlearning_spark.operators.corpus import temperature_source_sample
+
+    rows = (
+        [(i, "head") for i in range(8000)]
+        + [(10_000 + i, "mid") for i in range(1500)]
+        + [(20_000 + i, "tail") for i in range(120)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = temperature_source_sample(df, "doc_id", "source", budget_frac=0.5)
+    n = {r.source: r.n for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    tot = sum(n.values())
+    assert n["head"] / tot < 8000 / 9620  # head share strictly shrinks
+    assert n["tail"] / tot > 120 / 9620  # tail share strictly grows
+    assert n["tail"] >= 110  # near-total retention of the smallest domain
+    # Budget: kept total ~ budget_frac * N (rate caps push it slightly up)
+    assert 0.4 * 9620 < tot < 0.75 * 9620
+
+
+def test_temperature_sample_deterministic_and_partition_invariant(spark):
+    from xlearning_spark.operators.corpus import temperature_source_sample
+    from xlearning_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {
+        r.doc_id
+        for r in temperature_source_sample(
+            docs.repartition(1), "doc_id", "source", 0.5
+        ).select("doc_id").collect()
+    }
+    b = {
+        r.doc_id
+        for r in temperature_source_sample(
+            docs.repartition(17), "doc_id", "source", 0.5
+        ).select("doc_id").collect()
+    }
+    assert a == b and len(a) > 0

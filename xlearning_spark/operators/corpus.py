@@ -161,6 +161,91 @@ def weighted_source_sample(
     )
 
 
+#: Denominator of the 32-bit integer sampling threshold (2^32).
+_THR_DEN = 1 << 32
+
+
+def temperature_source_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    budget_frac: float,
+    salt: str = "temp",
+    threshold_col: str | None = None,
+) -> DataFrame:
+    """Temperature-smoothed domain resampling: the multilingual/
+    multi-domain "alpha sampling" recipe (exponential smoothing of
+    domain shares, as in mBERT/XLM-R's alpha-smoothed language
+    sampling — public papers) with alpha = 0.5, computed entirely
+    inside the engine from the corpus's own counts.
+
+    Smoothing flattens the mixture: target share q_d ∝ share_d^0.5,
+    so dominant domains are down-sampled and small domains keep
+    (nearly) everything — the standard fix for head-domain dominance
+    in web corpora. Per-domain keep rate:
+
+        r_d = min(1, budget_frac * N * q_d / n_d),
+        q_d = sqrt(n_d) / Σ_d sqrt(n_d)
+
+    Rows are kept by the same deterministic md5 hash as
+    :func:`hash_sample`, compared against ``floor(r_d * 2^32)`` — an
+    INTEGER threshold, so a last-ulp difference in another engine's
+    float sum cannot flip a row's verdict unless it crosses a whole
+    integer (~1e-6 probability), which is what makes the operator
+    hash-certifiable (q90). alpha is fixed at 0.5 because sqrt is
+    correctly rounded in IEEE-754 (bit-identical across engines);
+    arbitrary-alpha pow() carries no such guarantee.
+
+    Shape at 100 TB: one tiny per-source count agg, rates broadcast
+    back, one map-side filter — the corpus never shuffles. Note
+    r_d caps at 1: true up-sampling (repeating small-domain docs)
+    is epoch replication (operators/sharding.epoch_replay), not
+    Bernoulli sampling.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    stats = counts.agg(
+        F.sum("__cnt").alias("__tot"), F.sum(F.sqrt("__cnt")).alias("__ssum")
+    )
+    rates = counts.crossJoin(F.broadcast(stats)).select(
+        source_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac)
+                * F.col("__tot")
+                * (F.sqrt("__cnt") / F.col("__ssum"))
+                / F.col("__cnt"),
+            )
+            * F.lit(float(_THR_DEN))
+        ).alias("__thr"),
+    )
+    h = F.conv(hash_bucket(id_col, salt), 16, 10).cast("long")
+    out = (
+        df.join(F.broadcast(rates), source_col)
+        .filter(h < F.col("__thr"))
+    )
+    if threshold_col is not None:
+        return out.withColumnRenamed("__thr", threshold_col)
+    return out.drop("__thr")
+
+
+def oracle_temperature_thr(source_expr: str, from_clause: str, budget_frac: float) -> str:
+    """DuckDB replay of :func:`temperature_source_sample`'s per-source
+    integer threshold — identical expression nesting so every rounding
+    step matches. Yields (source, __thr) as a subquery."""
+    return f"""(
+WITH __c AS (SELECT {source_expr} AS __src, COUNT(*) AS __cnt
+             FROM {from_clause} GROUP BY 1),
+__t AS (SELECT SUM(__cnt) AS __tot, SUM(sqrt(__cnt)) AS __ssum FROM __c)
+SELECT __src, CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+         CAST({budget_frac!r} AS DOUBLE) * __tot * (sqrt(__cnt) / __ssum)
+         / __cnt)
+         * CAST({float(_THR_DEN)!r} AS DOUBLE))
+       AS BIGINT) AS __thr
+FROM __c CROSS JOIN __t
+)"""
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

@@ -125,6 +125,7 @@ GRADED_SPARES = [
     "q87_portable_simhash",        # L2 hash-certified portable SimHash (r5; q85/q86 hold window slots)
     "q88_portable_approx_percentile",  # A6 hash-certified sampled percentiles (r5; completes the portable-sketch tier)
     "q89_lm_quality",              # L4/L6 CCNet-style bigram-LM perplexity filter (r5)
+    "q90_mixture_temperature",     # corpus alpha-sampling (temperature mixture, integer-threshold certified, r5)
     "q81_term_salience",           # L4 tf x 1/df keyword extraction
 ]
 

@@ -286,3 +286,58 @@ def q77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "source", "doc_id", k=5, salt="strat"
     )
     return d.select("source", "doc_id", "sample_rank")
+
+
+def _q90_oracle() -> str:
+    from xlearning_spark.operators.corpus import oracle_temperature_thr
+
+    thr = oracle_temperature_thr("source", "documents", 0.5)
+    h = f"('0x' || {oracle_hash_bucket('doc_id', 'temp')})::UBIGINT"
+    return f"""
+WITH thr AS {thr},
+kept AS (
+  SELECT d.source, thr.__thr, COUNT(*) AS n_kept
+  FROM documents d JOIN thr ON d.source = thr.__src
+  WHERE {h} < thr.__thr
+  GROUP BY 1, 2
+),
+tot AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY 1)
+SELECT t.source, t.n_total, k.__thr AS thr, k.n_kept
+FROM tot t JOIN kept k USING (source)
+ORDER BY t.source
+"""
+
+
+@query(
+    "q90_mixture_temperature",
+    oracle=_q90_oracle(),
+    tags=("corpus", "mixture", "temperature"),
+    doc="Temperature-smoothed domain resampling (alpha = 0.5), the "
+    "mBERT/XLM-R alpha-sampling recipe computed from the corpus's own "
+    "counts: target share ∝ sqrt(domain share), per-source keep rate "
+    "min(1, budget*N*q_d/n_d), rows kept by the deterministic md5 "
+    "hash against floor(rate * 2^32) — an INTEGER threshold, so both "
+    "engines keep the identical row set even though the rate math "
+    "crosses a float sum (operators/corpus.temperature_source_sample; "
+    "alpha fixed at 0.5 because IEEE sqrt is correctly rounded, "
+    "unlike pow). Output is per-source totals, thresholds and kept "
+    "counts — all integers, fully hash-certified. Shape: tiny count "
+    "agg + broadcast rates + map-side filter; the corpus never "
+    "shuffles.",
+)
+def q90_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.corpus import temperature_source_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_source_sample(
+        docs, "doc_id", "source", 0.5, salt="temp", threshold_col="thr"
+    )
+    kept_counts = kept.groupBy("source", "thr").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        totals.join(kept_counts, "source")
+        .select("source", "n_total", "thr", "n_kept")
+        .orderBy("source")
+    )
