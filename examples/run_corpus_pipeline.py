@@ -4,10 +4,12 @@ ApplicationMaster.java:971-1041), run end-to-end as Spark operators:
 
   1. deterministic train/val/test split (hash-keyed, layout-independent)
   2. domain mixture (per-source sampling rates, broadcast weights)
-  3. near-dup sweep (exact-Jaccard pairs -> components -> keep min-id)
-  4. benchmark decontamination (int-shingle stream vs broadcast eval set)
-  5. PII redaction (map-only regex scan)
-  6. token packing into fixed context windows (per-shard window)
+     + temperature (alpha=0.5) resampling computed from corpus counts
+  3. LM quality filter (bigram perplexity, CCNet-style)
+  4. near-dup sweep (exact-Jaccard pairs -> components -> keep min-id)
+  5. benchmark decontamination (int-shingle stream vs broadcast eval set)
+  6. PII redaction (map-only regex scan)
+  7. token packing into fixed context windows (per-shard window)
 
 Every stage is a pure DataFrame transform: the pipeline composes
 lazily and Catalyst plans the whole thing; nothing collects until the
@@ -33,9 +35,11 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
         deterministic_split,
         pack_token_chunks,
         pii_stats,
+        temperature_source_sample,
         weighted_source_sample,
     )
     from xlearning_spark.operators.dedup import connected_components
+    from xlearning_spark.operators.text import lm_bigram_scores
     from xlearning_spark.queries.llm import q42_jaccard_pairs
     from xlearning_spark.sources import read_table
 
@@ -46,20 +50,32 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
     split = deterministic_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     print("split counts:", dict(split.groupBy("split").count().collect()))
 
-    # 2. domain mixture: downweight even-numbered sources.
+    # 2. domain mixture: downweight even-numbered sources...
     weights = {f"src{i}": (0.5 if i % 2 == 0 else 1.0) for i in range(20)}
     mixed = weighted_source_sample(split.filter(F.col("split") == "train"),
                                    "doc_id", "source", weights)
     print("mixture kept:", mixed.count(), "of", split.filter(F.col("split") == "train").count())
+    # ...or let the engine derive the recipe: alpha-smoothed rates
+    # computed from the corpus's own per-source counts (q90 semantics).
+    tempered = temperature_source_sample(mixed, "doc_id", "source", 0.9)
+    print("temperature-resampled:", tempered.count())
 
-    # 3. near-dup sweep: drop every non-keeper member of a dup group.
+    # 3. LM quality filter: drop the least-probable tail under a
+    # corpus-trained bigram LM (CCNet-style perplexity filtering).
+    scores = lm_bigram_scores(tempered, "doc_id", "text", train_df=docs)
+    cutoff = scores.agg(F.expr("percentile(lm_logp, 0.05)")).collect()[0][0]
+    keep_ids = scores.filter(F.col("lm_logp") >= cutoff).select("doc_id")
+    mixed = tempered.join(keep_ids, "doc_id", "left_semi")
+    print(f"after LM quality filter (cutoff {cutoff:.3f}):", mixed.count())
+
+    # 4. near-dup sweep: drop every non-keeper member of a dup group.
     pairs = q42_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
     comps = connected_components(pairs)
     losers = comps.filter(F.col("id") != F.col("component")).select("id")
     swept = mixed.join(F.broadcast(losers), mixed.doc_id == losers.id, "left_anti")
     print("after near-dup sweep:", swept.count())
 
-    # 4. decontamination vs a held-out "benchmark" slice.
+    # 5. decontamination vs a held-out "benchmark" slice.
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     flagged = decontaminate(swept, ev, n=2, threshold=0.1)
     swept = swept.join(
@@ -69,10 +85,10 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
     )
     print("decontaminated:", swept.count(), f"(flagged {flagged.count()})")
 
-    # 5. PII scrub (map-only).
+    # 6. PII scrub (map-only).
     clean = pii_stats(swept, "text").drop("text").withColumnRenamed("redacted", "text")
 
-    # 6. pack into 512-token context windows per source shard.
+    # 7. pack into 512-token context windows per source shard.
     packed = pack_token_chunks(
         clean.withColumn("nt", token_count("text")), "source", "doc_id", "nt", 512
     )
