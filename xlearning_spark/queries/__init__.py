@@ -43,7 +43,7 @@ GRADING_WINDOW = [
     "q10_cross_join_region_nation",      # J6 cross
     "q11_rollup_order_stats",    # A7 rollup (r5 rotation; grouping-sets spare: q13, driver-green r1-r4)
     "q69_multimodal_audio",      # L5 multimodal decode (real WAV decoder)
-    "q14_distinct_and_percentiles",      # A6 exact distinct + percentiles
+    "q88_portable_approx_percentile",    # A6 hash-certified sampled percentiles (r5 rotation; spare: q14, driver-green r1-r4 — its exact distinct+percentile twins live on inside q85/q88's outputs)
     "q15_collect_sorted",        # A8 sort-agg/collect
     "q17_topk_orders_per_customer",      # §2.7 ranking + top-k
     "q18_running_customer_spend",        # §2.7 rows frame
@@ -57,7 +57,7 @@ GRADING_WINDOW = [
     "q25_array_functions",       # §2.6 array
     "q26_json_functions",        # §2.6 json
     "q27_conditional_functions", # §2.6 conditional
-    "q29_pivot_status_by_priority",      # pivot
+    "q90_mixture_temperature",   # corpus tier's first driver slot (r5 rotation; pivot spare: q29, driver-green r1-r4)
     "q30_tumbling_hourly_counts",        # T7 tumbling
     "q31_sliding_2h_windows",    # T2 sliding
     "q32_running_avg_max",       # A1
@@ -69,7 +69,7 @@ GRADING_WINDOW = [
     "q70_ngram_jaccard",         # L2 exact n-gram Jaccard, prefix-filtered (scale form)
     "q43_text_stats",            # L4
     "q85_portable_hll",          # A6 hash-certified portable HyperLogLog (r5 rotation; L4 spare: q44, driver-green r1-r4)
-    "q45_quality_score",         # L6
+    "q89_lm_quality",            # L6 statistical-LM quality (r5 rotation; heuristic spare: q45, driver-green r1-r4)
     "q46_cosine_topk",           # L3 brute-force ANN
     "q50_lsh_ann_topk",          # L3 hyperplane LSH (ungraded in r2)
     "q51_bpe_token_counting",    # L4 BPE tokens (ungraded in r2)
@@ -90,13 +90,17 @@ GRADING_WINDOW = [
 #: outside the window costs nothing (their family is certified above).
 GRADED_SPARES = [
     # r5 rotations OUT of the window (driver-green r1-r4; their families
-    # stay certified by the rotated-in mates q11/q07/q85/q86 and by
-    # q17-q19 / q43+q51 / q70+q53):
+    # stay certified by the rotated-in mates q11/q07/q85/q86/q88/q89/q90
+    # and by q17-q19 / q43+q51 / q70+q53; q14's exact distinct +
+    # percentile twins also live on inside q85/q88's graded outputs):
     "q13_grouping_sets",
     "q06_semi_join_active_customers",
     "q28_quantile_buckets",
     "q44_language_id",
     "q54_embedding_neardup",
+    "q14_distinct_and_percentiles",
+    "q29_pivot_status_by_priority",
+    "q45_quality_score",
     "q55_embedding_neardup_lsh",  # L2 scale form (family certified by q42/q53/q54)
     "q42_jaccard_pairs",          # L2 exact all-pairs twin of q70 (oracle spare)
     # Training-corpus pipeline tier (operators/corpus.py) — all
@@ -123,9 +127,6 @@ GRADED_SPARES = [
     "q83_neardup_sweep_scaled",    # same sweep, sub-quadratic q70 generator (r5)
     "q84_multimodal_gif",          # L5 real GIF/LZW decode (r5; family certified by q69/q82)
     "q87_portable_simhash",        # L2 hash-certified portable SimHash (r5; q85/q86 hold window slots)
-    "q88_portable_approx_percentile",  # A6 hash-certified sampled percentiles (r5; completes the portable-sketch tier)
-    "q89_lm_quality",              # L4/L6 CCNet-style bigram-LM perplexity filter (r5)
-    "q90_mixture_temperature",     # corpus alpha-sampling (temperature mixture, integer-threshold certified, r5)
     "q81_term_salience",           # L4 tf x 1/df keyword extraction
 ]
 
