@@ -200,7 +200,9 @@ def temperature_source_sample(
     back, one map-side filter — the corpus never shuffles. Note
     r_d caps at 1: true up-sampling (repeating small-domain docs)
     is epoch replication (operators/sharding.epoch_replay), not
-    Bernoulli sampling.
+    Bernoulli sampling. Rows with a NULL ``source_col`` are dropped
+    (the rates equi-join never matches null) — bucket them into a
+    sentinel domain first if they should participate.
     """
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__cnt"))
     stats = counts.agg(

@@ -486,6 +486,14 @@ def streaming_hll_distinct(
     final state is EXACTLY the batch sketch of the full history — the
     stream==batch equality asserted in tests is exact, not tolerant.
 
+    Pair ``state_dir`` with its ``checkpoint_dir`` for the stream's
+    lifetime: a fresh checkpoint restarts batch numbering at 0, whose
+    version dirs then sort below the old run's. Even then every
+    committed version is a VALID sketch (merges are monotone and the
+    replayed history re-merges the old state), but readers see the old
+    run's last version until the new numbering passes it — start a new
+    state_dir alongside a new checkpoint to avoid the stale window.
+
     Read the current estimate with :func:`hll_state_estimate`.
     """
     from xlearning_spark.operators.sketch import hll_registers, merge_hll_registers
