@@ -51,6 +51,11 @@ HEADLINE = [
     "q74_decontamination",
     "q80_neardup_sweep",
     "q83_neardup_sweep_scaled",
+    # r5 session 2: bigram-LM quality scoring — keyed-window bigram
+    # streams + a (prev,tok) join against the vocab-bounded LM; the
+    # Caesar replicas multiply the vocab per replica, so the LM table
+    # grows linearly too (worst case for the join side).
+    "q89_lm_quality",
 ]
 
 #: Per-query extra factors beyond the CLI list: the queries probed
@@ -208,6 +213,14 @@ instability: stage counts and shuffle volumes are identical across
 runs. Probed with 5-run medians (all queries) + an inter-query GC nudge
 since r5; the stable headline is the RATIO between generators, not
 any single cell.
+
+q89 (bigram-LM quality) note (r5): 0.94 / 1.05 / 1.25 s at 1/4/8x —
+sublinear on idle-slot absorption, as expected for its shape (keyed
+window per bigram stream + a (prev,tok) join whose LM side is
+vocab-bounded). The Caesar replicas grow the vocab linearly with the
+factor — the LM join side's worst case — and the curve stays flat;
+at 100 TB the LM table is pruned to top-N contexts before broadcast,
+making the join side constant.
 
 IVF build/probe split (round 5, r4 verdict item 3): sf0.1 embeddings
 (2000 x 64d), local[32], 3-run medians — build_ivf_index (KMeans fit +
