@@ -204,6 +204,79 @@ def test_mpi_command_and_env(tmp_path):
     assert f"{install}/lib/openmpi" in cenv["LD_LIBRARY_PATH"]
 
 
+def test_horovod_command_and_flags(tmp_path):
+    # launchHorovodExec twin (ApplicationMaster.java:1794-1857): argv
+    # ordering, :slots host suffixes, -x flag forwarding, env assembly —
+    # execed end-to-end through a stub mpirun.
+    import subprocess
+
+    from xlearning_spark.ml import horovod_command, horovod_flags
+
+    install = tmp_path / "openmpi"
+    (install / "bin").mkdir(parents=True)
+    stub = install / "bin" / "mpirun"
+    stub.write_text('#!/bin/sh\nprintf \'%s\\n\' "$@"\n')
+    stub.chmod(0o755)
+
+    # readHorovodConfig twin: every knob becomes its -x pair, defaults off.
+    assert horovod_flags() == []
+    assert horovod_flags(mpi_threads_disable=True) == [
+        "-x",
+        "HOROVOD_MPI_THREADS_DISABLE=1",
+    ]
+    flags = horovod_flags(
+        timeline="/tmp/tl.json",
+        fusion_threshold=67108864,
+        cycle_time=5,
+        stall_check_disable=True,
+        hierarchical_allreduce=True,
+    )
+    assert flags[flags.index("-x", 0) + 1] == "HOROVOD_TIMELINE=/tmp/tl.json"
+    assert "HOROVOD_FUSION_THRESHOLD=67108864" in flags
+    assert "HOROVOD_CYCLE_TIME=5" in flags
+    assert "HOROVOD_STALL_CHECK_DISABLE=1" in flags
+    assert "HOROVOD_HIERARCHICAL_ALLREDUCE=1" in flags
+
+    # ppw=1: bare hosts, -np = worker count (AM:1811-1818).
+    argv, env = horovod_command(
+        ["h1", "h2"], ["python", "train.py"], mpi_install_dir=str(install)
+    )
+    assert argv[0] == str(install / "bin" / "mpirun")
+    assert argv[1:5] == ["-np", "2", "-H", "h1,h2"]
+    assert argv[-2:] == ["python", "train.py"]
+    # fixed reference tail, in order (AM:1826)
+    tail = " ".join(argv[5:-2])
+    assert tail == (
+        "-bind-to none -map-by slot -x NCCL_DEBUG=INFO -x LD_LIBRARY_PATH "
+        "-x PATH -mca pml ob1 -mca btl ^openib -mca btl_tcp_if_include "
+        "10.0.0.0/8"
+    )
+    assert env["OPAL_PREFIX"] == str(install)
+    assert env["LD_LIBRARY_PATH"] == f"{install}/lib"
+
+    # ppw=4: host:slots suffix, -np = workers*ppw; flags precede tail;
+    # extra LD path is prepended (AM:1799-1808).
+    argv4, env4 = horovod_command(
+        ["h1", "h2"],
+        ["python", "train.py"],
+        process_per_worker=4,
+        mpi_install_dir=str(install),
+        extra_ld_library_path="/opt/nccl/lib",
+        mpi_threads_disable=True,
+    )
+    assert argv4[1:5] == ["-np", "8", "-H", "h1:4,h2:4"]
+    assert argv4[5:7] == ["-x", "HOROVOD_MPI_THREADS_DISABLE=1"]
+    assert argv4[7:9] == ["-bind-to", "none"]
+    assert env4["LD_LIBRARY_PATH"] == f"/opt/nccl/lib:{install}/lib"
+
+    out = subprocess.run(
+        argv, env={**env, "PATH": "/usr/bin:/bin"}, capture_output=True, text=True
+    )
+    lines = out.stdout.splitlines()
+    assert lines[:4] == ["-np", "2", "-H", "h1,h2"]
+    assert lines[-2:] == ["python", "train.py"]
+
+
 def test_build_mpi_hosts(spark):
     from xlearning_spark.ml import build_mpi_hosts
 

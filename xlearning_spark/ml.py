@@ -378,6 +378,108 @@ def mpi_command(
     return argv, env
 
 
+def horovod_flags(
+    mpi_threads_disable: bool = False,
+    timeline: str | None = None,
+    fusion_threshold: int | None = None,
+    cycle_time: int | None = None,
+    stall_check_disable: bool = False,
+    hierarchical_allreduce: bool = False,
+) -> list[str]:
+    """E4 Horovod-tuning twin of the reference AM's ``readHorovodConfig``
+    (ApplicationMaster.java:1767-1791): each enabled knob becomes an
+    ``-x HOROVOD_*=value`` pair forwarded through mpirun to every rank.
+    Returns a flat argv fragment (``["-x", "HOROVOD_...=...", ...]``).
+    """
+    flags: list[str] = []
+    if mpi_threads_disable:
+        flags += ["-x", "HOROVOD_MPI_THREADS_DISABLE=1"]
+    if timeline is not None:
+        flags += ["-x", f"HOROVOD_TIMELINE={timeline}"]
+    if fusion_threshold is not None:
+        flags += ["-x", f"HOROVOD_FUSION_THRESHOLD={fusion_threshold}"]
+    if cycle_time is not None:
+        flags += ["-x", f"HOROVOD_CYCLE_TIME={cycle_time}"]
+    if stall_check_disable:
+        flags += ["-x", "HOROVOD_STALL_CHECK_DISABLE=1"]
+    if hierarchical_allreduce:
+        flags += ["-x", "HOROVOD_HIERARCHICAL_ALLREDUCE=1"]
+    return flags
+
+
+def horovod_command(
+    hosts: list[str],
+    command: list[str],
+    process_per_worker: int = 1,
+    mpi_install_dir: str = "/usr/local/openmpi",
+    extra_ld_library_path: str | None = None,
+    btl_tcp_if_include: str = "10.0.0.0/8",
+    **flag_kwargs,
+) -> tuple[list[str], dict[str, str]]:
+    """E4 Horovod-launch twin: the ``mpirun`` argv + env the reference
+    AM assembles for Horovod jobs (``launchHorovodExec``,
+    ApplicationMaster.java:1794-1857).
+
+    Reproduced contract, in the reference's argument order:
+    ``mpirun -np <workers*ppw> -H h1[:ppw],h2[:ppw],...`` (host gets a
+    ``:slots`` suffix only when ``process_per_worker > 1``, :1811-1818),
+    then the :func:`horovod_flags` ``-x`` pairs (:1820-1825), then the
+    fixed tail ``-bind-to none -map-by slot -x NCCL_DEBUG=INFO
+    -x LD_LIBRARY_PATH -x PATH -mca pml ob1 -mca btl ^openib
+    -mca btl_tcp_if_include <cidr>`` (:1826), then the user command.
+    Env: LD_LIBRARY_PATH = extra : <install>/lib : inherited
+    (:1799-1808), PATH inherited — the reference prepends any user env;
+    callers merge their own on top.
+
+    ``flag_kwargs`` are forwarded to :func:`horovod_flags`.
+    """
+    if not hosts:
+        raise ValueError("horovod needs at least one host")
+    if process_per_worker < 1:
+        raise ValueError("process_per_worker must be >= 1")
+    if process_per_worker == 1:
+        host_list = ",".join(hosts)
+    else:
+        host_list = ",".join(f"{h}:{process_per_worker}" for h in hosts)
+    argv = [
+        f"{mpi_install_dir}/bin/mpirun",
+        "-np",
+        str(len(hosts) * process_per_worker),
+        "-H",
+        host_list,
+        *horovod_flags(**flag_kwargs),
+        "-bind-to",
+        "none",
+        "-map-by",
+        "slot",
+        "-x",
+        "NCCL_DEBUG=INFO",
+        "-x",
+        "LD_LIBRARY_PATH",
+        "-x",
+        "PATH",
+        "-mca",
+        "pml",
+        "ob1",
+        "-mca",
+        "btl",
+        "^openib",
+        "-mca",
+        "btl_tcp_if_include",
+        btl_tcp_if_include,
+        *command,
+    ]
+    ld_parts = []
+    if extra_ld_library_path:
+        ld_parts.append(extra_ld_library_path)
+    ld_parts.append(f"{mpi_install_dir}/lib")
+    env = {
+        "OPAL_PREFIX": mpi_install_dir,
+        "LD_LIBRARY_PATH": ":".join(ld_parts),
+    }
+    return argv, env
+
+
 def build_mpi_hosts(spark, n_workers: int) -> list[str]:
     """Assemble the MPI host list from a barrier stage — the Spark
     analogue of the reference AM's acquired-container walk
