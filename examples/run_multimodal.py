@@ -1,11 +1,12 @@
 """Multimodal columns demo (L5): binary ingest -> magic-byte typing ->
-real decode (BMP pixels, PNG zlib scanlines, GIF LZW, WAV PCM
-samples) -> frame sampling.
+real decode (BMP pixels, PNG zlib scanlines, GIF LZW, baseline JPEG
+Huffman+IDCT, WAV PCM samples) -> frame sampling.
 
 The pipeline shape is the 100 TB one: binaryFile scan, JVM-side type
 sniffing, and map-only Arrow-batched decode stages that scale with
-executor count. BMP/PNG/GIF/WAV are decoded for real (stdlib only);
-codec-library formats (JPEG/MP3/video) fall back to the declared stub.
+executor count. BMP/PNG/GIF/JPEG/WAV are decoded for real
+(stdlib+numpy only); codec-library formats (progressive JPEG, MP3,
+video) fall back to the declared stub.
 """
 
 from __future__ import annotations
@@ -86,6 +87,37 @@ def _gif(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     return bytes(out)
 
 
+def _jpeg(luma: int) -> bytes:
+    # Minimal baseline JPEG: one 8x8 grayscale block, DC-only, custom
+    # 1-symbol-per-length Huffman tables. DC quant step 8 => every
+    # pixel decodes to exactly luma (stored coefficient luma - 128).
+    dc = luma - 128
+    t = abs(dc).bit_length()
+    quant = [8] + [16] * 63
+    zz = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+    # DC table: categories 0-7 at 3 bits (codes 0..7); AC: EOB at 1 bit.
+    dht_dc = bytes([0x00]) + bytes([0, 0, 8] + [0] * 13) + bytes(range(8))
+    dht_ac = bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00])
+    bits = (t << (t + 1)) | ((dc if dc > 0 else dc + (1 << t) - 1) << 1)
+    nbits = 3 + t + 1  # DC code + amplitude + 1-bit EOB (code 0)
+    pad = 8 - nbits % 8 if nbits % 8 else 0
+    scan = ((bits << pad) | ((1 << pad) - 1)).to_bytes((nbits + pad) // 8, "big")
+    out = b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        quant[zz[i]] for i in range(64)
+    )
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tbl in (dht_dc, dht_ac):
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(tbl)) + tbl
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    return out + scan + b"\xff\xd9"
+
+
 def main(spark, sf_dir: str = DEFAULT_SF) -> None:
     from xlearning_spark.operators import multimodal as mm
 
@@ -94,6 +126,7 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
         open(os.path.join(d, "blue.bmp"), "wb").write(_bmp(3, 3, (255, 0, 0)))
         open(os.path.join(d, "green.png"), "wb").write(_png(6, 5, (0, 200, 0)))
         open(os.path.join(d, "teal.gif"), "wb").write(_gif(7, 4, (0, 128, 128)))
+        open(os.path.join(d, "gray.jpg"), "wb").write(_jpeg(200))
         open(os.path.join(d, "tone.wav"), "wb").write(_wav(8000, 8192, 800))
         open(os.path.join(d, "note.txt"), "wb").write(b"not media")
 

@@ -599,3 +599,256 @@ def test_gif_skips_extensions_and_falls_back_when_malformed(spark):
     assert got["ok.gif"].n_channels == 3
     # truncated payload: stub path (8-element digest feature), no crash
     assert len(got["trunc.gif"].feature) == 8
+
+
+# --------------------------------------------------------------------
+# JPEG (baseline sequential, ITU-T.81) — real decoder tests
+# --------------------------------------------------------------------
+
+#: Annex K.3.3.1 standard DC luminance Huffman spec (counts, symbols) —
+#: multi-length canonical table, exercising the general Annex-C builder
+#: (q91's fixture uses single-length custom tables).
+_DC_K3 = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+#: Compact mixed-length AC table (valid canonical: 2+1+2 codes at
+#: lengths 2/3/4): EOB, (0,1), (1,1), ZRL, (0,2).
+_AC_MIX = ([0, 2, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+           [0x00, 0x01, 0x11, 0xF0, 0x02])
+
+_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _canon(counts, syms):
+    codes, code, i = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            codes[syms[i]] = (code, ln)
+            i += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def put(self, v, nb):
+        self.acc = (self.acc << nb) | (v & ((1 << nb) - 1))
+        self.n += nb
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self):
+        if self.n:
+            b = ((self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.acc = self.n = 0
+
+
+def _amp(v):
+    t = abs(v).bit_length()
+    return t, (v if v > 0 else v + (1 << t) - 1)
+
+
+def _make_jpeg(
+    w,
+    h,
+    comp_blocks,
+    quant=None,
+    dc_spec=_DC_K3,
+    ac_spec=_AC_MIX,
+    restart_interval=0,
+    sof_marker=0xC0,
+):
+    """General baseline JPEG encoder (test twin of the decoder):
+    ``comp_blocks`` is one list per component of per-block coefficient
+    dicts {zigzag_pos: value} in MCU order; all components share one
+    quant table / Huffman pair (ids 0), 4:4:4 sampling."""
+    import struct
+
+    quant = quant or ([8] + [16] * 63)
+    dc_codes, ac_codes = _canon(*dc_spec), _canon(*ac_spec)
+    nc = len(comp_blocks)
+    nblocks = len(comp_blocks[0])
+
+    segs = bytearray(b"\xff\xd8")
+    qzz = bytes(quant[_ZZ[i]] for i in range(64))
+    segs += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qzz
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0])
+    segs += bytes([0xFF, sof_marker]) + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, (counts, syms) in ((0, dc_spec), (1, ac_spec)):
+        body = bytes([tc << 4]) + bytes(counts) + bytes(syms)
+        segs += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        segs += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    segs += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+    dc_pred = [0] * nc
+    rst = 0
+    for k in range(nblocks):
+        if restart_interval and k and k % restart_interval == 0:
+            bw.flush()
+            segs += bytes(bw.out) + bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            bw = _BitWriter()
+            dc_pred = [0] * nc
+        for c in range(nc):
+            coefs = comp_blocks[c][k]
+            dc = coefs.get(0, 0)
+            t, bitsv = _amp(dc - dc_pred[c])
+            dc_pred[c] = dc
+            code, ln = dc_codes[t]
+            bw.put(code, ln)
+            if t:
+                bw.put(bitsv, t)
+            prev = 0
+            for pos in sorted(p for p in coefs if p > 0):
+                run = pos - prev - 1
+                while run >= 16:
+                    code, ln = ac_codes[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                s, bitsv = _amp(coefs[pos])
+                code, ln = ac_codes[run << 4 | s]
+                bw.put(code, ln)
+                bw.put(bitsv, s)
+                prev = pos
+            if prev < 63:
+                code, ln = ac_codes[0x00]
+                bw.put(code, ln)
+    bw.flush()
+    segs += bytes(bw.out) + b"\xff\xd9"
+    return bytes(segs)
+
+
+def _ref_idct_block(coefs, quant):
+    """Independent reference reconstruction: direct cosine double-sum
+    (no matrix trick), for cross-checking the decoder's IDCT."""
+    import numpy as np
+
+    S = np.zeros((8, 8))
+    for pos, v in coefs.items():
+        u, x = divmod(pos if pos < 64 else 0, 8)  # natural index
+    # coefs keyed by ZIGZAG position -> natural (row, col)
+    S = np.zeros((8, 8))
+    for pos, v in coefs.items():
+        nat = _ZZ[pos]
+        S[nat // 8, nat % 8] = v * quant[nat]
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 2 ** -0.5 if u == 0 else 1.0
+                    cv = 2 ** -0.5 if v == 0 else 1.0
+                    s += (
+                        cu * cv * S[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[y, x] = s / 4 + 128
+    return out
+
+
+def test_jpeg_decodes_dc_ramp_and_ac_exactly(spark):
+    # 2x1-block grayscale: DC ramp across blocks + an AC(1,0) term in
+    # the second block. Expected pixels from the independent
+    # double-sum IDCT; means must match to float precision.
+    import numpy as np
+
+    quant = [8] + [16] * 63
+    blocks = [{0: -20}, {0: 31, 1: 2}]  # zigzag pos 1 = (u=0,v=1)
+    jp = _make_jpeg(16, 8, [blocks])
+    ref = np.concatenate(
+        [
+            np.clip(np.round(_ref_idct_block(b, quant)), 0, 255)
+            for b in blocks
+        ],
+        axis=1,
+    )
+    df = spark.createDataFrame([("r.jpg", jp)], ["path", "content"])
+    r = mm.decode_image(df).collect()[0]
+    assert r.media_type == "image/jpeg"
+    assert (r.width, r.height, r.n_channels) == (16, 8, 1)
+    assert abs(r.feature[0] - ref.mean() / 255.0) < 1e-12
+
+
+def test_jpeg_color_444_ycbcr_to_rgb(spark):
+    # 3-component 4:4:4, constant planes (DC-only): the BT.601
+    # conversion must reproduce the analytic RGB means.
+    import numpy as np
+
+    y0, cb0, cr0 = 120, 100, 150  # stored DC = value - 128 (quant 8 -> /8)
+    blocks = [
+        [{0: (y0 - 128) // 1}],
+        [{0: (cb0 - 128)}],
+        [{0: (cr0 - 128)}],
+    ]
+    # DC quant step is 8 and the encoder writes raw coefficients, so
+    # plane value = coef + 128: feed coef = value - 128 directly.
+    jp = _make_jpeg(8, 8, blocks)
+    exp = np.clip(
+        np.round(
+            [
+                y0 + 1.402 * (cr0 - 128),
+                y0 - 0.344136 * (cb0 - 128) - 0.714136 * (cr0 - 128),
+                y0 + 1.772 * (cb0 - 128),
+            ]
+        ),
+        0,
+        255,
+    )
+    df = spark.createDataFrame([("c.jpg", jp)], ["path", "content"])
+    r = mm.decode_image(df).collect()[0]
+    assert (r.width, r.height, r.n_channels) == (8, 8, 3)
+    assert [round(f, 10) for f in r.feature] == [
+        round(float(e) / 255.0, 10) for e in exp
+    ]
+
+
+def test_jpeg_restart_markers_reset_prediction(spark):
+    # DRI=1: every MCU is preceded by byte-aligned RSTn and DC
+    # prediction restarts from 0 — both encoder and decoder honor it.
+    blocks = [{0: 40}, {0: 40}, {0: -60}]
+    jp = _make_jpeg(24, 8, [blocks], restart_interval=1)
+    assert b"\xff\xd0" in jp and b"\xff\xd1" in jp
+    df = spark.createDataFrame([("rst.jpg", jp)], ["path", "content"])
+    r = mm.decode_image(df).collect()[0]
+    assert (r.width, r.height) == (24, 8)
+    exp = (128 + (40 + 40 - 60) / 3) / 255.0
+    assert abs(r.feature[0] - exp) < 1e-12
+
+
+def test_jpeg_progressive_and_malformed_fall_back_to_stub(spark):
+    # SOF2 (progressive) and truncated payloads take the declared-stub
+    # path (8-element digest feature), never crash.
+    prog = _make_jpeg(8, 8, [[{0: 10}]], sof_marker=0xC2)
+    trunc = _make_jpeg(8, 8, [[{0: 10}]])[:40]
+    df = spark.createDataFrame(
+        [("p.jpg", prog), ("t.jpg", trunc)], ["path", "content"]
+    )
+    got = {r.path: r for r in mm.decode_image(df).collect()}
+    assert len(got["p.jpg"].feature) == 8
+    assert len(got["t.jpg"].feature) == 8

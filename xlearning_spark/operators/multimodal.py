@@ -13,16 +13,18 @@ InputInfo.java:16-24; DOWNLOAD delivery HboxContainer.java:292-344):
 
 Decoding: BMP, PNG and GIF (images) and WAV/PCM (audio) are decoded
 FOR REAL — BMP/WAV are plain little-endian headers + raw payloads,
-PNG is zlib (Python stdlib) + the five per-scanline filters, and GIF
+PNG is zlib (Python stdlib) + the five per-scanline filters, GIF
 is a self-contained variable-width LZW decoder (the algorithm is in
-the GIF89a spec; ~40 lines, no codec library) — yielding true
-dimensions / sample rates and a numpy-computed feature (per-channel
-pixel mean; per-channel RMS).
-Formats that do need codec libraries (JPEG/MP3/video — not in this
-environment) fall back to a clearly marked STUB: the Spark-side
-plumbing (schema, batching, partitioning) is real and tested; the
-stub body is a deterministic fake keyed on the content hash. Swap
-``_fake_decode`` for a PIL/libav call in production.
+the GIF89a spec; ~40 lines, no codec library), and baseline JPEG is
+marker parsing + canonical Huffman (ITU-T.81 Annex C) + zigzag
+dequant + a numpy matrix IDCT — yielding true dimensions / sample
+rates and a numpy-computed feature (per-channel pixel mean;
+per-channel RMS).
+Formats that do need codec libraries (progressive JPEG, MP3, video —
+not in this environment) fall back to a clearly marked STUB: the
+Spark-side plumbing (schema, batching, partitioning) is real and
+tested; the stub body is a deterministic fake keyed on the content
+hash. Swap ``_fake_decode`` for a PIL/libav call in production.
 """
 
 from __future__ import annotations
@@ -369,10 +371,279 @@ def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                 return width, height, 3, [float(x) for x in means]
             return None
 
+        # Zigzag scan order (JPEG spec ITU-T.81 Figure A.6): entropy
+        # position k -> (row u, col v) of the 8x8 coefficient block.
+        _ZIGZAG = [
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+        ]
+
+        # 8x8 IDCT basis (ITU-T.81 A.3.3): A[u,x] = C(u)/2 *
+        # cos((2x+1)u*pi/16); spatial block = A.T @ S @ A.
+        _IDCT_A = np.array(
+            [
+                [
+                    (0.3535533905932738 if u == 0 else 0.5)
+                    * np.cos((2 * x + 1) * u * np.pi / 16)
+                    for x in range(8)
+                ]
+                for u in range(8)
+            ]
+        )
+
+        def decode_jpeg(content: bytes):
+            # REAL decoder, stdlib+numpy only: baseline sequential JPEG
+            # (ITU-T.81 / JFIF) — marker segments, 8-bit quant tables,
+            # canonical Huffman tables built per Annex C, byte-stuffed
+            # entropy stream with restart markers, zigzag dequant,
+            # matrix IDCT, level shift. Grayscale and 4:4:4 YCbCr
+            # (BT.601 to RGB); progressive (SOF2), 12-bit, arithmetic
+            # coding and subsampled chroma return None -> deterministic
+            # stub, same contract as the other decoders. Feature =
+            # per-channel pixel mean.
+            if content is None or len(content) < 4 or content[:2] != b"\xff\xd8":
+                return None
+            qt: dict[int, np.ndarray] = {}
+            huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+            sof = None
+            restart_interval = 0
+            pos = 2
+            scan_comps = None
+            while pos + 4 <= len(content):
+                if content[pos] != 0xFF:
+                    return None
+                marker = content[pos + 1]
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                if marker == 0xD9:
+                    return None  # EOI before SOS
+                seg_len = struct.unpack_from(">H", content, pos + 2)[0]
+                if seg_len < 2:
+                    return None
+                body = content[pos + 4 : pos + 2 + seg_len]
+                if marker == 0xDB:  # DQT
+                    i = 0
+                    while i < len(body):
+                        pq, tq = body[i] >> 4, body[i] & 15
+                        if pq != 0 or i + 65 > len(body):
+                            return None  # 16-bit tables / truncated
+                        tbl = np.zeros(64, np.int32)
+                        tbl[_ZIGZAG] = np.frombuffer(
+                            body[i + 1 : i + 65], np.uint8
+                        ).astype(np.int32)
+                        qt[tq] = tbl.reshape(8, 8)
+                        i += 65
+                elif marker == 0xC4:  # DHT -> canonical codes (Annex C)
+                    i = 0
+                    while i < len(body):
+                        if i + 17 > len(body):
+                            return None
+                        tc, th = body[i] >> 4, body[i] & 15
+                        counts = body[i + 1 : i + 17]
+                        if i + 17 + sum(counts) > len(body):
+                            return None
+                        syms = body[i + 17 : i + 17 + sum(counts)]
+                        table: dict[tuple[int, int], int] = {}
+                        code, si = 0, 0
+                        for ln in range(1, 17):
+                            for _ in range(counts[ln - 1]):
+                                table[(ln, code)] = syms[si]
+                                code += 1
+                                si += 1
+                            code <<= 1
+                        huff[(tc, th)] = table
+                        i += 17 + len(syms)
+                elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+                    if len(body) < 6:
+                        return None
+                    prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+                    if prec != 8 or not (1 <= nc <= 3) or len(body) < 6 + 3 * nc:
+                        return None
+                    comps = []
+                    for c in range(nc):
+                        cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                        if hv != 0x11:
+                            return None  # subsampled chroma unsupported
+                        comps.append((cid, tq))
+                    sof = (w, h, comps)
+                elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                    return None  # progressive / extended / arithmetic
+                elif marker == 0xDD:  # DRI
+                    if len(body) < 2:
+                        return None
+                    restart_interval = struct.unpack_from(">H", body, 0)[0]
+                elif marker == 0xDA:  # SOS -> entropy data follows
+                    if not body or len(body) < 1 + 2 * body[0]:
+                        return None
+                    ns = body[0]
+                    scan_comps = [
+                        (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15)
+                        for c in range(ns)
+                    ]
+                    pos += 2 + seg_len
+                    break
+                pos += 2 + seg_len
+            if sof is None or scan_comps is None:
+                return None
+            w, h, comps = sof
+            if w < 1 or h < 1 or len(scan_comps) != len(comps):
+                return None
+            tabsel = {}
+            for cid, dc_t, ac_t in scan_comps:
+                tabsel[cid] = (dc_t, ac_t)
+            for cid, tq in comps:
+                if (
+                    cid not in tabsel
+                    or tq not in qt
+                    or (0, tabsel[cid][0]) not in huff
+                    or (1, tabsel[cid][1]) not in huff
+                ):
+                    return None
+
+            data = content[pos:]
+
+            class _Bits:
+                # MSB-first reader over the byte-stuffed entropy stream:
+                # FF00 -> literal FF, FFD0-D7 -> restart (reset), any
+                # other FFxx terminates the scan.
+                def __init__(self, buf: bytes):
+                    self.buf, self.i, self.acc, self.n = buf, 0, 0, 0
+                    self.eos = False
+
+                def _fill(self) -> None:
+                    while self.n <= 24 and not self.eos:
+                        if self.i >= len(self.buf):
+                            self.eos = True
+                            break
+                        b = self.buf[self.i]
+                        if b == 0xFF:
+                            nxt = (
+                                self.buf[self.i + 1]
+                                if self.i + 1 < len(self.buf)
+                                else None
+                            )
+                            if nxt == 0x00:
+                                self.i += 2
+                            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                                self.eos = True  # consumed via restart()
+                                break
+                            else:
+                                self.eos = True
+                                break
+                        else:
+                            self.i += 1
+                        self.acc = (self.acc << 8) | b
+                        self.n += 8
+
+                def bits(self, k: int) -> int | None:
+                    if k == 0:
+                        return 0
+                    self._fill()
+                    if self.n < k:
+                        return None
+                    self.n -= k
+                    v = (self.acc >> self.n) & ((1 << k) - 1)
+                    self.acc &= (1 << self.n) - 1
+                    return v
+
+                def restart(self) -> bool:
+                    # Byte-align, expect RSTn, resume after it.
+                    self.acc, self.n = 0, 0
+                    if (
+                        self.i + 1 < len(self.buf)
+                        and self.buf[self.i] == 0xFF
+                        and 0xD0 <= self.buf[self.i + 1] <= 0xD7
+                    ):
+                        self.i += 2
+                        self.eos = False
+                        return True
+                    return False
+
+            def huff_decode(bits: _Bits, table) -> int | None:
+                code = 0
+                for ln in range(1, 17):
+                    b = bits.bits(1)
+                    if b is None:
+                        return None
+                    code = (code << 1) | b
+                    if (ln, code) in table:
+                        return table[(ln, code)]
+                return None
+
+            def extend(v: int, t: int) -> int:
+                return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+            bw, bh = (w + 7) // 8, (h + 7) // 8
+            planes = [
+                np.zeros((bh * 8, bw * 8), np.float64) for _ in comps
+            ]
+            bits = _Bits(data)
+            dc_pred = {cid: 0 for cid, _ in comps}
+            mcu = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        if not bits.restart():
+                            return None
+                        dc_pred = {cid: 0 for cid, _ in comps}
+                    for ci, (cid, tq) in enumerate(comps):
+                        dc_t, ac_t = tabsel[cid]
+                        coef = np.zeros(64, np.int32)
+                        t = huff_decode(bits, huff[(0, dc_t)])
+                        if t is None or t > 11:
+                            return None
+                        diff_bits = bits.bits(t)
+                        if diff_bits is None:
+                            return None
+                        dc_pred[cid] += extend(diff_bits, t)
+                        coef[0] = dc_pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = huff_decode(bits, huff[(1, ac_t)])
+                            if rs is None:
+                                return None
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 15
+                            if k > 63 or size == 0:
+                                return None
+                            v = bits.bits(size)
+                            if v is None:
+                                return None
+                            coef[_ZIGZAG[k]] = extend(v, size)
+                            k += 1
+                        block = (coef.reshape(8, 8) * qt[tq]).astype(np.float64)
+                        spatial = _IDCT_A.T @ block @ _IDCT_A + 128.0
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
+                    mcu += 1
+            img = np.stack([p[:h, :w] for p in planes], axis=-1)
+            img = np.clip(np.round(img), 0, 255)
+            if len(comps) == 3:  # YCbCr -> RGB (JFIF / BT.601)
+                y, cb, cr = img[:, :, 0], img[:, :, 1] - 128.0, img[:, :, 2] - 128.0
+                img = np.stack(
+                    [
+                        y + 1.402 * cr,
+                        y - 0.344136 * cb - 0.714136 * cr,
+                        y + 1.772 * cb,
+                    ],
+                    axis=-1,
+                )
+                img = np.clip(np.round(img), 0, 255)
+            means = img.mean(axis=(0, 1)) / 255.0
+            return w, h, len(comps), [float(x) for x in means]
+
         real = {
             "image/bmp": decode_bmp,
             "image/png": decode_png,
             "image/gif": decode_gif,
+            "image/jpeg": decode_jpeg,
         }
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):

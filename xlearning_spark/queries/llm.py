@@ -940,6 +940,144 @@ def q84_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q91_multimodal_jpeg",
+    oracle="""
+SELECT doc_id,
+       CAST(8 * (doc_id % 3 + 1) AS INT) AS width,
+       CAST(8 * (doc_id % 2 + 1) AS INT) AS height,
+       1 AS n_channels,
+       (128.0 + (doc_id % 100 - 50)
+              + ((doc_id % 7 - 3)
+                 * ((doc_id % 3 + 1) * (doc_id % 2 + 1) - 1)) / 2.0)
+       / 255.0 AS mean_luma
+FROM documents
+""",
+    tags=("llm", "L5", "multimodal"),
+    doc="L5 multimodal JPEG decode, hash-checked end-to-end (the "
+    "DCT/Huffman twin of q82's PNG and q84's GIF): synthesizes a "
+    "deterministic baseline grayscale JPEG per document — per-block DC "
+    "ramp base+k*delta plus a mean-neutral AC(4,4) term, entropy-coded "
+    "with custom canonical Huffman tables (DC diffs across categories, "
+    "double-ZRL zero runs, EOB, byte stuffing) — runs it through the "
+    "REAL stdlib+numpy baseline decoder (operators/multimodal "
+    "decode_image: marker parse, Annex-C table build, zigzag dequant, "
+    "matrix IDCT, level shift), and emits recovered dimensions + the "
+    "luma mean. Oracle is analytic: DC quant step 8 makes each block's "
+    "pixels exactly base+k*delta+128 (the AC(4,4) basis sums to zero "
+    "over a block and its integer amplitude survives rounding), so the "
+    "image mean is 128+base+delta*(nb-1)/2 — exact halves, bit-stable "
+    "in both engines, same argument as q82/q84.",
+)
+def q91_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.multimodal import decode_image
+
+    @F.pandas_udf("binary")
+    def jpeg_of(doc_id: pd.Series) -> pd.Series:
+        import struct
+
+        zigzag = [
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+        ]
+        k44 = zigzag.index(36)  # entropy position of coefficient (4,4)
+        # Quant table: DC step 8 (block pixels = DC coeff + 128 exactly),
+        # AC(4,4) step 8 (its +/- checkerboard amplitude = coeff value).
+        quant = [16] * 64
+        quant[0] = 8
+        quant[36] = 8
+        # Custom canonical tables (decoder builds whatever DHT declares):
+        # DC = categories 0-7 at 3 bits; AC = EOB/ZRL/(run6,size1)/(run6,
+        # size2) at 2 bits.
+        dc_syms = list(range(8))
+        ac_syms = [0x00, 0xF0, 0x61, 0x62]
+        dc_code = {s: (i, 3) for i, s in enumerate(dc_syms)}
+        ac_code = {s: (i, 2) for i, s in enumerate(ac_syms)}
+
+        def dht(tc: int, th: int, nbits: int, syms: list[int]) -> bytes:
+            counts = [0] * 16
+            counts[nbits - 1] = len(syms)
+            return bytes([tc << 4 | th]) + bytes(counts) + bytes(syms)
+
+        out = []
+        for did in doc_id:
+            did = int(did)
+            bw, bh = did % 3 + 1, did % 2 + 1
+            w, h = 8 * bw, 8 * bh
+            base, delta, a = did % 100 - 50, did % 7 - 3, did % 4
+
+            bits: list[tuple[int, int]] = []  # (value, nbits) MSB-first
+
+            def put(sym_map, s):
+                bits.append(sym_map[s])
+
+            def put_amp(v: int):
+                t = abs(v).bit_length()
+                if t:
+                    bits.append((v if v > 0 else v + (1 << t) - 1, t))
+                return t
+
+            prev = 0
+            for k in range(bw * bh):
+                dc = base + k * delta
+                diff = dc - prev
+                prev = dc
+                t = abs(diff).bit_length()
+                put(dc_code, t)
+                put_amp(diff)
+                if a:
+                    put(ac_code, 0xF0)  # two ZRL runs cover the
+                    put(ac_code, 0xF0)  # 38 zeros before position 39
+                    size = a.bit_length()
+                    put(ac_code, (k44 - 33) << 4 | size)
+                    put_amp(a)
+                put(ac_code, 0x00)  # EOB
+
+            scan = bytearray()
+            acc = n = 0
+            for v, nb in bits:
+                acc = (acc << nb) | (v & ((1 << nb) - 1))
+                n += nb
+                while n >= 8:
+                    n -= 8
+                    byte = (acc >> n) & 0xFF
+                    scan.append(byte)
+                    if byte == 0xFF:
+                        scan.append(0x00)  # byte stuffing
+            if n:
+                byte = ((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xFF
+                scan.append(byte)
+                if byte == 0xFF:
+                    scan.append(0x00)
+
+            qzz = bytes(quant[zigzag[i]] for i in range(64))
+            seg = b"\xff\xd8"  # SOI
+            seg += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qzz
+            sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+            seg += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+            for tbl in (dht(0, 0, 3, dc_syms), dht(1, 0, 2, ac_syms)):
+                seg += b"\xff\xc4" + struct.pack(">H", 2 + len(tbl)) + tbl
+            sos = bytes([1, 1, 0x00]) + bytes([0, 63, 0])
+            seg += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            seg += bytes(scan) + b"\xff\xd9"
+            out.append(seg)
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        jpeg_of("doc_id").alias("content"),
+    )
+    return decode_image(docs).select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "width",
+        "height",
+        "n_channels",
+        F.element_at("feature", 1).alias("mean_luma"),
+    )
+
+
+@query(
     "q50_lsh_ann_topk",
     oracle=_lsh_oracle_sql(),
     tags=("llm", "L3", "lsh"),
