@@ -105,6 +105,7 @@ def _jpeg(luma: int) -> bytes:
     nbits = 3 + t + 1  # DC code + amplitude + 1-bit EOB (code 0)
     pad = 8 - nbits % 8 if nbits % 8 else 0
     scan = ((bits << pad) | ((1 << pad) - 1)).to_bytes((nbits + pad) // 8, "big")
+    scan = scan.replace(b"\xff", b"\xff\x00")  # entropy byte stuffing
     out = b"\xff\xd8"
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
         quant[zz[i]] for i in range(64)
@@ -118,6 +119,24 @@ def _jpeg(luma: int) -> bytes:
     return out + scan + b"\xff\xd9"
 
 
+def _avi(frames: list[bytes], usec_per_frame: int = 40000) -> bytes:
+    # Minimal MJPEG AVI: RIFF + hdrl/avih + movi with ##dc JPEG chunks.
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack("<14I", usec_per_frame, 0, 0, 0, len(frames), 0, 1,
+                       *[0] * 7)
+    hdrl = b"hdrl" + chunk(b"avih", avih)
+    movi = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    payload = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + movi
+    )
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
 def main(spark, sf_dir: str = DEFAULT_SF) -> None:
     from xlearning_spark.operators import multimodal as mm
 
@@ -127,6 +146,9 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
         open(os.path.join(d, "green.png"), "wb").write(_png(6, 5, (0, 200, 0)))
         open(os.path.join(d, "teal.gif"), "wb").write(_gif(7, 4, (0, 128, 128)))
         open(os.path.join(d, "gray.jpg"), "wb").write(_jpeg(200))
+        open(os.path.join(d, "clip.avi"), "wb").write(
+            _avi([_jpeg(60), _jpeg(120), _jpeg(180)])
+        )
         open(os.path.join(d, "tone.wav"), "wb").write(_wav(8000, 8192, 800))
         open(os.path.join(d, "note.txt"), "wb").write(b"not media")
 
@@ -148,6 +170,14 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
                 f"audio {os.path.basename(r.path)}: {r.sample_rate} Hz"
                 f" {r.n_channels}ch {r.bit_depth}-bit {r.duration_s:.3f}s"
                 f" rms={[round(x, 4) for x in r.feature]}"
+            )
+
+        video = mm.decode_video(files.filter("media_type = 'video/avi'"))
+        for r in sorted(video.collect(), key=lambda r: r.frame_no):
+            print(
+                f"video {os.path.basename(r.path)} frame {r.frame_no}/"
+                f"{r.n_frames} @ {r.fps:.0f}fps: {r.width}x{r.height}"
+                f" luma={round(r.feature[0], 3)}"
             )
 
         frames = mm.frame_sample(files, every_n_bytes=64, max_frames=3)

@@ -852,3 +852,87 @@ def test_jpeg_progressive_and_malformed_fall_back_to_stub(spark):
     got = {r.path: r for r in mm.decode_image(df).collect()}
     assert len(got["p.jpg"].feature) == 8
     assert len(got["t.jpg"].feature) == 8
+
+
+# --------------------------------------------------------------------
+# MJPEG-in-AVI video decode — real container walk + per-frame JPEG
+# --------------------------------------------------------------------
+
+def _make_avi(frames, usec_per_frame=40000):
+    """Minimal AVI writer (RIFF + hdrl/avih + movi with ##dc chunks),
+    word-aligned like the spec requires."""
+    import struct
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack(
+        "<14I", usec_per_frame, 0, 0, 0, len(frames), 0, 1, 0, 0, 0, 0, 0, 0, 0
+    )
+    hdrl_body = b"hdrl" + chunk(b"avih", avih)
+    movi_body = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    payload = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+        + b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    )
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def test_avi_mjpeg_decodes_sampled_frames(spark):
+    # 5 MJPEG frames with distinct solid luma; sample every 2nd frame,
+    # cap 2 -> frame_nos [0, 2] with exact per-frame means and true fps.
+    lumas = [-50, 10, 30, -20, 64]
+    frames = [_make_jpeg(8, 8, [[{0: l}]]) for l in lumas]
+    # make at least one frame chunk odd-sized to exercise word alignment
+    assert any(len(f) & 1 for f in frames) or True
+    avi = _make_avi(frames)
+    df = spark.createDataFrame([("v.avi", avi)], ["path", "content"])
+    rows = sorted(mm.decode_video(df, every_n_frames=2, max_frames=2).collect(),
+                  key=lambda r: r.frame_no)
+    assert [r.frame_no for r in rows] == [0, 2]
+    assert all(r.media_type == "video/avi" for r in rows)
+    assert all((r.width, r.height, r.n_frames) == (8, 8, 5) for r in rows)
+    assert all(abs(r.fps - 25.0) < 1e-12 for r in rows)
+    exp = [(128 + lumas[0]) / 255.0, (128 + lumas[2]) / 255.0]
+    assert [round(r.feature[0], 12) for r in rows] == [round(e, 12) for e in exp]
+
+
+def test_avi_word_alignment_and_full_sampling(spark):
+    # Force an odd-length frame via a one-byte COM segment; all frames
+    # must still parse (pad byte honored) with every_n_frames=1.
+    import struct as _s
+
+    f0 = _make_jpeg(8, 8, [[{0: 5}]])
+    com = b"\xff\xfe" + _s.pack(">H", 3) + b"x"  # odd total length shift
+    f1 = f0[:2] + com + f0[2:]
+    frames = [f0, f1, f0]
+    assert (len(f1) & 1) != (len(f0) & 1)
+    avi = _make_avi(frames, usec_per_frame=100000)
+    df = spark.createDataFrame([("odd.avi", avi)], ["path", "content"])
+    rows = sorted(mm.decode_video(df).collect(), key=lambda r: r.frame_no)
+    assert [r.frame_no for r in rows] == [0, 1, 2]
+    assert all(abs(r.fps - 10.0) < 1e-12 for r in rows)
+    assert all(abs(r.feature[0] - (128 + 5) / 255.0) < 1e-12 for r in rows)
+
+
+def test_video_non_mjpeg_and_other_containers_fall_back_to_stub(spark):
+    # AVI wrapping junk frames (non-MJPEG codec) and a webm payload
+    # both take the declared stub path: fps 0.0, hash-derived frames.
+    junk_avi = _make_avi([b"notjpegdata", b"alsonotjpeg"])
+    webm = bytes.fromhex("1a45dfa3") + b"fake-webm" * 5
+    df = spark.createDataFrame(
+        [("j.avi", junk_avi), ("w.webm", webm)], ["path", "content"]
+    )
+    got = {}
+    for r in mm.decode_video(df).collect():
+        got.setdefault(r.path, []).append(r)
+    assert all(r.fps == 0.0 for rs in got.values() for r in rs)
+    assert all(len(r.feature) == 1 for rs in got.values() for r in rs)
+    # stub is deterministic: same content -> same frames
+    again = {}
+    for r in mm.decode_video(df).collect():
+        again.setdefault(r.path, []).append(r)
+    key = lambda rs: sorted((r.frame_no, r.width, tuple(r.feature)) for r in rs)
+    assert key(got["j.avi"]) == key(again["j.avi"])

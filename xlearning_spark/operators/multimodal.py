@@ -20,11 +20,14 @@ marker parsing + canonical Huffman (ITU-T.81 Annex C) + zigzag
 dequant + a numpy matrix IDCT — yielding true dimensions / sample
 rates and a numpy-computed feature (per-channel pixel mean;
 per-channel RMS).
-Formats that do need codec libraries (progressive JPEG, MP3, video —
-not in this environment) fall back to a clearly marked STUB: the
-Spark-side plumbing (schema, batching, partitioning) is real and
-tested; the stub body is a deterministic fake keyed on the content
-hash. Swap ``_fake_decode`` for a PIL/libav call in production.
+Video: MJPEG-in-AVI is decoded FOR REAL too (decode_video — RIFF
+container walk + the same baseline JPEG decoder per sampled frame).
+Formats that do need codec libraries (progressive JPEG, MP3,
+non-MJPEG video codecs — not in this environment) fall back to a
+clearly marked STUB: the Spark-side plumbing (schema, batching,
+partitioning) is real and tested; the stub body is a deterministic
+fake keyed on the content hash. Swap ``_fake_decode`` for a
+PIL/libav call in production.
 """
 
 from __future__ import annotations
@@ -96,6 +99,292 @@ def _fake_decode(content: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, channels, feature
 
 
+def _build_jpeg_decoder():
+    """Factory returning a self-contained baseline JPEG decoder.
+
+    Defined inside a factory rather than at module top level so that
+    closures capturing the returned function serialize it BY VALUE
+    (cloudpickle pickles nested functions by value, module-level ones
+    by reference) — executors never need xlearning_spark on
+    PYTHONPATH, the same self-containment argument as the decoders
+    inlined in decode_image/decode_audio. Shared by decode_image
+    (still images) and decode_video (MJPEG frames).
+    """
+    import struct
+
+    import numpy as np
+
+    # Zigzag scan order (JPEG spec ITU-T.81 Figure A.6): entropy
+    # position k -> (row u, col v) of the 8x8 coefficient block.
+    _ZIGZAG = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+
+    # 8x8 IDCT basis (ITU-T.81 A.3.3): A[u,x] = C(u)/2 *
+    # cos((2x+1)u*pi/16); spatial block = A.T @ S @ A.
+    _IDCT_A = np.array(
+        [
+            [
+                (0.3535533905932738 if u == 0 else 0.5)
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+
+    def decode_jpeg(content: bytes):
+        # REAL decoder, stdlib+numpy only: baseline sequential JPEG
+        # (ITU-T.81 / JFIF) — marker segments, 8-bit quant tables,
+        # canonical Huffman tables built per Annex C, byte-stuffed
+        # entropy stream with restart markers, zigzag dequant,
+        # matrix IDCT, level shift. Grayscale and 4:4:4 YCbCr
+        # (BT.601 to RGB); progressive (SOF2), 12-bit, arithmetic
+        # coding and subsampled chroma return None -> deterministic
+        # stub, same contract as the other decoders. Feature =
+        # per-channel pixel mean.
+        if content is None or len(content) < 4 or content[:2] != b"\xff\xd8":
+            return None
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        sof = None
+        restart_interval = 0
+        pos = 2
+        scan_comps = None
+        while pos + 4 <= len(content):
+            if content[pos] != 0xFF:
+                return None
+            marker = content[pos + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker == 0xD9:
+                return None  # EOI before SOS
+            seg_len = struct.unpack_from(">H", content, pos + 2)[0]
+            if seg_len < 2:
+                return None
+            body = content[pos + 4 : pos + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 15
+                    if pq != 0 or i + 65 > len(body):
+                        return None  # 16-bit tables / truncated
+                    tbl = np.zeros(64, np.int32)
+                    tbl[_ZIGZAG] = np.frombuffer(
+                        body[i + 1 : i + 65], np.uint8
+                    ).astype(np.int32)
+                    qt[tq] = tbl.reshape(8, 8)
+                    i += 65
+            elif marker == 0xC4:  # DHT -> canonical codes (Annex C)
+                i = 0
+                while i < len(body):
+                    if i + 17 > len(body):
+                        return None
+                    tc, th = body[i] >> 4, body[i] & 15
+                    counts = body[i + 1 : i + 17]
+                    if i + 17 + sum(counts) > len(body):
+                        return None
+                    syms = body[i + 17 : i + 17 + sum(counts)]
+                    table: dict[tuple[int, int], int] = {}
+                    code, si = 0, 0
+                    for ln in range(1, 17):
+                        for _ in range(counts[ln - 1]):
+                            table[(ln, code)] = syms[si]
+                            code += 1
+                            si += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+                    i += 17 + len(syms)
+            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+                if len(body) < 6:
+                    return None
+                prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+                if prec != 8 or not (1 <= nc <= 3) or len(body) < 6 + 3 * nc:
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                    if hv != 0x11:
+                        return None  # subsampled chroma unsupported
+                    comps.append((cid, tq))
+                sof = (w, h, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                return None  # progressive / extended / arithmetic
+            elif marker == 0xDD:  # DRI
+                if len(body) < 2:
+                    return None
+                restart_interval = struct.unpack_from(">H", body, 0)[0]
+            elif marker == 0xDA:  # SOS -> entropy data follows
+                if not body or len(body) < 1 + 2 * body[0]:
+                    return None
+                ns = body[0]
+                scan_comps = [
+                    (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15)
+                    for c in range(ns)
+                ]
+                pos += 2 + seg_len
+                break
+            pos += 2 + seg_len
+        if sof is None or scan_comps is None:
+            return None
+        w, h, comps = sof
+        if w < 1 or h < 1 or len(scan_comps) != len(comps):
+            return None
+        tabsel = {}
+        for cid, dc_t, ac_t in scan_comps:
+            tabsel[cid] = (dc_t, ac_t)
+        for cid, tq in comps:
+            if (
+                cid not in tabsel
+                or tq not in qt
+                or (0, tabsel[cid][0]) not in huff
+                or (1, tabsel[cid][1]) not in huff
+            ):
+                return None
+
+        data = content[pos:]
+
+        class _Bits:
+            # MSB-first reader over the byte-stuffed entropy stream:
+            # FF00 -> literal FF, FFD0-D7 -> restart (reset), any
+            # other FFxx terminates the scan.
+            def __init__(self, buf: bytes):
+                self.buf, self.i, self.acc, self.n = buf, 0, 0, 0
+                self.eos = False
+
+            def _fill(self) -> None:
+                while self.n <= 24 and not self.eos:
+                    if self.i >= len(self.buf):
+                        self.eos = True
+                        break
+                    b = self.buf[self.i]
+                    if b == 0xFF:
+                        nxt = (
+                            self.buf[self.i + 1]
+                            if self.i + 1 < len(self.buf)
+                            else None
+                        )
+                        if nxt == 0x00:
+                            self.i += 2
+                        elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                            self.eos = True  # consumed via restart()
+                            break
+                        else:
+                            self.eos = True
+                            break
+                    else:
+                        self.i += 1
+                    self.acc = (self.acc << 8) | b
+                    self.n += 8
+
+            def bits(self, k: int) -> int | None:
+                if k == 0:
+                    return 0
+                self._fill()
+                if self.n < k:
+                    return None
+                self.n -= k
+                v = (self.acc >> self.n) & ((1 << k) - 1)
+                self.acc &= (1 << self.n) - 1
+                return v
+
+            def restart(self) -> bool:
+                # Byte-align, expect RSTn, resume after it.
+                self.acc, self.n = 0, 0
+                if (
+                    self.i + 1 < len(self.buf)
+                    and self.buf[self.i] == 0xFF
+                    and 0xD0 <= self.buf[self.i + 1] <= 0xD7
+                ):
+                    self.i += 2
+                    self.eos = False
+                    return True
+                return False
+
+        def huff_decode(bits: _Bits, table) -> int | None:
+            code = 0
+            for ln in range(1, 17):
+                b = bits.bits(1)
+                if b is None:
+                    return None
+                code = (code << 1) | b
+                if (ln, code) in table:
+                    return table[(ln, code)]
+            return None
+
+        def extend(v: int, t: int) -> int:
+            return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        planes = [
+            np.zeros((bh * 8, bw * 8), np.float64) for _ in comps
+        ]
+        bits = _Bits(data)
+        dc_pred = {cid: 0 for cid, _ in comps}
+        mcu = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    if not bits.restart():
+                        return None
+                    dc_pred = {cid: 0 for cid, _ in comps}
+                for ci, (cid, tq) in enumerate(comps):
+                    dc_t, ac_t = tabsel[cid]
+                    coef = np.zeros(64, np.int32)
+                    t = huff_decode(bits, huff[(0, dc_t)])
+                    if t is None or t > 11:
+                        return None
+                    diff_bits = bits.bits(t)
+                    if diff_bits is None:
+                        return None
+                    dc_pred[cid] += extend(diff_bits, t)
+                    coef[0] = dc_pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = huff_decode(bits, huff[(1, ac_t)])
+                        if rs is None:
+                            return None
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        size = rs & 15
+                        if k > 63 or size == 0:
+                            return None
+                        v = bits.bits(size)
+                        if v is None:
+                            return None
+                        coef[_ZIGZAG[k]] = extend(v, size)
+                        k += 1
+                    block = (coef.reshape(8, 8) * qt[tq]).astype(np.float64)
+                    spatial = _IDCT_A.T @ block @ _IDCT_A + 128.0
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
+                mcu += 1
+        img = np.stack([p[:h, :w] for p in planes], axis=-1)
+        img = np.clip(np.round(img), 0, 255)
+        if len(comps) == 3:  # YCbCr -> RGB (JFIF / BT.601)
+            y, cb, cr = img[:, :, 0], img[:, :, 1] - 128.0, img[:, :, 2] - 128.0
+            img = np.stack(
+                [
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb,
+                ],
+                axis=-1,
+            )
+            img = np.clip(np.round(img), 0, 255)
+        means = img.mean(axis=(0, 1)) / 255.0
+        return w, h, len(comps), [float(x) for x in means]
+
+    return decode_jpeg
+
+
 def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
     """Decode/feature-extract stage over binary content via mapInPandas.
 
@@ -109,6 +398,9 @@ def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
     """
     df = with_media_type(df) if "media_type" not in df.columns else df
     cols = df.select("path", "media_type", "content")
+    # Captured as a free variable: cloudpickle ships the factory-built
+    # function by value inside the closure (see _build_jpeg_decoder).
+    decode_jpeg = _build_jpeg_decoder()
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -371,274 +663,6 @@ def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                 return width, height, 3, [float(x) for x in means]
             return None
 
-        # Zigzag scan order (JPEG spec ITU-T.81 Figure A.6): entropy
-        # position k -> (row u, col v) of the 8x8 coefficient block.
-        _ZIGZAG = [
-            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
-            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
-            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
-        ]
-
-        # 8x8 IDCT basis (ITU-T.81 A.3.3): A[u,x] = C(u)/2 *
-        # cos((2x+1)u*pi/16); spatial block = A.T @ S @ A.
-        _IDCT_A = np.array(
-            [
-                [
-                    (0.3535533905932738 if u == 0 else 0.5)
-                    * np.cos((2 * x + 1) * u * np.pi / 16)
-                    for x in range(8)
-                ]
-                for u in range(8)
-            ]
-        )
-
-        def decode_jpeg(content: bytes):
-            # REAL decoder, stdlib+numpy only: baseline sequential JPEG
-            # (ITU-T.81 / JFIF) — marker segments, 8-bit quant tables,
-            # canonical Huffman tables built per Annex C, byte-stuffed
-            # entropy stream with restart markers, zigzag dequant,
-            # matrix IDCT, level shift. Grayscale and 4:4:4 YCbCr
-            # (BT.601 to RGB); progressive (SOF2), 12-bit, arithmetic
-            # coding and subsampled chroma return None -> deterministic
-            # stub, same contract as the other decoders. Feature =
-            # per-channel pixel mean.
-            if content is None or len(content) < 4 or content[:2] != b"\xff\xd8":
-                return None
-            qt: dict[int, np.ndarray] = {}
-            huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-            sof = None
-            restart_interval = 0
-            pos = 2
-            scan_comps = None
-            while pos + 4 <= len(content):
-                if content[pos] != 0xFF:
-                    return None
-                marker = content[pos + 1]
-                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
-                    pos += 2
-                    continue
-                if marker == 0xD9:
-                    return None  # EOI before SOS
-                seg_len = struct.unpack_from(">H", content, pos + 2)[0]
-                if seg_len < 2:
-                    return None
-                body = content[pos + 4 : pos + 2 + seg_len]
-                if marker == 0xDB:  # DQT
-                    i = 0
-                    while i < len(body):
-                        pq, tq = body[i] >> 4, body[i] & 15
-                        if pq != 0 or i + 65 > len(body):
-                            return None  # 16-bit tables / truncated
-                        tbl = np.zeros(64, np.int32)
-                        tbl[_ZIGZAG] = np.frombuffer(
-                            body[i + 1 : i + 65], np.uint8
-                        ).astype(np.int32)
-                        qt[tq] = tbl.reshape(8, 8)
-                        i += 65
-                elif marker == 0xC4:  # DHT -> canonical codes (Annex C)
-                    i = 0
-                    while i < len(body):
-                        if i + 17 > len(body):
-                            return None
-                        tc, th = body[i] >> 4, body[i] & 15
-                        counts = body[i + 1 : i + 17]
-                        if i + 17 + sum(counts) > len(body):
-                            return None
-                        syms = body[i + 17 : i + 17 + sum(counts)]
-                        table: dict[tuple[int, int], int] = {}
-                        code, si = 0, 0
-                        for ln in range(1, 17):
-                            for _ in range(counts[ln - 1]):
-                                table[(ln, code)] = syms[si]
-                                code += 1
-                                si += 1
-                            code <<= 1
-                        huff[(tc, th)] = table
-                        i += 17 + len(syms)
-                elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
-                    if len(body) < 6:
-                        return None
-                    prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-                    if prec != 8 or not (1 <= nc <= 3) or len(body) < 6 + 3 * nc:
-                        return None
-                    comps = []
-                    for c in range(nc):
-                        cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                        if hv != 0x11:
-                            return None  # subsampled chroma unsupported
-                        comps.append((cid, tq))
-                    sof = (w, h, comps)
-                elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-                    return None  # progressive / extended / arithmetic
-                elif marker == 0xDD:  # DRI
-                    if len(body) < 2:
-                        return None
-                    restart_interval = struct.unpack_from(">H", body, 0)[0]
-                elif marker == 0xDA:  # SOS -> entropy data follows
-                    if not body or len(body) < 1 + 2 * body[0]:
-                        return None
-                    ns = body[0]
-                    scan_comps = [
-                        (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15)
-                        for c in range(ns)
-                    ]
-                    pos += 2 + seg_len
-                    break
-                pos += 2 + seg_len
-            if sof is None or scan_comps is None:
-                return None
-            w, h, comps = sof
-            if w < 1 or h < 1 or len(scan_comps) != len(comps):
-                return None
-            tabsel = {}
-            for cid, dc_t, ac_t in scan_comps:
-                tabsel[cid] = (dc_t, ac_t)
-            for cid, tq in comps:
-                if (
-                    cid not in tabsel
-                    or tq not in qt
-                    or (0, tabsel[cid][0]) not in huff
-                    or (1, tabsel[cid][1]) not in huff
-                ):
-                    return None
-
-            data = content[pos:]
-
-            class _Bits:
-                # MSB-first reader over the byte-stuffed entropy stream:
-                # FF00 -> literal FF, FFD0-D7 -> restart (reset), any
-                # other FFxx terminates the scan.
-                def __init__(self, buf: bytes):
-                    self.buf, self.i, self.acc, self.n = buf, 0, 0, 0
-                    self.eos = False
-
-                def _fill(self) -> None:
-                    while self.n <= 24 and not self.eos:
-                        if self.i >= len(self.buf):
-                            self.eos = True
-                            break
-                        b = self.buf[self.i]
-                        if b == 0xFF:
-                            nxt = (
-                                self.buf[self.i + 1]
-                                if self.i + 1 < len(self.buf)
-                                else None
-                            )
-                            if nxt == 0x00:
-                                self.i += 2
-                            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
-                                self.eos = True  # consumed via restart()
-                                break
-                            else:
-                                self.eos = True
-                                break
-                        else:
-                            self.i += 1
-                        self.acc = (self.acc << 8) | b
-                        self.n += 8
-
-                def bits(self, k: int) -> int | None:
-                    if k == 0:
-                        return 0
-                    self._fill()
-                    if self.n < k:
-                        return None
-                    self.n -= k
-                    v = (self.acc >> self.n) & ((1 << k) - 1)
-                    self.acc &= (1 << self.n) - 1
-                    return v
-
-                def restart(self) -> bool:
-                    # Byte-align, expect RSTn, resume after it.
-                    self.acc, self.n = 0, 0
-                    if (
-                        self.i + 1 < len(self.buf)
-                        and self.buf[self.i] == 0xFF
-                        and 0xD0 <= self.buf[self.i + 1] <= 0xD7
-                    ):
-                        self.i += 2
-                        self.eos = False
-                        return True
-                    return False
-
-            def huff_decode(bits: _Bits, table) -> int | None:
-                code = 0
-                for ln in range(1, 17):
-                    b = bits.bits(1)
-                    if b is None:
-                        return None
-                    code = (code << 1) | b
-                    if (ln, code) in table:
-                        return table[(ln, code)]
-                return None
-
-            def extend(v: int, t: int) -> int:
-                return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
-
-            bw, bh = (w + 7) // 8, (h + 7) // 8
-            planes = [
-                np.zeros((bh * 8, bw * 8), np.float64) for _ in comps
-            ]
-            bits = _Bits(data)
-            dc_pred = {cid: 0 for cid, _ in comps}
-            mcu = 0
-            for by in range(bh):
-                for bx in range(bw):
-                    if restart_interval and mcu and mcu % restart_interval == 0:
-                        if not bits.restart():
-                            return None
-                        dc_pred = {cid: 0 for cid, _ in comps}
-                    for ci, (cid, tq) in enumerate(comps):
-                        dc_t, ac_t = tabsel[cid]
-                        coef = np.zeros(64, np.int32)
-                        t = huff_decode(bits, huff[(0, dc_t)])
-                        if t is None or t > 11:
-                            return None
-                        diff_bits = bits.bits(t)
-                        if diff_bits is None:
-                            return None
-                        dc_pred[cid] += extend(diff_bits, t)
-                        coef[0] = dc_pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = huff_decode(bits, huff[(1, ac_t)])
-                            if rs is None:
-                                return None
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            size = rs & 15
-                            if k > 63 or size == 0:
-                                return None
-                            v = bits.bits(size)
-                            if v is None:
-                                return None
-                            coef[_ZIGZAG[k]] = extend(v, size)
-                            k += 1
-                        block = (coef.reshape(8, 8) * qt[tq]).astype(np.float64)
-                        spatial = _IDCT_A.T @ block @ _IDCT_A + 128.0
-                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
-                    mcu += 1
-            img = np.stack([p[:h, :w] for p in planes], axis=-1)
-            img = np.clip(np.round(img), 0, 255)
-            if len(comps) == 3:  # YCbCr -> RGB (JFIF / BT.601)
-                y, cb, cr = img[:, :, 0], img[:, :, 1] - 128.0, img[:, :, 2] - 128.0
-                img = np.stack(
-                    [
-                        y + 1.402 * cr,
-                        y - 0.344136 * cb - 0.714136 * cr,
-                        y + 1.772 * cb,
-                    ],
-                    axis=-1,
-                )
-                img = np.clip(np.round(img), 0, 255)
-            means = img.mean(axis=(0, 1)) / 255.0
-            return w, h, len(comps), [float(x) for x in means]
-
         real = {
             "image/bmp": decode_bmp,
             "image/png": decode_png,
@@ -810,9 +834,11 @@ def decode_audio(df: DataFrame, batch_rows: int = 64) -> DataFrame:
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8) -> DataFrame:
-    """STUB frame sampler for video-ish payloads: emits (path, frame_no,
-    offset) rows — the 1->N row shape of real frame extraction, with
-    offsets standing in for decoded frames. JVM-only (no UDF)."""
+    """Byte-offset frame sampler for video-ish payloads: emits (path,
+    frame_no, offset) rows — the 1->N row shape of frame extraction
+    with offsets standing in for decoded frames, JVM-only (no UDF).
+    For true frame decode of MJPEG/AVI payloads use
+    :func:`decode_video`; this stays the cheap codec-free fallback."""
     n_frames = F.least(
         F.greatest((F.col("length") / every_n_bytes).cast("int"), F.lit(1)),
         F.lit(max_frames),
@@ -821,6 +847,146 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8) 
         "path",
         F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no", "_f"),
     ).select("path", "frame_no", (F.col("_f") * every_n_bytes).alias("offset"))
+
+
+#: Output schema of the video frame-decode stage — one row per SAMPLED
+#: frame (the 1->N UDTF shape of real frame extraction).
+VIDEO_FRAME_SCHEMA = (
+    "path string, media_type string, width int, height int, fps double, "
+    "n_frames int, frame_no int, feature array<double>"
+)
+
+
+def decode_video(
+    df: DataFrame,
+    every_n_frames: int = 1,
+    max_frames: int = 8,
+    batch_rows: int = 16,
+) -> DataFrame:
+    """REAL video decode for MJPEG-in-AVI via mapInPandas: walks the
+    RIFF/AVI container (same chunk framing as the WAV decoder: 'LIST'
+    nesting, word alignment — AVI RIFF spec, MSDN 'AVI RIFF File
+    Reference'), reads the 'avih' MainAVIHeader for fps, collects the
+    '##dc'/'##db' video frame chunks, samples every ``every_n_frames``-th
+    frame up to ``max_frames``, and decodes each sampled frame with the
+    baseline JPEG decoder (MJPEG frames ARE baseline JPEGs). Emits one
+    row per sampled frame with true per-frame dimensions + channel-mean
+    feature; frame_no is the frame's index in the stream.
+
+    Map-only (scales with executor count at 100 TB; no shuffle). Other
+    video containers/codecs (webm, non-MJPEG AVI) and malformed
+    payloads fall back to the declared STUB (hash-derived frames, fps
+    0.0) — the reference platform never decodes payloads at all
+    (InputInfo.java:16-24), so every real decoder here is engine
+    value-add.
+    """
+    df = with_media_type(df) if "media_type" not in df.columns else df
+    cols = df.select("path", "media_type", "content")
+    decode_jpeg = _build_jpeg_decoder()
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+
+        def parse_avi(content: bytes):
+            # Returns (fps, [frame_bytes, ...]) or None. Chunk walk
+            # with LIST recursion; sizes are little-endian, chunks are
+            # word-aligned (odd size -> 1 pad byte).
+            if (
+                content is None
+                or len(content) < 24
+                or content[:4] != b"RIFF"
+                or content[8:12] != b"AVI "
+            ):
+                return None
+            usec = None
+            frames: list[bytes] = []
+
+            def walk(start: int, end: int) -> None:
+                nonlocal usec
+                pos = start
+                while pos + 8 <= end:
+                    cid = content[pos : pos + 4]
+                    size = struct.unpack_from("<I", content, pos + 4)[0]
+                    data_start = pos + 8
+                    data_end = min(data_start + size, end)
+                    if cid == b"LIST" and data_end - data_start >= 4:
+                        walk(data_start + 4, data_end)
+                    elif cid == b"avih" and size >= 40:
+                        usec = struct.unpack_from("<I", content, data_start)[0]
+                    elif cid[2:4] in (b"dc", b"db") and data_end > data_start:
+                        frames.append(content[data_start:data_end])
+                    pos = data_start + size + (size & 1)
+
+            walk(12, len(content))
+            if not frames:
+                return None
+            fps = 1e6 / usec if usec else 0.0
+            return fps, frames
+
+        def fake_frames(content: bytes):
+            # STUB fallback: deterministic hash-derived frame rows,
+            # same sampling arithmetic as the real path.
+            h = hashlib.sha256(content or b"").digest()
+            n = 1 + h[3] % 8
+            rows = []
+            for f in range(0, n, every_n_frames)[:max_frames]:
+                rows.append(
+                    (
+                        16 + h[0] % 240,
+                        16 + h[1] % 240,
+                        0.0,
+                        n,
+                        f,
+                        [h[(8 + f) % 32] / 255.0],
+                    )
+                )
+            return rows
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = {
+                    "path": [],
+                    "media_type": [],
+                    "width": [],
+                    "height": [],
+                    "fps": [],
+                    "n_frames": [],
+                    "frame_no": [],
+                    "feature": [],
+                }
+                for _, row in chunk.iterrows():
+                    content = row["content"]
+                    rows = None
+                    if row["media_type"] == "video/avi":
+                        parsed = parse_avi(content)
+                        if parsed is not None:
+                            fps, frames = parsed
+                            rows = []
+                            for f in range(0, len(frames), every_n_frames)[
+                                :max_frames
+                            ]:
+                                dec = decode_jpeg(frames[f])
+                                if dec is None:
+                                    rows = None  # non-MJPEG codec
+                                    break
+                                w, h, _ch, feat = dec
+                                rows.append((w, h, fps, len(frames), f, feat))
+                    if rows is None:
+                        rows = fake_frames(content)
+                    for w, h, fps, n, f, feat in rows:
+                        out["path"].append(row["path"])
+                        out["media_type"].append(row["media_type"])
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["fps"].append(fps)
+                        out["n_frames"].append(n)
+                        out["frame_no"].append(f)
+                        out["feature"].append(feat)
+                yield pd.DataFrame(out)
+
+    return cols.mapInPandas(decode_batches, VIDEO_FRAME_SCHEMA)
 
 
 #: Output schema of the resize stage.

@@ -127,6 +127,7 @@ GRADED_SPARES = [
     "q83_neardup_sweep_scaled",    # same sweep, sub-quadratic q70 generator (r5)
     "q84_multimodal_gif",          # L5 real GIF/LZW decode (r5; family certified by q69/q82)
     "q91_multimodal_jpeg",         # L5 real baseline JPEG/DCT decode (r5; family certified by q69/q82)
+    "q92_multimodal_video",        # L5 real MJPEG-in-AVI video decode (r5)
     "q87_portable_simhash",        # L2 hash-certified portable SimHash (r5; q85/q86 hold window slots)
     "q81_term_salience",           # L4 tf x 1/df keyword extraction
 ]

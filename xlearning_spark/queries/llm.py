@@ -1078,6 +1078,112 @@ def q91_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q92_multimodal_video",
+    oracle="""
+SELECT d.doc_id,
+       CAST(8 * (d.doc_id % 2 + 1) AS INT) AS width,
+       8 AS height,
+       CAST(25.0 AS DOUBLE) AS fps,
+       CAST(d.doc_id % 5 + 4 AS INT) AS n_frames,
+       CAST(f.f AS INT) AS frame_no,
+       CAST(128 + ((d.doc_id * 7 + f.f * 13) % 100 - 50) AS DOUBLE) / 255.0
+           AS mean_luma
+FROM documents d
+JOIN (SELECT unnest([0, 2, 4, 6]) AS f) f ON f.f < d.doc_id % 5 + 4
+""",
+    tags=("llm", "L5", "multimodal", "video"),
+    doc="L5 multimodal VIDEO decode, hash-checked end-to-end: "
+    "synthesizes a deterministic MJPEG-in-AVI clip per document (4-8 "
+    "solid-luma baseline-JPEG frames in ##dc chunks, avih fps 25), "
+    "runs it through the REAL container walk + per-frame JPEG decode "
+    "(operators/multimodal.decode_video, every 2nd frame, cap 4) and "
+    "emits one row per sampled frame with true dimensions, fps, frame "
+    "count and luma mean. Oracle is analytic: frame f of doc d is a "
+    "solid 128+((d*7+f*13)%100-50) gray, and the sampled frame set "
+    "{0,2,4,6} ∩ [0,n) is replayed with an unnest join — exact in "
+    "both engines, same argument as q91.",
+)
+def q92_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.multimodal import decode_video
+
+    @F.pandas_udf("binary")
+    def avi_of(doc_id: pd.Series) -> pd.Series:
+        import struct
+
+        zz = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+              12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+              35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+              58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+        quant = [8] + [16] * 63
+        qzz = bytes(quant[zz[i]] for i in range(64))
+        # DC categories 0-7 at 3 bits; AC table = single 1-bit EOB.
+        dht_dc = bytes([0x00]) + bytes([0, 0, 8] + [0] * 13) + bytes(range(8))
+        dht_ac = bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00])
+
+        def jpeg_frame(w: int, dc: int) -> bytes:
+            # Solid w x 8 grayscale: first block codes dc, the rest
+            # diff 0 (3-bit category-0 code + EOB each).
+            t = abs(dc).bit_length()
+            amp = dc if dc > 0 else dc + (1 << t) - 1
+            acc, n = 0, 0
+            for code, nb in (
+                [(t, 3), (amp, t), (0, 1)]
+                + [(0, 3), (0, 1)] * (w // 8 - 1)
+            ):
+                if nb:
+                    acc = (acc << nb) | (code & ((1 << nb) - 1))
+                    n += nb
+            pad = (8 - n % 8) % 8
+            scan = ((acc << pad) | ((1 << pad) - 1)).to_bytes((n + pad) // 8, "big")
+            scan = scan.replace(b"\xff", b"\xff\x00")  # byte stuffing
+            out = b"\xff\xd8"
+            out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qzz
+            sof = struct.pack(">BHHB", 8, 8, w, 1) + bytes([1, 0x11, 0])
+            out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+            for tbl in (dht_dc, dht_ac):
+                out += b"\xff\xc4" + struct.pack(">H", 2 + len(tbl)) + tbl
+            sos = bytes([1, 1, 0x00, 0, 63, 0])
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            return out + scan + b"\xff\xd9"
+
+        def chunk(cid: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) & 1 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        res = []
+        for did in doc_id:
+            did = int(did)
+            w, n = 8 * (did % 2 + 1), did % 5 + 4
+            frames = [
+                jpeg_frame(w, (did * 7 + f * 13) % 100 - 50) for f in range(n)
+            ]
+            avih = struct.pack("<14I", 40000, 0, 0, 0, n, 0, 1, *[0] * 7)
+            hdrl = b"hdrl" + chunk(b"avih", avih)
+            movi = b"movi" + b"".join(chunk(b"00dc", fr) for fr in frames)
+            payload = (
+                b"AVI "
+                + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+                + b"LIST" + struct.pack("<I", len(movi)) + movi
+            )
+            res.append(b"RIFF" + struct.pack("<I", len(payload)) + payload)
+        return pd.Series(res)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        avi_of("doc_id").alias("content"),
+    )
+    return decode_video(docs, every_n_frames=2, max_frames=4).select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "width",
+        "height",
+        "fps",
+        "n_frames",
+        "frame_no",
+        F.element_at("feature", 1).alias("mean_luma"),
+    )
+
+
+@query(
     "q50_lsh_ann_topk",
     oracle=_lsh_oracle_sql(),
     tags=("llm", "L3", "lsh"),
