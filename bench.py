@@ -50,6 +50,18 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     import statistics
 
+    # Host-steal canary: this VM exhibits transient host-level CPU-steal
+    # windows that slow EVERY query ~3x with identical plans (see
+    # BASELINE.md round-5 note). Time the warm q01 once; if it is far
+    # above its stable ~1.3-1.6 s range the whole session's absolute
+    # numbers are suspect — flag it in the output so a slow BENCH round
+    # is read as environment, not regression.
+    t0 = time.time()
+    specs["q01_pricing_summary"].spark(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    canary = round(time.time() - t0, 3)
+
     timings: dict[str, float] = {}
     for name, spec in specs.items():
         runs = []
@@ -70,6 +82,8 @@ def main() -> None:
                 "metric": "corpus_total_sec",
                 "unit": "sec",
                 "queries": timings,
+                "canary_q01_warm_sec": canary,
+                "host_steal_suspect": canary > 3.0,
                 "value": total,
                 "sf": sf,
             },

@@ -56,6 +56,11 @@ HEADLINE = [
     # Caesar replicas multiply the vocab per replica, so the LM table
     # grows linearly too (worst case for the join side).
     "q89_lm_quality",
+    # r5 session 3: the multimodal decode tier's representative — a
+    # map-only Arrow/Python path (synthesize + baseline-JPEG decode
+    # per doc); its curve certifies the mapInPandas stages scale with
+    # row count alone (no shuffle anywhere in the tier).
+    "q91_multimodal_jpeg",
 ]
 
 #: Per-query extra factors beyond the CLI list: the queries probed
