@@ -412,3 +412,104 @@ def test_lm_scores_out_of_corpus_unseen_bigrams(spark):
     # Unseen bigram with unseen context: p = k / (k*V) = 1/V exactly.
     v = 4  # alpha beta gamma delta
     assert abs(rows[2].lm_logp - round(math.log(1 / v), 4)) < 1e-9
+
+
+# --------------------------------------------------------------------
+# BPE tokenizer training (Sennrich ACL'16) — distributed trainer vs an
+# independent in-test reference implementation
+# --------------------------------------------------------------------
+
+def _ref_bpe(corpus: str, k: int, min_freq: int):
+    """Independent single-process BPE (the paper's algorithm 1):
+    word-count, then per-iteration pair count + deterministic argmax
+    (count desc, lexicographic pair) + greedy left-to-right merge."""
+    import collections
+
+    words = collections.Counter(corpus.split())
+    vocab = {w: list(w) + ["</w>"] for w in words}
+    merges = []
+    for _ in range(k):
+        pc = collections.Counter()
+        for w, c in words.items():
+            s = vocab[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        best = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if best[1] < min_freq:
+            break
+        (left, right), _n = best
+        merges.append((left, right))
+        for w in vocab:
+            out = []
+            for x in vocab[w]:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges, vocab
+
+
+_BPE_CORPUS = (
+    "low low low low low lower lower newest newest newest "
+    "newest newest newest widest widest widest"
+)
+
+
+def test_bpe_merges_match_reference_and_are_partition_invariant(spark):
+    from xlearning_spark.operators.text import learn_bpe_merges
+
+    exp, _ = _ref_bpe(_BPE_CORPUS, 8, 2)
+    df = spark.createDataFrame([(w,) for w in _BPE_CORPUS.split()], "text string")
+    got = learn_bpe_merges(df, n_merges=8, min_freq=2)
+    assert got == exp
+    # the classic Sennrich fixture: 'est</w>' and 'low' emerge
+    assert ("es", "t") in got and ("lo", "w") in got
+    # partition invariance: the argmax tie-break is data-order-free
+    got7 = learn_bpe_merges(df.repartition(7), n_merges=8, min_freq=2)
+    assert got7 == exp
+
+
+def test_bpe_min_freq_stops_early(spark):
+    from xlearning_spark.operators.text import learn_bpe_merges
+
+    df = spark.createDataFrame([("ab ab cd",)], "text string")
+    # pairs: (a,b)x2, (b,</w>)x2, (c,d)x1 ... min_freq=2 exhausts after
+    # the x2 pairs and their merged successors; (c,d) never qualifies
+    merges = learn_bpe_merges(df, n_merges=50, min_freq=2)
+    assert 0 < len(merges) < 50
+    assert ("c", "d") not in merges
+
+
+def test_apply_bpe_roundtrips_and_matches_reference(spark):
+    from xlearning_spark.operators.text import apply_bpe, learn_bpe_merges
+
+    df = spark.createDataFrame([(_BPE_CORPUS,), (None,)], "text string")
+    merges = learn_bpe_merges(df, n_merges=8, min_freq=2)
+    rows = apply_bpe(df, merges=merges).collect()
+    toks = rows[0]["bpe_tokens"]
+    assert rows[1]["bpe_tokens"] is None
+    # lossless: concatenating tokens and removing the end-of-word
+    # markers reproduces the original text's words
+    rejoined = "".join(toks).replace("</w>", " ").split()
+    assert rejoined == _BPE_CORPUS.split()
+    # token streams agree with the reference vocab segmentation
+    _, ref_vocab = _ref_bpe(_BPE_CORPUS, 8, 2)
+    ref_stream = [t for w in _BPE_CORPUS.split() for t in ref_vocab[w]]
+    assert toks == ref_stream
+
+
+def test_bpe_on_real_corpus_agrees_with_reference(spark):
+    from xlearning_spark.operators.text import learn_bpe_merges
+
+    docs = read_table(spark, SF_SMOKE, "documents").filter(
+        "text IS NOT NULL AND doc_id < 80"
+    )
+    corpus = " ".join(
+        r["text"] for r in docs.select("text").orderBy("doc_id").collect()
+    )
+    exp, _ = _ref_bpe(corpus, 12, 2)
+    got = learn_bpe_merges(docs, n_merges=12, min_freq=2)
+    assert got == exp

@@ -381,3 +381,146 @@ def fingerprint_overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# --------------------------------------------------------------------
+# BPE tokenizer training (Sennrich/Haddow/Birch, ACL 2016 "Neural
+# Machine Translation of Rare Words with Subword Units") — the
+# tokenizer-training operator of the LLM-corpus tier. The reference
+# platform only ships data to external trainers (HboxContainer.java
+# pipe pump); training the subword vocabulary inside the engine is
+# engine value-add on the same corpus surface as q51's token counts.
+# --------------------------------------------------------------------
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    min_freq: int = 2,
+    end_of_word: str = "</w>",
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn BPE merge rules distributed; returns merges in rank order.
+
+    100 TB shape: ONE corpus-wide shuffle builds the (word, count)
+    vocabulary — every later iteration touches only that vocab table
+    (bounded by distinct-word count, not corpus size), exactly how
+    industrial BPE trainers scale. Per iteration: adjacent symbol-pair
+    counts via arrays_zip+explode (JVM), a deterministic argmax
+    (count desc, then lexicographic pair — ties never depend on
+    partitioning), and a greedy left-to-right merge folded JVM-side
+    with ``F.aggregate`` (the pair literals are baked into codegen, no
+    Python in the loop). The only driver traffic is one argmax row per
+    merge. Lineage is localCheckpoint-truncated every
+    ``checkpoint_every`` rounds (same discipline as
+    dedup.connected_components).
+
+    Stops early when the best pair's frequency drops below
+    ``min_freq``; returns possibly fewer than ``n_merges`` rules.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = words.select(
+        F.concat(
+            F.filter(F.split("w", ""), lambda c: c != ""),
+            F.array(F.lit(end_of_word)),
+        ).alias("syms"),
+        "cnt",
+    ).localCheckpoint()
+
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                F.slice("syms", 1, F.size("syms") - 1).alias("la"),
+                F.slice("syms", 2, F.size("syms") - 1).alias("ra"),
+                "cnt",
+            )
+            .select(F.explode(F.arrays_zip("la", "ra")).alias("p"), "cnt")
+            .groupBy(
+                F.col("p.la").alias("left"), F.col("p.ra").alias("right")
+            )
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), "left", "right").limit(1).collect()
+        if not best or best[0]["n"] < min_freq:
+            break
+        left, right = best[0]["left"], best[0]["right"]
+        merges.append((left, right))
+        joined = left + right
+        # Greedy left-to-right fold: append each symbol, or fuse it
+        # with the accumulator tail when (tail, symbol) == the pair.
+        # The just-fused token can itself fuse again only as the LEFT
+        # of a later occurrence — matching the classic re-scan
+        # semantics ("aaaa" + (a,a) -> [aa, aa]).
+        vocab = vocab.select(
+            F.aggregate(
+                F.slice("syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+                F.slice("syms", 1, F.least(F.size("syms"), F.lit(1))),
+                lambda acc, x: F.when(
+                    (F.element_at(acc, -1) == F.lit(left)) & (x == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+            "cnt",
+        )
+        if (i + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+    out_col: str = "bpe_tokens",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Apply learned BPE merges to a text column -> array of subword
+    tokens (sanctioned Arrow-batched Python path: the merge loop is
+    per-WORD, memoized per distinct word within each batch, and the
+    rule list rides the closure — broadcast-sized, like a vocab file).
+    Map-only; scales with executor count."""
+    rules = list(merges or [])
+
+    @F.pandas_udf("array<string>")
+    def bpe(texts):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def encode_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w) + [end_of_word]
+            for left, right in rules:
+                out: list[str] = []
+                for s in syms:
+                    if out and out[-1] == left and s == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(s)
+                syms = out
+            cache[w] = syms
+            return syms
+
+        res = []
+        for t in texts:
+            if t is None:
+                res.append(None)
+                continue
+            toks: list[str] = []
+            for w in t.split():
+                toks.extend(encode_word(w))
+            res.append(toks)
+        return pd.Series(res)
+
+    return df.withColumn(out_col, bpe(F.col(text_col)))

@@ -140,6 +140,7 @@ GRADED_SPARES = [
 #: registered as the fast engine-native/xxhash64 production forms.
 ROWS_ONLY = [
     "q16_approx_distinct",
+    "q93_bpe_tokenizer",  # iterative argmax merge learning (certified vs an independent reference impl in tests, like q52's recall gate)
     "q48_minhash_neardup",
     "q49_simhash_sketch",
     "q52_ivf_ann_topk",

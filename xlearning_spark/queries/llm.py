@@ -940,6 +940,38 @@ def q84_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q93_bpe_tokenizer",
+    oracle=None,  # iterative argmax merge learning: not SQL-replayable
+    tags=("llm", "L4", "bpe"),
+    doc="L4 BPE tokenizer training + application (Sennrich ACL'16), "
+    "end-to-end in-engine: learn_bpe_merges runs ONE corpus word-count "
+    "shuffle then vocab-bounded merge iterations (JVM pair counts + "
+    "F.aggregate greedy merge; deterministic argmax, so the merge list "
+    "is partition-invariant), apply_bpe re-tokenizes the corpus with "
+    "the learned rules and the query emits per-doc subword counts. "
+    "Rows-only like q52's KMeans: per-iteration argmax isn't "
+    "SQL-replayable — certification is tests/test_llm_ops.py's exact "
+    "agreement with an independent reference implementation on the "
+    "real sf0.001 corpus plus partition-invariance and round-trip "
+    "properties.",
+)
+def q93_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.text import apply_bpe, learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    merges = learn_bpe_merges(docs, n_merges=16, min_freq=5)
+    return (
+        apply_bpe(docs, merges=merges)
+        .select(
+            "doc_id",
+            F.size("bpe_tokens").alias("n_bpe_tokens"),
+            F.lit(len(merges)).alias("n_merges"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q91_multimodal_jpeg",
     oracle="""
 SELECT doc_id,
