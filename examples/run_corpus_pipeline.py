@@ -99,6 +99,19 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
     print("packed chunks per source (first 5):",
           summary.orderBy("source").limit(5).collect())
 
+    # 8. train a BPE subword vocabulary on the cleaned corpus and
+    #    re-tokenize with it (Sennrich ACL'16; learning is one corpus
+    #    shuffle + vocab-bounded merge iterations).
+    from xlearning_spark.operators.text import apply_bpe, learn_bpe_merges
+
+    merges = learn_bpe_merges(clean, n_merges=12, min_freq=5)
+    print(f"BPE merges learned ({len(merges)}):", merges[:6], "...")
+    sub = apply_bpe(clean, merges=merges)
+    stats = sub.agg(
+        F.avg(F.size("bpe_tokens")).alias("avg_subwords_per_doc")
+    ).collect()[0]
+    print("avg BPE subwords per doc:", round(stats["avg_subwords_per_doc"], 1))
+
 
 if __name__ == "__main__":
     from xlearning_spark.engine import build_session

@@ -227,6 +227,13 @@ factor — the LM join side's worst case — and the curve stays flat;
 at 100 TB the LM table is pruned to top-N contexts before broadcast,
 making the join side constant.
 
+q91 (multimodal JPEG decode) note (r5 session 3): 1.71 / 1.79 / 2.31 s
+at 1/4/8x — flat-then-mildly-linear, the signature of a map-only
+Arrow/Python stage on idle slots (no shuffle anywhere in the decode
+tier; per-doc cost is constant). This is the representative curve for
+the whole multimodal tier (q69/q82/q84/q92 share the exact plan
+shape: pandas-UDF synth -> mapInPandas decode).
+
 IVF build/probe split (round 5, r4 verdict item 3): sf0.1 embeddings
 (2000 x 64d), local[32], 3-run medians — build_ivf_index (KMeans fit +
 cell assignment + cache materialize) 1.83 s ONCE; ivf_probe per query
