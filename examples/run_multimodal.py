@@ -172,6 +172,20 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
                 f" rms={[round(x, 4) for x in r.feature]}"
             )
 
+        resized = mm.resize_image(
+            mm.decode_image(
+                files.filter("media_type like 'image/%'"), keep_pixels=True
+            ),
+            target_width=4,
+            target_height=4,
+        )
+        for r in resized.collect():
+            if r.pixels is not None:
+                print(
+                    f"resized {os.path.basename(r.path)} -> 4x4 real bilinear,"
+                    f" means={[round(x, 3) for x in r.feature]}"
+                )
+
         video = mm.decode_video(files.filter("media_type = 'video/avi'"))
         for r in sorted(video.collect(), key=lambda r: r.frame_no):
             print(

@@ -936,3 +936,96 @@ def test_video_non_mjpeg_and_other_containers_fall_back_to_stub(spark):
         again.setdefault(r.path, []).append(r)
     key = lambda rs: sorted((r.frame_no, r.width, tuple(r.feature)) for r in rs)
     assert key(got["j.avi"]) == key(again["j.avi"])
+
+
+# --------------------------------------------------------------------
+# keep_pixels + REAL bilinear resize
+# --------------------------------------------------------------------
+
+def _ref_bilinear(arr, tw, th):
+    """Independent reference: scalar-loop bilinear with half-pixel
+    centers and edge clamp (the decoder-side code is vectorized; this
+    one is deliberately naive)."""
+    import numpy as np
+
+    h, w, c = arr.shape
+    out = np.zeros((th, tw, c))
+    for oy in range(th):
+        for ox in range(tw):
+            sy = min(max((oy + 0.5) * h / th - 0.5, 0), h - 1)
+            sx = min(max((ox + 0.5) * w / tw - 0.5, 0), w - 1)
+            y0, x0 = int(sy), int(sx)
+            y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+            fy, fx = sy - y0, sx - x0
+            for ch in range(c):
+                a = float(arr[y0, x0, ch]) * (1 - fx) + float(arr[y0, x1, ch]) * fx
+                b = float(arr[y1, x0, ch]) * (1 - fx) + float(arr[y1, x1, ch]) * fx
+                out[oy, ox, ch] = a * (1 - fy) + b * fy
+    return out
+
+
+def test_decode_keep_pixels_exposes_exact_buffer(spark):
+    import numpy as np
+
+    rows = [
+        [(10, 20, 30), (40, 50, 60)],
+        [(70, 80, 90), (100, 110, 120)],
+    ]
+    png = _make_png(rows, color_type=2, filters=[0, 0])
+    df = spark.createDataFrame([("px.png", png)], ["path", "content"])
+    r = mm.decode_image(df, keep_pixels=True).collect()[0]
+    exp = np.array(rows, np.uint8)
+    assert bytes(r.pixels) == exp.tobytes()
+    # default mode has no pixels column at all
+    assert "pixels" not in mm.decode_image(df).columns
+
+
+def test_resize_real_bilinear_matches_reference(spark):
+    import numpy as np
+
+    rows = [
+        [(0, 0, 0), (90, 30, 60)],
+        [(180, 60, 120), (255, 90, 180)],
+    ]
+    png = _make_png(rows, color_type=2, filters=[0, 0])
+    df = spark.createDataFrame([("g.png", png)], ["path", "content"])
+    decoded = mm.decode_image(df, keep_pixels=True)
+    r = mm.resize_image(decoded, target_width=5, target_height=3).collect()[0]
+    assert (r.width, r.height, r.n_channels) == (5, 3, 3)
+    ref = _ref_bilinear(np.array(rows, np.uint8), 5, 3)
+    got = np.frombuffer(bytes(r.pixels), np.uint8).reshape(3, 5, 3)
+    assert np.abs(got.astype(float) - np.round(ref)).max() <= 1  # rounding ulp
+    # feature is the UNROUNDED resized mean
+    exp_feat = ref.mean(axis=(0, 1)) / 255.0
+    assert np.allclose(r.feature, exp_feat, atol=1e-12)
+
+
+def test_resize_constant_image_stays_constant(spark):
+    import numpy as np
+
+    rows = [[(37, 141, 201)] * 3] * 2
+    png = _make_png(rows, color_type=2, filters=[0, 0])
+    df = spark.createDataFrame([("c.png", png)], ["path", "content"])
+    decoded = mm.decode_image(df, keep_pixels=True)
+    r = mm.resize_image(decoded, target_width=7, target_height=4).collect()[0]
+    got = np.frombuffer(bytes(r.pixels), np.uint8).reshape(4, 7, 3)
+    assert (got == np.array([37, 141, 201], np.uint8)).all()
+    assert [round(f, 12) for f in r.feature] == [
+        round(v / 255.0, 12) for v in (37, 141, 201)
+    ]
+
+
+def test_resize_stub_fallback_for_null_pixel_rows(spark):
+    # a stub-decoded row in keep_pixels mode has NULL pixels: resize
+    # falls back to the declared area-renormalized stub, NULL out.
+    junk = bytes.fromhex("ffd8ffe0") + b"not-a-real-jpeg"
+    df = spark.createDataFrame([("bad.jpg", junk)], ["path", "content"])
+    decoded = mm.decode_image(df, keep_pixels=True)
+    row0 = decoded.collect()[0]
+    assert row0.pixels is None
+    r = mm.resize_image(decoded, target_width=10, target_height=10).collect()[0]
+    assert r.pixels is None
+    s = 100 / (row0.width * row0.height)
+    assert [round(f, 10) for f in r.feature] == [
+        round(x * s, 10) for x in row0.feature
+    ]

@@ -380,12 +380,22 @@ def _build_jpeg_decoder():
             )
             img = np.clip(np.round(img), 0, 255)
         means = img.mean(axis=(0, 1)) / 255.0
-        return w, h, len(comps), [float(x) for x in means]
+        # 5th element: RGB/gray pixel buffer (uint8 row-major) so
+        # downstream stages (resize) can work on real pixels.
+        return (
+            w,
+            h,
+            len(comps),
+            [float(x) for x in means],
+            img.astype(np.uint8).tobytes(),
+        )
 
     return decode_jpeg
 
 
-def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
+def decode_image(
+    df: DataFrame, batch_rows: int = 64, keep_pixels: bool = False
+) -> DataFrame:
     """Decode/feature-extract stage over binary content via mapInPandas.
 
     Arrow moves the bytes in columnar batches; each partition decodes
@@ -395,6 +405,13 @@ def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
     pandas frame before slicing, so per-batch input memory is governed
     by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (default
     10000); lower it for many-MB payloads.
+
+    ``keep_pixels=True`` adds a ``pixels binary`` column: the decoded
+    uint8 pixel buffer (row-major, RGB/gray channel order, top-down
+    rows) for the real decoders, NULL for stub rows — feed it to
+    :func:`resize_image` for true resampling. Off by default: the
+    buffer is width*height*channels bytes per row, so only keep it
+    when a downstream stage consumes pixels.
     """
     df = with_media_type(df) if "media_type" not in df.columns else df
     cols = df.select("path", "media_type", "content")
@@ -436,6 +453,7 @@ def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
             h_abs = abs(height)  # negative height = top-down rows
             channels = max(1, bpp // 8)
             feature: list[float] = []
+            pixels = None
             if compression == 0 and bpp in (8, 24, 32):
                 stride = ((width * bpp + 31) // 32) * 4  # 4-byte row pad
                 px = np.frombuffer(content, dtype=np.uint8)[
@@ -446,7 +464,13 @@ def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                     px = px.reshape(h_abs, width, channels)
                     means = px.mean(axis=(0, 1)) / 255.0
                     feature = [float(x) for x in means[::-1]]
-            return width, h_abs, channels, feature
+                    # normalize to RGB order, top-down rows (positive
+                    # height = bottom-up storage in BMP)
+                    rgb = px[:, :, ::-1] if channels >= 3 else px
+                    if height > 0:
+                        rgb = rgb[::-1]
+                    pixels = np.ascontiguousarray(rgb).tobytes()
+            return width, h_abs, channels, feature, pixels
 
         def decode_png(content: bytes):
             # REAL decoder, stdlib-only: PNG is big-endian chunk
@@ -542,7 +566,13 @@ def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                 img = pal[img[:, :, 0]]
                 out_ch = 3
             means = img.astype(np.float64).mean(axis=(0, 1)) / 255.0
-            return width, height, out_ch, [float(x) for x in means]
+            return (
+                width,
+                height,
+                out_ch,
+                [float(x) for x in means],
+                np.ascontiguousarray(img.astype(np.uint8)).tobytes(),
+            )
 
         def _gif_lzw(data: bytes, min_code: int, npix: int):
             # GIF-flavor LZW: variable-width codes (min_code+1 .. 12
@@ -660,7 +690,13 @@ def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                     return None
                 img = pal_arr[arr]
                 means = img.astype(np.float64).mean(axis=(0, 1)) / 255.0
-                return width, height, 3, [float(x) for x in means]
+                return (
+                    width,
+                    height,
+                    3,
+                    [float(x) for x in means],
+                    np.ascontiguousarray(img.astype(np.uint8)).tobytes(),
+                )
             return None
 
         real = {
@@ -680,19 +716,29 @@ def decode_image(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                     "n_channels": [],
                     "feature": [],
                 }
+                if keep_pixels:
+                    out["pixels"] = []
                 for _, row in chunk.iterrows():
                     decoder = real.get(row["media_type"])
                     decoded = decoder(row["content"]) if decoder else None
-                    w, h, c, feat = decoded if decoded else fake(row["content"])
+                    if decoded:
+                        w, h, c, feat = decoded[:4]
+                        px = decoded[4] if len(decoded) > 4 else None
+                    else:
+                        w, h, c, feat = fake(row["content"])
+                        px = None  # stub rows carry no pixel buffer
                     out["path"].append(row["path"])
                     out["media_type"].append(row["media_type"])
                     out["width"].append(w)
                     out["height"].append(h)
                     out["n_channels"].append(c)
                     out["feature"].append(feat)
+                    if keep_pixels:
+                        out["pixels"].append(px)
                 yield pd.DataFrame(out)
 
-    return cols.mapInPandas(decode_batches, DECODED_SCHEMA)
+    schema = DECODED_SCHEMA + (", pixels binary" if keep_pixels else "")
+    return cols.mapInPandas(decode_batches, schema)
 
 
 #: Output schema of the audio decode stage — fixed contract downstream.
@@ -971,7 +1017,7 @@ def decode_video(
                                 if dec is None:
                                     rows = None  # non-MJPEG codec
                                     break
-                                w, h, _ch, feat = dec
+                                w, h, _ch, feat = dec[:4]
                                 rows.append((w, h, fps, len(frames), f, feat))
                     if rows is None:
                         rows = fake_frames(content)
@@ -999,33 +1045,82 @@ RESIZED_SCHEMA = (
 def resize_image(
     df: DataFrame, target_width: int = 224, target_height: int = 224
 ) -> DataFrame:
-    """STUB resize stage over decoded rows (DECODED_SCHEMA in, same
-    shape out with width/height set to the target).
+    """Resize stage over decoded rows (DECODED_SCHEMA in, same shape
+    out with width/height set to the target).
 
-    Real implementation point: a PIL/opencv call on the pixel buffer.
-    The stub renormalizes the feature vector by the scale factor so
-    the stage is observable and deterministic; the Spark plumbing —
-    mapInPandas over Arrow batches, map-only, explicit schema — is the
-    production shape (one executor pass, no shuffle, scales with
-    cluster width at 100 TB).
+    REAL when the input carries the ``pixels`` column from
+    ``decode_image(keep_pixels=True)``: numpy bilinear resampling
+    (half-pixel-centered sample grid, edge-clamped — the standard
+    convention) on the uint8 buffer, with the feature recomputed as
+    the resized image's true per-channel means and the resized buffer
+    emitted back in ``pixels``. Rows whose buffer is NULL (stub
+    decodes) and pixel-less inputs fall back to the declared STUB
+    (feature renormalized by the area scale). Map-only either way —
+    one executor pass, no shuffle, scales with cluster width at
+    100 TB.
     """
+    has_pixels = "pixels" in df.columns
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def bilinear(arr: "np.ndarray") -> "np.ndarray":
+            h, w, _c = arr.shape
+            ys = (np.arange(target_height) + 0.5) * h / target_height - 0.5
+            xs = (np.arange(target_width) + 0.5) * w / target_width - 0.5
+            ys = np.clip(ys, 0, h - 1)
+            xs = np.clip(xs, 0, w - 1)
+            y0 = np.floor(ys).astype(int)
+            x0 = np.floor(xs).astype(int)
+            y1 = np.minimum(y0 + 1, h - 1)
+            x1 = np.minimum(x0 + 1, w - 1)
+            wy = (ys - y0)[:, None, None]
+            wx = (xs - x0)[None, :, None]
+            a = arr.astype(np.float64)
+            top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+            bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+            return top * (1 - wy) + bot * wy
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            scale = [
-                (target_width * target_height) / max(w * h, 1)
-                for w, h in zip(pdf["width"], pdf["height"])
-            ]
-            out = pdf.copy()
-            out["width"] = target_width
-            out["height"] = target_height
-            out["feature"] = [
-                [x * s for x in feat] for feat, s in zip(pdf["feature"], scale)
-            ]
-            yield out
+            out = {
+                "path": [],
+                "media_type": [],
+                "width": [],
+                "height": [],
+                "n_channels": [],
+                "feature": [],
+            }
+            if has_pixels:
+                out["pixels"] = []
+            for _, row in pdf.iterrows():
+                w, h, c = int(row["width"]), int(row["height"]), int(row["n_channels"])
+                px = row["pixels"] if has_pixels else None
+                if px is not None and len(px) == w * h * c and w > 0 and h > 0:
+                    arr = np.frombuffer(px, np.uint8).reshape(h, w, c)
+                    res = bilinear(arr)
+                    feat = [float(x) for x in res.mean(axis=(0, 1)) / 255.0]
+                    new_px = (
+                        np.clip(np.round(res), 0, 255).astype(np.uint8).tobytes()
+                    )
+                else:
+                    s = (target_width * target_height) / max(w * h, 1)
+                    feat = [x * s for x in row["feature"]]
+                    new_px = None
+                out["path"].append(row["path"])
+                out["media_type"].append(row["media_type"])
+                out["width"].append(target_width)
+                out["height"].append(target_height)
+                out["n_channels"].append(c)
+                out["feature"].append(feat)
+                if has_pixels:
+                    out["pixels"].append(new_px)
+            yield pd.DataFrame(out)
 
-    return df.select(
-        "path", "media_type", "width", "height", "n_channels", "feature"
-    ).mapInPandas(resize_batches, RESIZED_SCHEMA)
+    cols = ["path", "media_type", "width", "height", "n_channels", "feature"]
+    schema = RESIZED_SCHEMA
+    if has_pixels:
+        cols.append("pixels")
+        schema = RESIZED_SCHEMA + ", pixels binary"
+    return df.select(*cols).mapInPandas(resize_batches, schema)
