@@ -1029,3 +1029,54 @@ def test_resize_stub_fallback_for_null_pixel_rows(spark):
     assert [round(f, 10) for f in r.feature] == [
         round(x * s, 10) for x in row0.feature
     ]
+
+
+def test_streaming_binary_ingest_decode_parity(spark, tmp_path):
+    # L5 x T1: the multimodal tier under Structured Streaming —
+    # binaryFile as a file-stream source, decode_image per micro-batch
+    # via foreachBatch (the landed-media ingest shape). Drained with
+    # AvailableNow, results must equal the batch decode exactly.
+    media = tmp_path / "media_in"
+    media.mkdir()
+    (media / "a.png").write_bytes(
+        _make_png([[(10, 20, 30)], [(40, 50, 60)]], color_type=2, filters=[0, 2])
+    )
+    (media / "b.gif").write_bytes(_make_gif(__import__("numpy").full((2, 3), 1, "uint8"), _PAL4))
+    (media / "c.jpg").write_bytes(_make_jpeg(8, 8, [[{0: 17}]]))
+
+    batch_rows = {
+        r.path: r
+        for r in mm.decode_image(
+            mm.read_binary_files(spark, str(media))
+        ).collect()
+    }
+
+    got = []
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length bigint, content binary"
+        )
+        .load(str(media))
+        .select("path", "content")
+    )
+
+    def sink(bdf, _bid):
+        got.extend(mm.decode_image(bdf).collect())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {r.path: r for r in got}
+    assert set(stream_rows) == set(batch_rows)
+    for p, br in batch_rows.items():
+        sr = stream_rows[p]
+        assert (sr.width, sr.height, sr.n_channels) == (
+            br.width, br.height, br.n_channels
+        )
+        assert sr.feature == br.feature
