@@ -718,17 +718,22 @@ def decode_image(
                 }
                 if keep_pixels:
                     out["pixels"] = []
-                for _, row in chunk.iterrows():
-                    decoder = real.get(row["media_type"])
-                    decoded = decoder(row["content"]) if decoder else None
+                # zip over columns, not iterrows(): per-row Series
+                # construction costs ~100us/row — real money when the
+                # decode itself is sub-millisecond.
+                for path, mtype, content in zip(
+                    chunk["path"], chunk["media_type"], chunk["content"]
+                ):
+                    decoder = real.get(mtype)
+                    decoded = decoder(content) if decoder else None
                     if decoded:
                         w, h, c, feat = decoded[:4]
                         px = decoded[4] if len(decoded) > 4 else None
                     else:
-                        w, h, c, feat = fake(row["content"])
+                        w, h, c, feat = fake(content)
                         px = None  # stub rows carry no pixel buffer
-                    out["path"].append(row["path"])
-                    out["media_type"].append(row["media_type"])
+                    out["path"].append(path)
+                    out["media_type"].append(mtype)
                     out["width"].append(w)
                     out["height"].append(h)
                     out["n_channels"].append(c)
@@ -857,17 +862,17 @@ def decode_audio(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                     "duration_s": [],
                     "feature": [],
                 }
-                for _, row in chunk.iterrows():
+                for path, mtype, content in zip(
+                    chunk["path"], chunk["media_type"], chunk["content"]
+                ):
                     decoded = (
-                        decode_wav(row["content"])
-                        if row["media_type"] == "audio/wav"
-                        else None
+                        decode_wav(content) if mtype == "audio/wav" else None
                     )
                     rate, ch, bits, n, dur, feat = decoded if decoded else fake(
-                        row["content"]
+                        content
                     )
-                    out["path"].append(row["path"])
-                    out["media_type"].append(row["media_type"])
+                    out["path"].append(path)
+                    out["media_type"].append(mtype)
                     out["sample_rate"].append(rate)
                     out["n_channels"].append(ch)
                     out["bit_depth"].append(bits)
@@ -1002,10 +1007,11 @@ def decode_video(
                     "frame_no": [],
                     "feature": [],
                 }
-                for _, row in chunk.iterrows():
-                    content = row["content"]
+                for path, mtype, content in zip(
+                    chunk["path"], chunk["media_type"], chunk["content"]
+                ):
                     rows = None
-                    if row["media_type"] == "video/avi":
+                    if mtype == "video/avi":
                         parsed = parse_avi(content)
                         if parsed is not None:
                             fps, frames = parsed
@@ -1022,8 +1028,8 @@ def decode_video(
                     if rows is None:
                         rows = fake_frames(content)
                     for w, h, fps, n, f, feat in rows:
-                        out["path"].append(row["path"])
-                        out["media_type"].append(row["media_type"])
+                        out["path"].append(path)
+                        out["media_type"].append(mtype)
                         out["width"].append(w)
                         out["height"].append(h)
                         out["fps"].append(fps)
@@ -1094,9 +1100,12 @@ def resize_image(
             }
             if has_pixels:
                 out["pixels"] = []
-            for _, row in pdf.iterrows():
-                w, h, c = int(row["width"]), int(row["height"]), int(row["n_channels"])
-                px = row["pixels"] if has_pixels else None
+            px_col = pdf["pixels"] if has_pixels else [None] * len(pdf)
+            for path, mtype, w, h, c, feature, px in zip(
+                pdf["path"], pdf["media_type"], pdf["width"], pdf["height"],
+                pdf["n_channels"], pdf["feature"], px_col,
+            ):
+                w, h, c = int(w), int(h), int(c)
                 if px is not None and len(px) == w * h * c and w > 0 and h > 0:
                     arr = np.frombuffer(px, np.uint8).reshape(h, w, c)
                     res = bilinear(arr)
@@ -1106,10 +1115,10 @@ def resize_image(
                     )
                 else:
                     s = (target_width * target_height) / max(w * h, 1)
-                    feat = [x * s for x in row["feature"]]
+                    feat = [x * s for x in feature]
                     new_px = None
-                out["path"].append(row["path"])
-                out["media_type"].append(row["media_type"])
+                out["path"].append(path)
+                out["media_type"].append(mtype)
                 out["width"].append(target_width)
                 out["height"].append(target_height)
                 out["n_channels"].append(c)
