@@ -172,6 +172,19 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
                 f" rms={[round(x, 4) for x in r.feature]}"
             )
 
+        resampled = mm.resample_audio(
+            mm.decode_audio(
+                files.filter("media_type like 'audio/%'"), keep_samples=True
+            ),
+            target_rate=16000,
+        )
+        for r in resampled.collect():
+            print(
+                f"resampled {os.path.basename(r.path)} -> {r.sample_rate} Hz"
+                f" ({r.n_samples} samples, {r.duration_s:.3f}s,"
+                f" rms={[round(x, 4) for x in r.feature]})"
+            )
+
         resized = mm.resize_image(
             mm.decode_image(
                 files.filter("media_type like 'image/%'"), keep_pixels=True

@@ -1080,3 +1080,74 @@ def test_streaming_binary_ingest_decode_parity(spark, tmp_path):
             br.width, br.height, br.n_channels
         )
         assert sr.feature == br.feature
+
+
+# --------------------------------------------------------------------
+# keep_samples + REAL linear audio resampling
+# --------------------------------------------------------------------
+
+def test_decode_keep_samples_exposes_normalized_buffer(spark):
+    import numpy as np
+
+    left = [0, 8192, 16384, -8192]
+    wav = _make_wav(8000, [left], bits=16)
+    df = spark.createDataFrame([("s.wav", wav)], ["path", "content"])
+    r = mm.decode_audio(df, keep_samples=True).collect()[0]
+    got = np.frombuffer(bytes(r.samples), np.float32).reshape(4, 1)
+    exp = np.array(left, np.float64)[:, None] / 32768.0
+    assert np.allclose(got, exp, atol=1e-7)
+    assert "samples" not in mm.decode_audio(df).columns
+
+
+def test_resample_audio_linear_matches_reference(spark):
+    import numpy as np
+
+    src_rate, dst_rate = 8000, 12000
+    sig = [int(10000 * np.sin(2 * np.pi * 440 * i / src_rate)) for i in range(64)]
+    wav = _make_wav(src_rate, [sig], bits=16)
+    df = spark.createDataFrame([("t.wav", wav)], ["path", "content"])
+    decoded = mm.decode_audio(df, keep_samples=True)
+    r = mm.resample_audio(decoded, target_rate=dst_rate).collect()[0]
+    assert r.sample_rate == dst_rate
+    n_out = int(round(64 * dst_rate / src_rate))
+    assert r.n_samples == n_out
+    assert abs(r.duration_s - n_out / dst_rate) < 1e-12
+    # independent scalar reference
+    arr = np.array(sig, np.float64) / 32768.0
+    ref = []
+    for k in range(n_out):
+        p = min(max(k * src_rate / dst_rate, 0), 63)
+        i0 = int(p)
+        i1 = min(i0 + 1, 63)
+        f = p - i0
+        ref.append(arr[i0] * (1 - f) + arr[i1] * f)
+    ref = np.array(ref)
+    got = np.frombuffer(bytes(r.samples), np.float32).reshape(n_out)
+    assert np.allclose(got, ref, atol=1e-6)
+    assert abs(r.feature[0] - float(np.sqrt((ref**2).mean()))) < 1e-6
+
+
+def test_resample_constant_signal_and_stub_fallback(spark):
+    import numpy as np
+
+    wav = _make_wav(16000, [[8192] * 50, [-8192] * 50], bits=16)
+    mp3ish = bytes.fromhex("494433") + b"junk-mp3-payload"
+    df = spark.createDataFrame(
+        [("c.wav", wav), ("x.mp3", mp3ish)], ["path", "content"]
+    )
+    decoded = mm.decode_audio(df, keep_samples=True)
+    pre = {r.path: r for r in decoded.collect()}
+    got = {
+        r.path: r
+        for r in mm.resample_audio(decoded, target_rate=8000).collect()
+    }
+    c = got["c.wav"]
+    arr = np.frombuffer(bytes(c.samples), np.float32).reshape(-1, 2)
+    assert np.allclose(arr[:, 0], 8192 / 32768.0, atol=1e-7)
+    assert np.allclose(arr[:, 1], -8192 / 32768.0, atol=1e-7)
+    assert c.n_samples == 25 and c.sample_rate == 8000
+    # stub row: NULL samples, RMS feature carried through, count scaled
+    x = got["x.mp3"]
+    assert x.samples is None
+    assert list(x.feature) == list(pre["x.mp3"].feature)
+    assert x.n_samples == int(round(pre["x.mp3"].n_samples * 8000 / pre["x.mp3"].sample_rate))

@@ -753,7 +753,9 @@ DECODED_AUDIO_SCHEMA = (
 )
 
 
-def decode_audio(df: DataFrame, batch_rows: int = 64) -> DataFrame:
+def decode_audio(
+    df: DataFrame, batch_rows: int = 64, keep_samples: bool = False
+) -> DataFrame:
     """Audio decode/feature-extract stage via mapInPandas (map-only —
     scales with executor count at 100 TB, no shuffle).
 
@@ -766,6 +768,11 @@ def decode_audio(df: DataFrame, batch_rows: int = 64) -> DataFrame:
     per-channel RMS feature on [-1, 1] samples. Compressed formats
     (MP3, ADPCM, ...) and malformed payloads fall back to the
     deterministic content-hash stub, same as the image path.
+
+    ``keep_samples=True`` adds a ``samples binary`` column: the
+    normalized [-1, 1] float32 frame-major sample buffer for real
+    decodes, NULL for stub rows — feed it to :func:`resample_audio`.
+    Off by default (4 bytes x frames x channels per row).
     """
     df = with_media_type(df) if "media_type" not in df.columns else df
     cols = df.select("path", "media_type", "content")
@@ -844,10 +851,20 @@ def decode_audio(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                 return None  # compressed / exotic -> stub
             frames = samples.size // channels
             if frames == 0:
-                return rate, channels, bits, 0, 0.0, [0.0] * channels
+                return rate, channels, bits, 0, 0.0, [0.0] * channels, b""
             per_ch = samples[: frames * channels].reshape(frames, channels)
             rms = np.sqrt((per_ch**2).mean(axis=0))
-            return rate, channels, bits, frames, frames / rate, [float(x) for x in rms]
+            # 7th element: normalized [-1,1] float32 frame-major sample
+            # buffer, for downstream stages (resample_audio).
+            return (
+                rate,
+                channels,
+                bits,
+                frames,
+                frames / rate,
+                [float(x) for x in rms],
+                np.ascontiguousarray(per_ch.astype(np.float32)).tobytes(),
+            )
 
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
@@ -862,15 +879,20 @@ def decode_audio(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                     "duration_s": [],
                     "feature": [],
                 }
+                if keep_samples:
+                    out["samples"] = []
                 for path, mtype, content in zip(
                     chunk["path"], chunk["media_type"], chunk["content"]
                 ):
                     decoded = (
                         decode_wav(content) if mtype == "audio/wav" else None
                     )
-                    rate, ch, bits, n, dur, feat = decoded if decoded else fake(
-                        content
-                    )
+                    if decoded:
+                        rate, ch, bits, n, dur, feat = decoded[:6]
+                        smp = decoded[6] if len(decoded) > 6 else None
+                    else:
+                        rate, ch, bits, n, dur, feat = fake(content)
+                        smp = None  # stub rows carry no sample buffer
                     out["path"].append(path)
                     out["media_type"].append(mtype)
                     out["sample_rate"].append(rate)
@@ -879,9 +901,110 @@ def decode_audio(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                     out["n_samples"].append(n)
                     out["duration_s"].append(dur)
                     out["feature"].append(feat)
+                    if keep_samples:
+                        out["samples"].append(smp)
                 yield pd.DataFrame(out)
 
-    return cols.mapInPandas(decode_batches, DECODED_AUDIO_SCHEMA)
+    schema = DECODED_AUDIO_SCHEMA + (", samples binary" if keep_samples else "")
+    return cols.mapInPandas(decode_batches, schema)
+
+
+def resample_audio(df: DataFrame, target_rate: int = 16000) -> DataFrame:
+    """Resample stage over decoded audio rows (DECODED_AUDIO_SCHEMA in,
+    same shape out at ``target_rate``) — the audio twin of
+    :func:`resize_image`.
+
+    REAL when the input carries the ``samples`` column from
+    ``decode_audio(keep_samples=True)``: per-channel linear
+    interpolation on the float32 buffer (output frame k samples input
+    time k*src/target, edge-clamped — the standard polyphase-free
+    resampler), with n_samples/duration/RMS recomputed from the
+    resampled signal and the new buffer emitted back. Rows whose
+    buffer is NULL (stub decodes) and sample-less inputs fall back to
+    the declared STUB: metadata rescaled (n_samples by the rate ratio,
+    duration preserved), RMS feature unchanged (rate-invariant). Map-
+    only either way.
+    """
+    if target_rate < 1:
+        raise ValueError("target_rate must be >= 1")
+    has_samples = "samples" in df.columns
+
+    def resample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def linear(arr: "np.ndarray", src: int) -> "np.ndarray":
+            n = arr.shape[0]
+            n_out = max(1, int(round(n * target_rate / src)))
+            pos = np.arange(n_out) * (src / target_rate)
+            pos = np.clip(pos, 0, n - 1)
+            i0 = np.floor(pos).astype(int)
+            i1 = np.minimum(i0 + 1, n - 1)
+            frac = (pos - i0)[:, None]
+            a = arr.astype(np.float64)
+            return a[i0] * (1 - frac) + a[i1] * frac
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "path": [],
+                "media_type": [],
+                "sample_rate": [],
+                "n_channels": [],
+                "bit_depth": [],
+                "n_samples": [],
+                "duration_s": [],
+                "feature": [],
+            }
+            if has_samples:
+                out["samples"] = []
+            smp_col = pdf["samples"] if has_samples else [None] * len(pdf)
+            for path, mtype, rate, ch, bits, n, dur, feat, smp in zip(
+                pdf["path"], pdf["media_type"], pdf["sample_rate"],
+                pdf["n_channels"], pdf["bit_depth"], pdf["n_samples"],
+                pdf["duration_s"], pdf["feature"], smp_col,
+            ):
+                rate, ch, n = int(rate), int(ch), int(n)
+                if (
+                    smp is not None
+                    and rate > 0
+                    and n > 0
+                    and len(smp) == 4 * n * ch
+                ):
+                    arr = np.frombuffer(smp, np.float32).reshape(n, ch)
+                    res = linear(arr, rate)
+                    n_out = res.shape[0]
+                    new_feat = [
+                        float(x) for x in np.sqrt((res**2).mean(axis=0))
+                    ]
+                    new_dur = n_out / target_rate
+                    new_smp = res.astype(np.float32).tobytes()
+                else:
+                    n_out = int(round(n * target_rate / max(rate, 1)))
+                    new_feat = list(feat)  # RMS is rate-invariant
+                    new_dur = float(dur)
+                    new_smp = None
+                out["path"].append(path)
+                out["media_type"].append(mtype)
+                out["sample_rate"].append(target_rate)
+                out["n_channels"].append(ch)
+                out["bit_depth"].append(int(bits))
+                out["n_samples"].append(n_out)
+                out["duration_s"].append(new_dur)
+                out["feature"].append(new_feat)
+                if has_samples:
+                    out["samples"].append(new_smp)
+            yield pd.DataFrame(out)
+
+    cols = [
+        "path", "media_type", "sample_rate", "n_channels",
+        "bit_depth", "n_samples", "duration_s", "feature",
+    ]
+    schema = DECODED_AUDIO_SCHEMA
+    if has_samples:
+        cols.append("samples")
+        schema = DECODED_AUDIO_SCHEMA + ", samples binary"
+    return df.select(*cols).mapInPandas(resample_batches, schema)
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8) -> DataFrame:
