@@ -1151,3 +1151,52 @@ def test_resample_constant_signal_and_stub_fallback(spark):
     assert x.samples is None
     assert list(x.feature) == list(pre["x.mp3"].feature)
     assert x.n_samples == int(round(pre["x.mp3"].n_samples * 8000 / pre["x.mp3"].sample_rate))
+
+
+# --------------------------------------------------------------------
+# MP3 frame-header metadata (real walk, no codec)
+# --------------------------------------------------------------------
+
+def _mp3_frame(version: int, brx: int, srx: int, mode: int, kbps: int, rate: int) -> bytes:
+    spf = 1152 if version == 3 else 576
+    fsize = spf // 8 * kbps * 1000 // rate
+    b1 = 0xE0 | (version << 3) | (1 << 1) | 1  # sync low bits+ver+LayerIII+noCRC
+    hdr = bytes([0xFF, b1, (brx << 4) | (srx << 2), mode << 6])
+    return hdr + b"\x00" * (fsize - 4)
+
+
+def test_mp3_metadata_frame_walk(spark):
+    # 5 CBR MPEG-1 Layer III frames @128kbps/44100 stereo behind an
+    # ID3v2 tag: exact frame count -> exact duration, bit_depth 0,
+    # honestly-empty feature.
+    frames = b"".join(_mp3_frame(3, 9, 0, 1, 128, 44100) for _ in range(5))
+    tagbody = b"\x00" * 40
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, len(tagbody)]) + tagbody
+    df = spark.createDataFrame([("t.mp3", id3 + frames)], ["path", "content"])
+    r = mm.decode_audio(df).collect()[0]
+    assert r.media_type == "audio/mp3"
+    assert (r.sample_rate, r.n_channels, r.bit_depth) == (44100, 2, 0)
+    assert r.n_samples == 5 * 1152
+    assert abs(r.duration_s - 5 * 1152 / 44100) < 1e-12
+    assert list(r.feature) == []
+
+
+def test_mp3_bare_sync_mpeg2_mono(spark):
+    # MPEG-2 mono without ID3: the raw-sync magic must type it and the
+    # version-2 tables (576 samples/frame, v2 bitrates) must apply.
+    frames = b"".join(_mp3_frame(2, 4, 0, 3, 32, 22050) for _ in range(3))
+    df = spark.createDataFrame([("b.mp3", frames)], ["path", "content"])
+    typed = mm.with_media_type(df).collect()[0]
+    assert typed.media_type == "audio/mp3"
+    r = mm.decode_audio(df).collect()[0]
+    assert (r.sample_rate, r.n_channels) == (22050, 1)
+    assert r.n_samples == 3 * 576
+    assert abs(r.duration_s - 3 * 576 / 22050) < 1e-12
+
+
+def test_mp3_malformed_still_stub(spark):
+    junk = bytes.fromhex("494433") + b"junk-mp3-payload"
+    df = spark.createDataFrame([("j.mp3", junk)], ["path", "content"])
+    r = mm.decode_audio(df).collect()[0]
+    assert r.bit_depth == 16  # stub shape, not the mp3 metadata path
+    assert len(r.feature) >= 1

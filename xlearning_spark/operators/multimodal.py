@@ -49,7 +49,10 @@ _MAGIC = {
     "424d": "image/bmp",
     "52494646........57415645": "audio/wav",  # RIFF....WAVE
     "52494646........41564920": "video/avi",  # RIFF....AVI<sp>
-    "494433": "audio/mp3",
+    "494433": "audio/mp3",  # ID3v2-tagged
+    "fffb": "audio/mp3",  # bare MPEG-1 Layer III sync (no CRC)
+    "fff3": "audio/mp3",  # bare MPEG-2 Layer III sync
+    "fff2": "audio/mp3",  # MPEG-2 Layer III with CRC
     "1a45dfa3": "video/webm",
 }
 
@@ -765,9 +768,14 @@ def decode_audio(
     float 32/64-bit (wFormatTag 3, both also behind an EXTENSIBLE
     0xFFFE header) — are vectorized through numpy into true
     sample-rate / channel / bit-depth / duration metadata plus a
-    per-channel RMS feature on [-1, 1] samples. Compressed formats
-    (MP3, ADPCM, ...) and malformed payloads fall back to the
-    deterministic content-hash stub, same as the image path.
+    per-channel RMS feature on [-1, 1] samples. MP3 gets REAL metadata
+    without a codec: the Layer III frame-header walk (ID3v2 skip,
+    per-frame bitrate/samplerate indices) yields true sample rate,
+    channel mode and an exact sample count / duration even for VBR —
+    bit_depth 0 marks the compressed source and the feature is empty
+    (decoding the audio itself needs a codec library). Other
+    compressed formats (ADPCM, ...) and malformed payloads fall back
+    to the deterministic content-hash stub, same as the image path.
 
     ``keep_samples=True`` adds a ``samples binary`` column: the
     normalized [-1, 1] float32 frame-major sample buffer for real
@@ -790,6 +798,55 @@ def decode_audio(
             channels = 1 + h[1] % 2
             n = 256 + int.from_bytes(h[2:4], "little") % 4096
             return rate, channels, 16, n, n / rate, [b / 255.0 for b in h[:channels]]
+
+        def decode_mp3_meta(content: bytes):
+            # REAL metadata extraction (no codec needed): skip any
+            # ID3v2 tag (syncsafe size), then walk MPEG Layer III
+            # frame headers — 11-bit sync, version/bitrate/samplerate
+            # indices, padding bit — summing samples-per-frame (1152
+            # MPEG-1 / 576 MPEG-2/2.5) for the EXACT duration even on
+            # VBR streams. The audio itself stays undecoded (Huffman +
+            # MDCT need a codec library): bit_depth 0 marks a
+            # compressed source and feature is empty — honestly absent
+            # rather than faked. Returns None when no valid frame
+            # parses -> deterministic stub, same contract as elsewhere.
+            if content is None or len(content) < 4:
+                return None
+            pos = 0
+            if content[:3] == b"ID3" and len(content) >= 10:
+                size = 0
+                for b in content[6:10]:
+                    size = (size << 7) | (b & 0x7F)  # syncsafe int
+                pos = 10 + size
+            # kbit/s tables for Layer III: MPEG-1 vs MPEG-2/2.5
+            br_v1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+            br_v2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+            sr_tab = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+            frames = total_samples = 0
+            rate = channels = None
+            while pos + 4 <= len(content):
+                h = int.from_bytes(content[pos : pos + 4], "big")
+                if (h >> 21) & 0x7FF != 0x7FF:
+                    break
+                version = (h >> 19) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+                layer = (h >> 17) & 3  # 1 = Layer III
+                brx = (h >> 12) & 15
+                srx = (h >> 10) & 3
+                if version == 1 or layer != 1 or brx in (0, 15) or srx == 3:
+                    break
+                rate = sr_tab[version][srx]
+                kbps = (br_v1 if version == 3 else br_v2)[brx]
+                spf = 1152 if version == 3 else 576
+                fsize = spf // 8 * kbps * 1000 // rate + ((h >> 9) & 1)
+                if fsize <= 4:
+                    break
+                channels = 1 if (h >> 6) & 3 == 3 else 2
+                frames += 1
+                total_samples += spf
+                pos += fsize
+            if frames == 0 or rate is None:
+                return None
+            return rate, channels, 0, total_samples, total_samples / rate, []
 
         def decode_wav(content: bytes):
             # REAL decoder. Returns None for anything not uncompressed
@@ -884,9 +941,12 @@ def decode_audio(
                 for path, mtype, content in zip(
                     chunk["path"], chunk["media_type"], chunk["content"]
                 ):
-                    decoded = (
-                        decode_wav(content) if mtype == "audio/wav" else None
-                    )
+                    if mtype == "audio/wav":
+                        decoded = decode_wav(content)
+                    elif mtype == "audio/mp3":
+                        decoded = decode_mp3_meta(content)
+                    else:
+                        decoded = None
                     if decoded:
                         rate, ch, bits, n, dur, feat = decoded[:6]
                         smp = decoded[6] if len(decoded) > 6 else None
