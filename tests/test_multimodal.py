@@ -1200,3 +1200,53 @@ def test_mp3_malformed_still_stub(spark):
     r = mm.decode_audio(df).collect()[0]
     assert r.bit_depth == 16  # stub shape, not the mp3 metadata path
     assert len(r.feature) >= 1
+
+
+def _ebml(eid: int, payload: bytes) -> bytes:
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    if len(payload) < 127:
+        size = bytes([0x80 | len(payload)])
+    else:
+        size = (0x4000 | len(payload)).to_bytes(2, "big")
+    return idb + size + payload
+
+
+def test_webm_metadata_ebml_walk(spark):
+    # Minimal WebM: EBML header + Segment{Tracks{TrackEntry{number,
+    # type=video, DefaultDuration, Video{w,h}}}, Cluster{7 SimpleBlocks
+    # for the video track}} -> true dims, fps from ns/frame, true
+    # frame count; features honestly empty (VP8/VP9 needs a codec).
+    track_entry = _ebml(
+        0xAE,
+        _ebml(0xD7, b"\x01")
+        + _ebml(0x83, b"\x01")
+        + _ebml(0x23E383, (40_000_000).to_bytes(4, "big"))  # 25 fps
+        + _ebml(0xE0, _ebml(0xB0, b"\x01\x40") + _ebml(0xBA, b"\xf0")),
+    )
+    blocks = b"".join(
+        _ebml(0xA3, b"\x81\x00\x00\x00" + b"vp8data") for _ in range(7)
+    )
+    webm = _ebml(0x1A45DFA3, b"") + _ebml(
+        0x18538067, _ebml(0x1654AE6B, track_entry) + _ebml(0x1F43B675, blocks)
+    )
+    df = spark.createDataFrame([("clip.webm", webm)], ["path", "content"])
+    typed = mm.with_media_type(df).collect()[0]
+    assert typed.media_type == "video/webm"
+    rows = sorted(
+        mm.decode_video(df, every_n_frames=2, max_frames=3).collect(),
+        key=lambda r: r.frame_no,
+    )
+    assert [r.frame_no for r in rows] == [0, 2, 4]
+    assert all((r.width, r.height, r.n_frames) == (320, 240, 7) for r in rows)
+    assert all(abs(r.fps - 25.0) < 1e-9 for r in rows)
+    assert all(list(r.feature) == [] for r in rows)
+    # blocks on a different track don't count as video frames
+    blocks2 = b"".join(
+        _ebml(0xA3, b"\x82\x00\x00\x00" + b"audio") for _ in range(5)
+    )
+    webm2 = _ebml(0x1A45DFA3, b"") + _ebml(
+        0x18538067, _ebml(0x1654AE6B, track_entry) + _ebml(0x1F43B675, blocks + blocks2)
+    )
+    df2 = spark.createDataFrame([("c2.webm", webm2)], ["path", "content"])
+    r2 = mm.decode_video(df2, max_frames=1).collect()[0]
+    assert r2.n_frames == 7

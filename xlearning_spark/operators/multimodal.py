@@ -1158,6 +1158,81 @@ def decode_video(
             fps = 1e6 / usec if usec else 0.0
             return fps, frames
 
+        def parse_webm(content: bytes):
+            # REAL metadata extraction for WebM/Matroska (no codec
+            # needed): EBML element walk — variable-length IDs (marker
+            # bit kept) and sizes (marker bit stripped) — down to
+            # Tracks > TrackEntry > Video {PixelWidth, PixelHeight}
+            # with DefaultDuration (ns/frame -> fps) and the video
+            # track number, then SimpleBlock counting inside Clusters
+            # for the true frame count. Returns (width, height, fps,
+            # n_frames, video_track_no) or None. The frames themselves
+            # are VP8/VP9/AV1 — codec-library territory, left to the
+            # declared stub feature (empty), like the MP3 audio path.
+            def read_vint(buf: bytes, pos: int, keep_marker: bool):
+                if pos >= len(buf):
+                    return None, pos
+                first = buf[pos]
+                if first == 0:
+                    return None, pos
+                ln = 8 - first.bit_length() + 1
+                if pos + ln > len(buf):
+                    return None, pos
+                val = first if keep_marker else first & (0xFF >> ln)
+                for b in buf[pos + 1 : pos + ln]:
+                    val = (val << 8) | b
+                return val, pos + ln
+
+            def uint_at(buf: bytes, pos: int, size: int) -> int:
+                return int.from_bytes(buf[pos : pos + size], "big")
+
+            state = {
+                "w": None, "h": None, "dur_ns": None,
+                "track": None, "vtrack": None, "frames": 0,
+            }
+
+            def walk(start: int, end: int, depth: int) -> None:
+                pos = start
+                while pos < end and depth < 8:
+                    eid, pos = read_vint(content, pos, True)
+                    if eid is None:
+                        return
+                    size, pos = read_vint(content, pos, False)
+                    if size is None:
+                        return
+                    body_end = min(pos + size, end)
+                    if eid in (0x18538067, 0x1654AE6B, 0x1F43B675):
+                        walk(pos, body_end, depth + 1)  # Segment/Tracks/Cluster
+                    elif eid == 0xAE:  # TrackEntry
+                        state["track"] = None
+                        walk(pos, body_end, depth + 1)
+                    elif eid == 0xD7:  # TrackNumber
+                        state["track"] = uint_at(content, pos, size)
+                    elif eid == 0x83:  # TrackType: 1 = video
+                        if uint_at(content, pos, size) == 1:
+                            state["vtrack"] = state["track"]
+                    elif eid == 0x23E383:  # DefaultDuration (ns/frame)
+                        state["dur_ns"] = uint_at(content, pos, size)
+                    elif eid == 0xE0:  # Video settings
+                        walk(pos, body_end, depth + 1)
+                    elif eid == 0xB0:
+                        state["w"] = uint_at(content, pos, size)
+                    elif eid == 0xBA:
+                        state["h"] = uint_at(content, pos, size)
+                    elif eid == 0xA3:  # SimpleBlock: payload leads with track vint
+                        tno, _ = read_vint(content, pos, False)
+                        if tno is not None and tno == state["vtrack"]:
+                            state["frames"] += 1
+                    pos = body_end
+
+            if content is None or content[:4] != b"\x1a\x45\xdf\xa3":
+                return None
+            walk(0, len(content), 0)
+            if not state["w"] or not state["h"]:
+                return None
+            fps = 1e9 / state["dur_ns"] if state["dur_ns"] else 0.0
+            return state["w"], state["h"], fps, state["frames"]
+
         def fake_frames(content: bytes):
             # STUB fallback: deterministic hash-derived frame rows,
             # same sampling arithmetic as the real path.
@@ -1208,6 +1283,16 @@ def decode_video(
                                     break
                                 w, h, _ch, feat = dec[:4]
                                 rows.append((w, h, fps, len(frames), f, feat))
+                    elif mtype == "video/webm":
+                        meta = parse_webm(content)
+                        if meta is not None:
+                            w, h, fps, n = meta
+                            rows = [
+                                (w, h, fps, n, f, [])
+                                for f in range(0, max(n, 1), every_n_frames)[
+                                    :max_frames
+                                ]
+                            ]
                     if rows is None:
                         rows = fake_frames(content)
                     for w, h, fps, n, f, feat in rows:
