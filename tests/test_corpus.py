@@ -236,3 +236,72 @@ def test_temperature_sample_deterministic_and_partition_invariant(spark):
         ).select("doc_id").collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_token_budget_cap_fills_to_budget(spark, docs):
+    from xlearning_spark.functions import token_count
+    from xlearning_spark.operators.corpus import token_budget_cap
+
+    d = docs.withColumn("nt", token_count("text"))
+    kept = token_budget_cap(d, "source", "doc_id", "nt", 40)
+    per = {
+        r["source"]: (r["n"], r["tok"])
+        for r in kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("nt").alias("tok"))
+        .collect()
+    }
+    # Every source crosses the 40-token line with its LAST doc: total
+    # >= budget, and dropping that doc would fall under budget.
+    max_doc = 7  # every fixture doc is 7 tokens
+    for src, (n, tok) in per.items():
+        assert tok >= 40, (src, tok)
+        assert tok - max_doc < 40, (src, tok)
+    # Deterministic: same budget, same rows, any partitioning.
+    k2 = token_budget_cap(d.repartition(13), "source", "doc_id", "nt", 40)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in k2.collect()
+    )
+
+
+def test_token_budget_cap_per_source_dict(spark, docs):
+    from xlearning_spark.functions import token_count
+    from xlearning_spark.operators.corpus import token_budget_cap
+
+    d = docs.withColumn("nt", token_count("text"))
+    kept = token_budget_cap(
+        d, "source", "doc_id", "nt", {"s0": 70, "s1": 14}
+    )
+    per = {
+        r["source"]: r["tok"]
+        for r in kept.groupBy("source").agg(F.sum("nt").alias("tok")).collect()
+    }
+    # s2/s3 have no budget -> dropped entirely; s0 gets ~5x s1's tokens.
+    assert set(per) == {"s0", "s1"}
+    assert per["s0"] >= 70 and per["s1"] >= 14
+    assert per["s0"] > per["s1"]
+
+
+def test_gopher_flags_match_python_reference(spark, docs):
+    from xlearning_spark.operators.text import GOPHER_STOPWORDS, gopher_flags
+
+    got = {r["doc_id"]: r for r in gopher_flags(docs).collect()}
+    for row in docs.collect():
+        w = row["text"].split()
+        n = len(w)
+        mwl = sum(len(x) for x in w) / n
+        swf = sum(1 for x in w if x in GOPHER_STOPWORDS) / n
+        twf = max(w.count(t) for t in set(w)) / n
+        dfr = len(set(w)) / n
+        g = got[row["doc_id"]]
+        assert g["n_words"] == n
+        assert abs(g["mean_word_len"] - mwl) < 1e-12
+        assert abs(g["stopword_frac"] - swf) < 1e-12
+        assert abs(g["top_word_frac"] - twf) < 1e-12
+        assert abs(g["distinct_frac"] - dfr) < 1e-12
+        assert g["keep"] == (
+            (20 <= n <= 80)
+            and (4.0 <= mwl <= 5.0)
+            and swf >= 0.03
+            and twf <= 0.15
+            and dfr >= 0.35
+        )

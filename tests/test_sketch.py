@@ -162,3 +162,80 @@ def test_sampled_percentiles_grouped_columns(spark):
     assert {r.l_returnflag for r in rows} == {"A", "N", "R"}
     for r in rows:
         assert r.p50_sample <= r.p90_sample
+
+
+# --------------------------------------------------------------------
+# Portable Count-Min sketch (q96's machinery) — engine parity is the
+# driver oracle's job; these pin the CMS-specific guarantees.
+# --------------------------------------------------------------------
+
+def _cms_fixture(spark):
+    from xlearning_spark.functions import tokens
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    return d.select(F.explode(tokens("text")).alias("term"))
+
+
+def test_cms_never_underestimates(spark):
+    from xlearning_spark.operators.sketch import cms_estimate, cms_registers
+
+    tok = _cms_fixture(spark)
+    regs = cms_registers(tok, "term", depth=4, width=32)
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(regs, exact.select("term"), "term", 4, 32)
+    j = {r["term"]: (r["n"], None) for r in exact.collect()}
+    for r in est.collect():
+        assert r["cms_estimate"] >= j[r["term"]][0], r
+    # width=32 on this vocabulary must actually collide, or the test
+    # isn't exercising the approximate regime at all.
+    over = [
+        r["term"]
+        for r in est.join(exact, "term").collect()
+        if r["cms_estimate"] > r["n"]
+    ]
+    assert over, "expected live collisions at width=32"
+
+
+def test_cms_wide_sketch_is_exact(spark):
+    # With width >> vocabulary, no row collides and min == exact count.
+    from xlearning_spark.operators.sketch import cms_estimate, cms_registers
+
+    tok = _cms_fixture(spark)
+    regs = cms_registers(tok, "term", depth=4, width=4096)
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(regs, exact.select("term"), "term", 4, 4096)
+    for r in est.join(exact, "term").collect():
+        assert r["cms_estimate"] == r["n"], r
+
+
+def test_cms_registers_merge_additively(spark):
+    # SUM-merge of two half-stream sketches == the whole-stream sketch:
+    # the property that makes the CMS partition-safe and streamable.
+    from xlearning_spark.operators.sketch import cms_registers, merge_cms_registers
+
+    tok = _cms_fixture(spark)
+    h1 = tok.filter(F.crc32("term") % 2 == 0)
+    h2 = tok.filter(F.crc32("term") % 2 == 1)
+    whole = {
+        (r["__row"], r["__idx"]): r["__cnt"]
+        for r in cms_registers(tok, "term", 4, 64).collect()
+    }
+    merged = {
+        (r["__row"], r["__idx"]): r["__cnt"]
+        for r in merge_cms_registers(
+            cms_registers(h1, "term", 4, 64), cms_registers(h2, "term", 4, 64)
+        ).collect()
+    }
+    assert whole == merged
+
+
+def test_cms_unseen_probe_reads_zero(spark):
+    from xlearning_spark.operators.sketch import cms_estimate, cms_registers
+
+    tok = _cms_fixture(spark)
+    regs = cms_registers(tok, "term", depth=4, width=4096)
+    probes = tok.sparkSession.createDataFrame(
+        [("definitely-not-in-the-corpus-xyzzy",)], "term string"
+    )
+    got = cms_estimate(regs, probes, "term", 4, 4096).collect()
+    assert got[0]["cms_estimate"] == 0

@@ -440,3 +440,110 @@ def test_streaming_hll_grouped_state_is_bounded(spark, events_dir, tmp_path):
     state = spark.read.parquet(st._latest_hll_state(spark, str(tmp_path / "state")))
     per_group = state.groupBy("event_type").count().collect()
     assert all(r["count"] <= 16 for r in per_group)
+
+
+def test_streaming_cms_equals_batch_exactly(spark, events_dir, tmp_path):
+    # L4 x T: after draining, the SUM-merged register state must be
+    # EXACTLY the batch sketch of the full history (register addition
+    # is associative), so every probe estimate matches — no tolerance.
+    from xlearning_spark.operators.sketch import cms_estimate, cms_registers
+
+    st.streaming_cms_counts(
+        st.read_events_stream(spark, events_dir),
+        "event_type",
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        depth=4,
+        width=64,
+    )
+    batch = _batch(spark, events_dir)
+    probes = batch.select("event_type").distinct()
+    got = {
+        r["event_type"]: r["cms_estimate"]
+        for r in st.cms_state_estimate(
+            spark, str(tmp_path / "state"), probes, "event_type", 4, 64
+        ).collect()
+    }
+    want = {
+        r["event_type"]: r["cms_estimate"]
+        for r in cms_estimate(
+            cms_registers(batch, "event_type", 4, 64), probes, "event_type", 4, 64
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_streaming_cms_multibatch_and_replay(spark, events_dir, tmp_path):
+    # Multiple micro-batches must sum to the batch sketch; a replayed
+    # drain (same checkpoint, no new data) must not change the state —
+    # the additive-register double-count hazard the strictly-below
+    # version discipline exists to prevent.
+    src = str(tmp_path / "src")
+    base = _batch(spark, events_dir)
+    base.coalesce(4).write.mode("overwrite").parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(st.EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        st.streaming_cms_counts(
+            stream, "event_type", str(tmp_path / "state"),
+            str(tmp_path / "ckpt"), depth=4, width=64,
+        )
+        probes = base.select("event_type").distinct()
+        return {
+            r["event_type"]: r["cms_estimate"]
+            for r in st.cms_state_estimate(
+                spark, str(tmp_path / "state"), probes, "event_type", 4, 64
+            ).collect()
+        }
+
+    from xlearning_spark.operators.sketch import cms_estimate, cms_registers
+
+    got = drain()
+    probes = base.select("event_type").distinct()
+    want = {
+        r["event_type"]: r["cms_estimate"]
+        for r in cms_estimate(
+            cms_registers(base, "event_type", 4, 64), probes, "event_type", 4, 64
+        ).collect()
+    }
+    assert got == want
+    assert drain() == got  # re-drain: checkpoint makes it a no-op
+
+
+def test_streaming_cms_crash_replay_is_exactly_once(spark, events_dir, tmp_path):
+    # Drive the foreachBatch commit directly and replay one batch: the
+    # rebuilt version must equal the original (no double count), and
+    # replaying the LATEST batch must also be safe (it merges from the
+    # version below itself, not from its own output).
+    batch = _batch(spark, events_dir)
+    state = str(tmp_path / "state")
+    update = st._cms_update("event_type", state, 4, 64, None)
+    h1 = batch.filter(F.col("event_id") % 2 == 0)
+    h2 = batch.filter(F.col("event_id") % 2 == 1)
+    update(h1, 0)
+    update(h2, 1)
+
+    def regs(ver):
+        return {
+            (r["__row"], r["__idx"]): r["__cnt"]
+            for r in spark.read.parquet(f"{state}/v{ver:010d}").collect()
+        }
+
+    v1 = regs(1)
+    update(h2, 1)  # crash-replay of the latest batch
+    assert regs(1) == v1
+    update(h1, 0)  # crash-replay of an older batch rebuilds v0 only
+    assert regs(1) == v1
+
+    from xlearning_spark.operators.sketch import cms_registers
+
+    whole = {
+        (r["__row"], r["__idx"]): r["__cnt"]
+        for r in cms_registers(batch, "event_type", 4, 64).collect()
+    }
+    assert v1 == whole

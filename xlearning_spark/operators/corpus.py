@@ -492,3 +492,62 @@ def repetition_stats(
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def token_budget_cap(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    tokens_col: str,
+    budget: int | dict[str, int],
+    salt: str = "budget",
+    cum_col: str = "budget_pos",
+) -> DataFrame:
+    """Fill each source's TOKEN budget, not its document count — the
+    pretraining-mixture recipe ("sample N billion tokens per source"):
+    documents are laid out per source in deterministic hash order
+    (id tiebreak, same portable key as the samplers) and kept while
+    the EXCLUSIVE running token sum is still under the budget, so the
+    document that crosses the budget line is the last one kept and
+    every source lands within one document of its target.
+
+    ``budget`` is one int for all sources or a per-source dict
+    (missing sources get budget 0 = dropped). Adds ``cum_col`` (the
+    exclusive running sum, i.e. this doc's start offset in its
+    source's token stream).
+
+    Unlike :func:`stratified_sample` (count cap) the output volume is
+    measured in tokens — invariant to document-length distribution
+    shifts between corpus versions, which is the property mixture
+    recipes need. One window shuffle on the source key; sources are
+    independent, so the operator scales by source count and the skew
+    bound is the largest single source.
+    """
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(hash_bucket(id_col, salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(tokens_col).over(w), F.lit(0).cast("long"))
+    if isinstance(budget, dict):
+        pairs = [x for kv in budget.items() for x in kv]
+        bud = F.coalesce(
+            F.create_map(*[F.lit(x) for x in pairs])[F.col(source_col)],
+            F.lit(0),
+        ).cast("long")
+    else:
+        bud = F.lit(int(budget)).cast("long")
+    return df.withColumn(cum_col, cum).filter(F.col(cum_col) < bud)
+
+
+def oracle_token_budget_where(
+    source_expr: str, id_expr: str, tokens_expr: str, salt: str = "budget"
+) -> str:
+    """DuckDB twin of :func:`token_budget_cap`'s running sum — a window
+    expression to compare against the budget in an outer WHERE."""
+    return (
+        f"COALESCE(SUM({tokens_expr}) OVER ("
+        f"PARTITION BY {source_expr} "
+        f"ORDER BY {oracle_hash_bucket(id_expr, salt)}, {id_expr} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    )

@@ -525,3 +525,172 @@ SELECT {g_pre}{lit} / CAST(SUM(1::BIGINT << ({q + 1} - rho))
        AS {out_col}
 FROM __m {g_by}
 )"""
+
+
+# --------------------------------------------------------------------
+# Portable Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms
+# 2005) — frequency estimation, the fourth hash-certified sketch
+# family beside HLL (cardinality), MinHash-LSH (set similarity) and
+# SimHash (cosine fingerprints).
+# --------------------------------------------------------------------
+
+def _cms_coeffs(depth: int, seed: int = 0xC0FFEE) -> list[tuple[int, int]]:
+    """LCG-derived universal-hash rows for the CMS — same replay trick
+    as :func:`_minhash_coeffs`, independent seed stream."""
+    coeffs = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(depth):
+        x = (6364136223846793005 * x + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        a = (x >> 16) % (MINHASH_P - 1) + 1
+        x = (6364136223846793005 * x + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        b = (x >> 16) % MINHASH_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def _cms_idx_exprs(depth: int, width: int) -> list:
+    """The ``depth`` register-index columns for a ``__ht`` token-hash
+    column: ``(a_i * h + b_i) mod P mod width``. ``a_i, h < P = 2^31-1``
+    keeps the product inside a signed 64-bit integer in both engines."""
+    return [
+        F.pmod(F.lit(a).cast("long") * F.col("__ht") + F.lit(b), F.lit(MINHASH_P))
+        % F.lit(width)
+        for (a, b) in _cms_coeffs(depth)
+    ]
+
+
+def _tok_hash_col(col: str) -> "F.Column":
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(MINHASH_P),
+    )
+
+
+def cms_registers(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Count-Min register table ``group_cols + (__row, __idx, __cnt)``
+    — at most ``depth * width`` rows per group, whatever the input
+    size. Registers are SUMS, so two tables built over disjoint row
+    sets merge by adding counts (:func:`merge_cms_registers`) — the
+    property that makes the sketch partition-safe in batch and
+    incrementally maintainable in streaming, exactly like the HLL's
+    register-MAX.
+
+    100 TB shape: one map pass (hash + depth index columns, one
+    posexplode), one partial+final hash-agg bounded at depth*width
+    rows per group. No collect, no UDF, pure codegen expressions.
+    """
+    group_cols = group_cols or []
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .withColumn("__ht", _tok_hash_col(col))
+        .select(
+            *group_cols,
+            F.posexplode(F.array(*_cms_idx_exprs(depth, width))).alias(
+                "__row", "__idx"
+            ),
+        )
+    )
+    return rows.groupBy(*group_cols, "__row", "__idx").agg(
+        F.count("*").alias("__cnt")
+    )
+
+
+def merge_cms_registers(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Register-wise SUM of two register tables (same depth/width!) —
+    the union sketch. Counts are additive, so replays must be exactly-
+    once (checkpointed micro-batches), unlike the idempotent HLL MAX."""
+    group_cols = group_cols or []
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "__row", "__idx")
+        .agg(F.sum("__cnt").alias("__cnt"))
+    )
+
+
+def cms_estimate(
+    regs: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+    out_col: str = "cms_estimate",
+) -> DataFrame:
+    """Point-frequency estimates for every row of ``probes``:
+    ``min_i regs[i, h_i(x)]`` — the classic CMS upper bound (never an
+    underestimate; overestimate bounded by ``e * N / width`` with
+    probability ``1 - e^-depth``). A register the probe never hashed
+    into (possible only for items absent from the build stream) reads
+    as 0, collapsing the estimate to the exact answer for unseen keys.
+
+    Shape: the probe side fans out to ``depth`` rows, joins the
+    bounded register table (broadcast when small), one min-agg per
+    probe. The corpus itself is never touched again.
+    """
+    p = (
+        probes.filter(F.col(col).isNotNull())
+        .withColumn("__ht", _tok_hash_col(col))
+        .select(
+            col,
+            F.posexplode(F.array(*_cms_idx_exprs(depth, width))).alias(
+                "__row", "__idx"
+            ),
+        )
+    )
+    joined = p.join(regs, ["__row", "__idx"], "left").select(
+        col, F.coalesce(F.col("__cnt"), F.lit(0).cast("long")).alias("__c")
+    )
+    return joined.groupBy(col).agg(F.min("__c").alias(out_col))
+
+
+def cms_oracle_sql(
+    expr: str,
+    from_clause: str,
+    depth: int = 4,
+    width: int = 512,
+    out_col: str = "cms_estimate",
+) -> str:
+    """DuckDB replay of build + estimate over the SAME stream: every
+    distinct value of ``expr`` is probed against registers built from
+    all its occurrences — identical coefficients, hash, index math, in
+    an independent engine. Returns a parenthesized subquery with
+    columns ``(term, {out_col})``.
+    """
+    coeffs = _cms_coeffs(depth)
+    values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    return f"""(
+WITH __coef(i, a, b) AS (VALUES {values}),
+__s AS (
+  SELECT CAST(({expr}) AS VARCHAR) AS term,
+         ('0x' || substr(md5(CAST(({expr}) AS VARCHAR)), 1, 15))::UBIGINT
+             % {MINHASH_P} AS h
+  FROM {from_clause} WHERE ({expr}) IS NOT NULL
+),
+__reg AS (
+  SELECT __coef.i AS r, (__coef.a * __s.h + __coef.b) % {MINHASH_P} % {width} AS idx,
+         COUNT(*) AS cnt
+  FROM __s CROSS JOIN __coef
+  GROUP BY __coef.i, (__coef.a * __s.h + __coef.b) % {MINHASH_P} % {width}
+),
+__probe AS (
+  SELECT DISTINCT term, h FROM __s
+),
+__hit AS (
+  SELECT p.term, c.i,
+         (SELECT r.cnt FROM __reg r
+          WHERE r.r = c.i AND r.idx = (c.a * p.h + c.b) % {MINHASH_P} % {width})
+             AS cnt
+  FROM __probe p CROSS JOIN __coef c
+)
+SELECT term, MIN(cnt)::BIGINT AS {out_col}
+FROM __hit GROUP BY term
+)"""

@@ -528,3 +528,107 @@ def apply_bpe(
         return pd.Series(res)
 
     return df.withColumn(out_col, bpe(F.col(text_col)))
+
+
+# --------------------------------------------------------------------
+# Gopher-style rule-by-rule quality audit (Rae et al., "Scaling
+# Language Models: ... Gopher", arXiv:2112.11446 §A1.1) — unlike
+# quality_score's single blended number, this keeps one boolean per
+# rule so curation reports the per-rule removal rate, the form the
+# paper (and every production corpus pipeline) actually publishes.
+# --------------------------------------------------------------------
+
+#: The stopword-presence rule's lexicon (Gopher uses a similar tiny
+#: English function-word set).
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def gopher_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 80,
+    min_mean_word_len: float = 4.0,
+    max_mean_word_len: float = 5.0,
+    min_stopword_frac: float = 0.03,
+    max_top_word_frac: float = 0.15,
+    min_distinct_frac: float = 0.35,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Per-document Gopher rule metrics + one boolean flag per rule.
+
+    Adds ``n_words``, ``mean_word_len``, ``stopword_frac``,
+    ``top_word_frac``, ``distinct_frac`` and ``pass_len`` /
+    ``pass_mean_len`` / ``pass_stopword`` / ``pass_top_word`` /
+    ``pass_distinct`` / ``keep`` (AND of all rules) to ``df``.
+
+    Engine-portable by construction: every metric is an exact integer
+    (token counts, summed codepoint lengths) divided ONCE into a
+    double — IEEE-754 division is correctly rounded in both Spark and
+    DuckDB, so the threshold comparisons agree bit-for-bit.
+
+    100 TB shape: the length/stopword/distinct metrics are pure
+    codegen column expressions (scan throughput); the top-word count
+    is one explode + two map-side-combining hash aggs keyed on
+    (id, token) then (id), joined back on the id — the same profile as
+    any per-document aggregate, no collect, no UDF. (A list-comprehension
+    form à la the DuckDB oracle would be O(distinct × n) per row —
+    fine for an oracle, wrong for the hot path.)
+    """
+    n = F.size("__w").cast("long")
+    sum_len = F.aggregate(
+        F.transform("__w", lambda x: F.length(x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stop_n = F.size(F.filter("__w", lambda x: x.isin(*stopwords))).cast("long")
+    distinct_n = F.size(F.array_distinct("__w")).cast("long")
+
+    base = (
+        df.withColumn("__w", tokens(text_col))
+        .withColumn("n_words", n)
+        .withColumn(
+            "mean_word_len", sum_len.cast("double") / F.col("n_words")
+        )
+        .withColumn(
+            "stopword_frac", stop_n.cast("double") / F.col("n_words")
+        )
+        .withColumn(
+            "distinct_frac", distinct_n.cast("double") / F.col("n_words")
+        )
+    )
+    top = (
+        base.select(id_col, F.explode("__w").alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__top_n"))
+    )
+    return (
+        base.join(top, id_col)
+        .withColumn(
+            "top_word_frac", F.col("__top_n").cast("double") / F.col("n_words")
+        )
+        .withColumn(
+            "pass_len",
+            (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
+        )
+        .withColumn(
+            "pass_mean_len",
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len),
+        )
+        .withColumn("pass_stopword", F.col("stopword_frac") >= min_stopword_frac)
+        .withColumn("pass_top_word", F.col("top_word_frac") <= max_top_word_frac)
+        .withColumn("pass_distinct", F.col("distinct_frac") >= min_distinct_frac)
+        .withColumn(
+            "keep",
+            F.col("pass_len")
+            & F.col("pass_mean_len")
+            & F.col("pass_stopword")
+            & F.col("pass_top_word")
+            & F.col("pass_distinct"),
+        )
+        .drop("__w", "__top_n")
+    )

@@ -130,6 +130,9 @@ GRADED_SPARES = [
     "q92_multimodal_video",        # L5 real MJPEG-in-AVI video decode (r5)
     "q87_portable_simhash",        # L2 hash-certified portable SimHash (r5; q85/q86 hold window slots)
     "q81_term_salience",           # L4 tf x 1/df keyword extraction
+    "q94_gopher_rules",            # L6 per-rule Gopher curation audit (r5)
+    "q95_token_budget_mixture",    # corpus token-budget mixture cap (r5)
+    "q96_portable_cms",            # L4 hash-certified Count-Min frequency sketch (r5)
 ]
 
 #: Rows-only (oracle=None) queries: can never hash-match, so they must

@@ -341,3 +341,114 @@ def q90_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_total", "thr", "n_kept")
         .orderBy("source")
     )
+
+
+_GOPHER_ORACLE = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS w FROM documents),
+m AS (SELECT doc_id, source,
+  len(w) AS n,
+  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mwl,
+  CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to','in')))
+       AS DOUBLE) / len(w) AS swf,
+  CAST(list_max(list_transform(list_distinct(w),
+                               d -> len(list_filter(w, x -> x = d))))
+       AS DOUBLE) / len(w) AS twf,
+  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dfr
+ FROM t)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+ SUM(CASE WHEN NOT (n >= 20 AND n <= 80) THEN 1 ELSE 0 END)::BIGINT
+     AS fail_len,
+ SUM(CASE WHEN NOT (mwl >= 4.0 AND mwl <= 5.0) THEN 1 ELSE 0 END)::BIGINT
+     AS fail_mean_len,
+ SUM(CASE WHEN NOT (swf >= 0.03) THEN 1 ELSE 0 END)::BIGINT AS fail_stopword,
+ SUM(CASE WHEN NOT (twf <= 0.15) THEN 1 ELSE 0 END)::BIGINT AS fail_top_word,
+ SUM(CASE WHEN NOT (dfr >= 0.35) THEN 1 ELSE 0 END)::BIGINT AS fail_distinct,
+ SUM(CASE WHEN n >= 20 AND n <= 80 AND mwl >= 4.0 AND mwl <= 5.0
+           AND swf >= 0.03 AND twf <= 0.15 AND dfr >= 0.35
+      THEN 1 ELSE 0 END)::BIGINT AS n_keep
+FROM m GROUP BY source
+"""
+
+
+@query(
+    "q94_gopher_rules",
+    oracle=_GOPHER_ORACLE,
+    tags=("corpus", "quality", "gopher"),
+    doc="Gopher-style rule-by-rule curation audit (arXiv:2112.11446 "
+    "§A1.1): per-source counts of documents failing each individual "
+    "rule (length bounds, mean word length, stopword presence, "
+    "top-word concentration, distinct-token ratio) plus the all-rules "
+    "keep count — the per-rule removal-rate report corpus curation "
+    "publishes, vs q45's single blended score. Every metric is an "
+    "exact integer divided once into a double (bit-identical in both "
+    "engines), and the graded output is pure integer counts. Shape: "
+    "map-only expressions + one (id, token) hash-agg for the top-word "
+    "rule (operators/text.gopher_flags); the thresholds are chosen so "
+    "every rule fires on the fixture at every SF.",
+)
+def q94_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.text import gopher_flags
+
+    d = _t(spark, sf_dir, "documents")
+    f = gopher_flags(d)
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~F.col("pass_len")).cast("long")).alias("fail_len"),
+            F.sum((~F.col("pass_mean_len")).cast("long")).alias("fail_mean_len"),
+            F.sum((~F.col("pass_stopword")).cast("long")).alias("fail_stopword"),
+            F.sum((~F.col("pass_top_word")).cast("long")).alias("fail_top_word"),
+            F.sum((~F.col("pass_distinct")).cast("long")).alias("fail_distinct"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        )
+        .orderBy("source")
+    )
+
+
+#: Per-source token budget for q95 — FIXED across SFs (that is the
+#: point: a mixture recipe is stated in tokens, so the kept volume is
+#: invariant to how much raw corpus sits behind it).
+_TOKEN_BUDGET = 600
+
+
+def _q95_oracle() -> str:
+    from xlearning_spark.operators.corpus import oracle_token_budget_where
+
+    pos = oracle_token_budget_where("source", "doc_id", "nt")
+    return f"""
+WITH t AS (SELECT doc_id, source, len({_TOKS}) AS nt FROM documents),
+k AS (SELECT * FROM (SELECT doc_id, source, nt, {pos} AS pos FROM t)
+      WHERE pos < {_TOKEN_BUDGET})
+SELECT source, COUNT(*)::BIGINT AS n_kept, SUM(nt)::BIGINT AS tokens_kept
+FROM k GROUP BY source
+"""
+
+
+@query(
+    "q95_token_budget_mixture",
+    oracle=_q95_oracle(),
+    tags=("corpus", "mixture", "budget"),
+    doc="Token-budget mixture cap: fill each source to a fixed TOKEN "
+    "budget (the 'N billion tokens per source' pretraining recipe), "
+    "documents taken in deterministic hash order until the exclusive "
+    "running token sum crosses the line "
+    "(operators/corpus.token_budget_cap). Complements q77's count cap "
+    "and q90's rate sampling: output volume is measured in tokens, "
+    "invariant to document-length shifts between corpus versions. One "
+    "window shuffle on the source key; sources independent, skew "
+    "bounded by the largest source.",
+)
+def q95_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.corpus import token_budget_cap
+
+    d = _t(spark, sf_dir, "documents").withColumn("nt", token_count("text"))
+    kept = token_budget_cap(d, "source", "doc_id", "nt", _TOKEN_BUDGET)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("nt").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )

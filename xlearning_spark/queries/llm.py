@@ -1530,3 +1530,55 @@ def q89_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xlearning_spark.operators.text import lm_bigram_scores
 
     return lm_bigram_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q96_oracle() -> str:
+    from xlearning_spark.operators.sketch import cms_oracle_sql
+
+    stream = "documents, unnest(string_split_regex(text, '\\s+')) AS u(tok)"
+    cms = cms_oracle_sql("u.tok", stream, depth=4, width=32, out_col="cms_n")
+    return f"""
+WITH e AS (
+  SELECT u.tok AS term, COUNT(*)::BIGINT AS exact_n
+  FROM {stream} GROUP BY u.tok
+)
+SELECT e.term, e.exact_n, c.cms_n
+FROM e JOIN {cms} c ON c.term = e.term
+"""
+
+
+@query(
+    "q96_portable_cms",
+    oracle=_q96_oracle(),
+    tags=("llm", "L4", "sketch", "count-min"),
+    doc="Portable Count-Min sketch (Cormode-Muthukrishnan 2005): "
+    "term-frequency estimates whose VALUES are hash-certified — the "
+    "DuckDB oracle replays the identical md5 token hash, LCG "
+    "universal-hash rows and (a*h+b) mod P mod w index math and gets "
+    "the same register table bit-for-bit (operators/sketch."
+    "cms_registers/cms_estimate). Fourth certified sketch family "
+    "beside HLL (q85, cardinality), MinHash-LSH (q86, set "
+    "similarity) and SimHash (q87, cosine). width=32 is deliberately "
+    "small so collisions are LIVE in the graded output (cms_n > "
+    "exact_n for colliding terms) — the certification covers the "
+    "approximation behavior, not just the exact-register case; "
+    "registers are additive (exactly-once merge across partitions or "
+    "micro-batches, cf. the HLL's idempotent MAX). Shape: one map "
+    "pass + one hash-agg bounded at depth*width rows, probe side "
+    "joins only the bounded register table.",
+)
+def q96_portable_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.sketch import cms_estimate, cms_registers
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("term"))
+    regs = cms_registers(tok, "term", depth=4, width=32)
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_estimate(
+        regs, exact.select("term"), "term", depth=4, width=32, out_col="cms_n"
+    )
+    return (
+        exact.join(est, "term")
+        .select("term", "exact_n", "cms_n")
+        .orderBy("term")
+    )

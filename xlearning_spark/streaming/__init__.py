@@ -562,3 +562,118 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str, out_mode: str =
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def _latest_state_below(spark, state_dir: str, batch_id: int) -> str | None:
+    """Newest ``v*`` version directory with version NUMBER strictly
+    below ``batch_id`` — the exactly-once read point for ADDITIVE
+    sketch state (see :func:`streaming_cms_counts`): a replayed batch
+    must rebuild its own version from its predecessor, never merge
+    itself into a state that already includes it."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(state_dir + "/v*")
+    fs = path.getFileSystem(conf)
+    statuses = fs.globStatus(path)
+    if not statuses:
+        return None
+    dirs = []
+    for stt in statuses:
+        if not stt.isDirectory():
+            continue
+        p = stt.getPath().toString()
+        try:
+            v = int(p.rsplit("/v", 1)[1])
+        except ValueError:
+            continue
+        if v < batch_id:
+            dirs.append((v, p))
+    return max(dirs)[1] if dirs else None
+
+
+def _cms_update(
+    col: str,
+    state_dir: str,
+    depth: int,
+    width: int,
+    group_cols: list[str] | None,
+):
+    """The per-micro-batch commit for :func:`streaming_cms_counts`,
+    factored out so tests can drive a crash-replay directly."""
+    from xlearning_spark.operators.sketch import cms_registers, merge_cms_registers
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        regs = cms_registers(batch_df, col, depth, width, group_cols)
+        prev = _latest_state_below(spark, state_dir, batch_id)
+        if prev is not None:
+            regs = merge_cms_registers(
+                spark.read.parquet(prev), regs, group_cols
+            )
+        regs.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            f"{state_dir}/v{batch_id:010d}"
+        )
+
+    return update
+
+
+def streaming_cms_counts(
+    stream_df: DataFrame,
+    col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 512,
+    group_cols: list[str] | None = None,
+) -> None:
+    """Streaming frequency estimation (L4 x T): maintain the portable
+    Count-Min register table (operators/sketch.py) incrementally over
+    an unbounded stream — bounded state (``depth * width`` rows per
+    group forever) where exact streaming term counts would key state
+    on every distinct term seen.
+
+    CMS registers are SUMS, not the HLL's idempotent MAX — so the
+    commit discipline here is stricter than
+    :func:`streaming_hll_distinct`'s: each micro-batch merges the
+    newest version STRICTLY BELOW its own batch id and overwrites its
+    own version directory. A crash-replayed batch therefore rebuilds
+    ``v{N}`` from ``v{N-1}`` + its rows and lands on the identical
+    table instead of double-counting itself — exactly-once by
+    construction, without any engine-level transaction. (Versions
+    remain point-in-time snapshots; prune freely below the newest.)
+
+    Pair ``state_dir`` with its ``checkpoint_dir`` for the stream's
+    lifetime, as with the HLL form. Read estimates with
+    :func:`cms_state_estimate`.
+    """
+    q = (
+        stream_df.writeStream.foreachBatch(
+            _cms_update(col, state_dir, depth, width, group_cols)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def cms_state_estimate(
+    spark,
+    state_dir: str,
+    probes: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+    out_col: str = "cms_estimate",
+) -> DataFrame | None:
+    """Point-frequency estimates for ``probes`` against the newest
+    committed register state; None before the first commit."""
+    from xlearning_spark.operators.sketch import cms_estimate
+
+    latest = _latest_hll_state(spark, state_dir)
+    if latest is None:
+        return None
+    return cms_estimate(
+        spark.read.parquet(latest), probes, col, depth, width, out_col
+    )
