@@ -305,3 +305,26 @@ def test_gopher_flags_match_python_reference(spark, docs):
             and twf <= 0.15
             and dfr >= 0.35
         )
+
+
+def test_decontaminate_prefilter_identical_results(spark):
+    # The candidate semi-join reduction must not change the flag set:
+    # a flagged doc shares >= 1 shingle, so it always survives the
+    # pre-filter, for every threshold and both join-key paths.
+    from tests.conftest import SF_SMOKE
+    from xlearning_spark.operators.corpus import decontaminate
+    from xlearning_spark.sources import read_table
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    tr = d.filter(F.col("doc_id") % 97 != 0)
+    for hashed in (True, False):
+        a = sorted(
+            map(tuple, decontaminate(tr, ev, n=2, threshold=0.1,
+                                     hashed=hashed, prefilter=True).collect())
+        )
+        b = sorted(
+            map(tuple, decontaminate(tr, ev, n=2, threshold=0.1,
+                                     hashed=hashed, prefilter=False).collect())
+        )
+        assert a == b and a

@@ -310,6 +310,7 @@ def decontaminate(
     n: int = 3,
     threshold: float = 0.2,
     hashed: bool = True,
+    prefilter: bool = False,
 ) -> DataFrame:
     """Flag training docs whose n-gram overlap with any eval doc is high.
 
@@ -321,7 +322,21 @@ def decontaminate(
     Shape: stream distinct shingle hashes on both sides and equi-join
     on the hash — the eval side is bounded (benchmarks are small) and
     **broadcast**, so the corpus is scanned once and nothing shuffles
-    at corpus scale except the slim (id, hash) stream. By default
+    at corpus scale except the slim (id, hash) stream. That stream's
+    per-doc window is the dominant shuffle; ``prefilter=True`` is the
+    sparse-contamination scale knob that removes it: a first map-side
+    pass broadcast-SEMI-joins the shingle stream against the distinct
+    eval hash set to find candidate doc ids (docs sharing >= 1 shingle
+    — the exact-membership analogue of a Bloom pre-filter, zero false
+    positives since the eval side fits memory), and only candidates'
+    rows are re-streamed into the window + overlap join. A flagged doc
+    must share at least one shingle, so the result is IDENTICAL for
+    every threshold (pytest-asserted). Trade-off: the corpus is
+    scanned twice — a win exactly when contamination is sparse (the
+    production case: ~1% candidates turns the full-corpus window
+    shuffle into a 100x smaller one), pure overhead when dense (the
+    synthetic fixture: 100% of docs share a bigram with some eval doc,
+    so the default keeps the single-pass plan). By default
     (``hashed=True``) the join key is the 58-bit polynomial shingle
     hash built by functions.shingle_hash_rows — a pure codegen
     posexplode + lead() pipeline, no shingle string and no lambda
@@ -352,10 +367,18 @@ def decontaminate(
             .distinct()
         )
 
-    t = sh(docs, "train_id").withColumn(
+    t = sh(docs, "train_id")
+    e = sh(eval_docs, "eval_id")
+    if prefilter:
+        cand = (
+            t.join(F.broadcast(e.select("__g").distinct()), "__g", "semi")
+            .select("train_id")
+            .distinct()
+        )
+        t = t.join(cand, "train_id", "semi")
+    t = t.withColumn(
         "__n_train", F.count("*").over(Window.partitionBy("train_id"))
     )
-    e = sh(eval_docs, "eval_id")
     overlap = (
         t.join(F.broadcast(e), "__g")
         .groupBy("train_id", "eval_id", "__n_train")
