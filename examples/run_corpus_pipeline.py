@@ -59,6 +59,18 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
     # computed from the corpus's own per-source counts (q90 semantics).
     tempered = temperature_source_sample(mixed, "doc_id", "source", 0.9)
     print("temperature-resampled:", tempered.count())
+    # ...or state the recipe in TOKENS instead of rates: fill each
+    # source to a fixed token budget (q95 semantics — the "N tokens
+    # per source" form mixture specs are actually written in).
+    from xlearning_spark.operators.corpus import token_budget_cap
+
+    budgeted = token_budget_cap(
+        tempered.withColumn("nt", token_count("text")),
+        "source", "doc_id", "nt", budget=400,
+    )
+    print("token-budgeted (400/source):",
+          budgeted.count(), "docs,",
+          budgeted.agg(F.sum("nt")).collect()[0][0], "tokens")
 
     # 3. LM quality filter: drop the least-probable tail under a
     # corpus-trained bigram LM (CCNet-style perplexity filtering).
@@ -67,6 +79,22 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
     keep_ids = scores.filter(F.col("lm_logp") >= cutoff).select("doc_id")
     mixed = tempered.join(keep_ids, "doc_id", "left_semi")
     print(f"after LM quality filter (cutoff {cutoff:.3f}):", mixed.count())
+
+    # 3b. Gopher rule audit: per-rule removal counts (the report the
+    # paper publishes), then keep only all-rules-pass docs.
+    from xlearning_spark.operators.text import gopher_flags
+
+    flags = gopher_flags(mixed)
+    audit = flags.agg(
+        F.sum((~F.col("pass_len")).cast("long")).alias("fail_len"),
+        F.sum((~F.col("pass_top_word")).cast("long")).alias("fail_top_word"),
+        F.sum(F.col("keep").cast("long")).alias("keep"),
+    ).collect()[0]
+    print("gopher audit:", audit.asDict())
+    # The full `keep` conjunction is tuned for real corpora; on this
+    # tiny synthetic fixture it would gut the demo, so filter on the
+    # length rule only and keep the audit as the report.
+    mixed = flags.filter("pass_len").select(*mixed.columns)
 
     # 4. near-dup sweep: drop every non-keeper member of a dup group.
     pairs = q42_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
@@ -111,6 +139,19 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
         F.avg(F.size("bpe_tokens")).alias("avg_subwords_per_doc")
     ).collect()[0]
     print("avg BPE subwords per doc:", round(stats["avg_subwords_per_doc"], 1))
+
+    # 9. vocabulary frequency profile via the portable Count-Min
+    #    sketch (q96 machinery): bounded register state however large
+    #    the corpus; estimates never under-count.
+    from xlearning_spark.functions import tokens as _tokens
+    from xlearning_spark.operators.sketch import cms_estimate, cms_registers
+
+    tok = clean.select(F.explode(_tokens("text")).alias("term"))
+    regs = cms_registers(tok, "term", depth=4, width=64)
+    probes = tok.distinct().limit(5)
+    print("CMS term-frequency estimates (5 probes):",
+          [(r["term"], r["cms_estimate"])
+           for r in cms_estimate(regs, probes, "term", 4, 64).collect()])
 
 
 if __name__ == "__main__":

@@ -55,7 +55,13 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
             os.path.join(work, "hll-state"),
             os.path.join(work, "ckpt-hll"),
         )
-        est = st.hll_state_estimate(spark, os.path.join(work, "hll-state"))
+        # linear_counting: this fixture's cardinality (~15 users) sits
+        # far below 2.5m, where raw HLL overestimates — the small-range
+        # correction is the engine-side answer (the hash-certified q85
+        # oracle path stays division-only by design).
+        est = st.hll_state_estimate(
+            spark, os.path.join(work, "hll-state"), linear_counting=True
+        )
         exact = (
             read_table(spark, sf_dir, "events")
             .select("user_id")
@@ -66,6 +72,27 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
             f"streaming distinct-user estimate: "
             f"{est.collect()[0][0]:.1f} (exact {exact})"
         )
+
+        # Streaming frequency: portable Count-Min registers SUM-merged
+        # per micro-batch (exactly-once via the strictly-below version
+        # discipline) — per-event-type count estimates with state
+        # bounded at depth*width rows however long the stream runs.
+        st.streaming_cms_counts(
+            st.read_events_stream(spark, events_dir),
+            "event_type",
+            os.path.join(work, "cms-state"),
+            os.path.join(work, "ckpt-cms"),
+            depth=4,
+            width=64,
+        )
+        ev = read_table(spark, sf_dir, "events")
+        probes = ev.select("event_type").distinct()
+        freqs = st.cms_state_estimate(
+            spark, os.path.join(work, "cms-state"), probes, "event_type", 4, 64
+        )
+        print("streaming event-type frequency estimates:",
+              sorted((r["event_type"], r["cms_estimate"])
+                     for r in freqs.collect()))
 
 
 if __name__ == "__main__":

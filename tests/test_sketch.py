@@ -239,3 +239,21 @@ def test_cms_unseen_probe_reads_zero(spark):
     )
     got = cms_estimate(regs, probes, "term", 4, 4096).collect()
     assert got[0]["cms_estimate"] == 0
+
+
+def test_hll_linear_counting_small_range(spark):
+    # Raw HLL overestimates badly for n << m; the opt-in small-range
+    # correction (m * ln(m/V)) must land near exact there, and the two
+    # branches must agree once n is in the raw-HLL zone (n > 2.5m).
+    from xlearning_spark.operators.sketch import hll_distinct
+
+    small = spark.range(0, 15).select(F.col("id").alias("v"))
+    raw = hll_distinct(small, "v", p=9).collect()[0][0]
+    corrected = hll_distinct(small, "v", p=9, linear_counting=True).collect()[0][0]
+    assert abs(corrected - 15) / 15 < 0.25, (corrected, raw)
+    assert raw > 2 * 15  # the regime the correction exists for
+
+    big = spark.range(0, 20000).select(F.col("id").alias("v"))
+    r = hll_distinct(big, "v", p=4).collect()[0][0]  # n >> 2.5m = 40
+    c = hll_distinct(big, "v", p=4, linear_counting=True).collect()[0][0]
+    assert r == c

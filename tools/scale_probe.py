@@ -61,6 +61,13 @@ HEADLINE = [
     # per doc); its curve certifies the mapInPandas stages scale with
     # row count alone (no shuffle anywhere in the tier).
     "q91_multimodal_jpeg",
+    # r5 session 4: the Gopher audit's explode + (id, token) double
+    # hash-agg + per-doc join, and the portable CMS whose PROBE side
+    # (distinct terms) grows linearly here — the Caesar replicas
+    # multiply the vocabulary, the register table stays bounded at
+    # depth*width, so the probe join is the part under test.
+    "q94_gopher_rules",
+    "q96_portable_cms",
 ]
 
 #: Per-query extra factors beyond the CLI list: the queries probed

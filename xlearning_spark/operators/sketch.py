@@ -109,19 +109,38 @@ def hll_estimate_from_registers(
     p: int = 9,
     out_col: str = "hll_estimate",
     group_cols: list[str] | None = None,
+    linear_counting: bool = False,
 ) -> DataFrame:
-    """Fold a register table into the estimate (one row per group)."""
+    """Fold a register table into the estimate (one row per group).
+
+    ``linear_counting=True`` applies the HLL paper's small-range
+    correction: when the raw estimate is below ``2.5m`` and empty
+    registers remain, return ``m * ln(m / V)`` (V = empty-register
+    count) instead — the raw formula overestimates badly for n << m.
+    OFF by default because it uses ``ln()``, whose last-ulp behavior
+    is engine-specific: the hash-certified oracle path (q85) must stay
+    division-only. Turn it on for engine-side use at unknown/small
+    cardinalities; the two branches agree in the raw-HLL zone.
+    """
     group_cols = group_cols or []
     m = 1 << p
     q = _HASH_BITS - p
     lit = float(repr(_alpha(m) * m * m * (1 << (q + 1))))
-    est = (
+    raw = (
         F.lit(lit)
         / (
             F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {q + 1} - __rho)"))
             + (F.lit(m) - F.count("*")) * F.lit(1 << (q + 1)).cast("long")
         ).cast("double")
-    ).alias(out_col)
+    )
+    if linear_counting:
+        v = (F.lit(m) - F.count("*")).cast("double")  # empty registers
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (v > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+        ).otherwise(raw).alias(out_col)
+    else:
+        est = raw.alias(out_col)
     if group_cols:
         return regs.groupBy(*group_cols).agg(est)
     return regs.agg(est)
@@ -133,11 +152,16 @@ def hll_distinct(
     p: int = 9,
     out_col: str = "hll_estimate",
     group_cols: list[str] | None = None,
+    linear_counting: bool = False,
 ) -> DataFrame:
     """Portable-HLL estimate (double) of ``count(distinct col)`` —
     one row when ``group_cols`` is None, else one row per group."""
     return hll_estimate_from_registers(
-        hll_registers(df, col, p, group_cols), p, out_col, group_cols
+        hll_registers(df, col, p, group_cols),
+        p,
+        out_col,
+        group_cols,
+        linear_counting,
     )
 
 

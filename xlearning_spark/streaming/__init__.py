@@ -530,16 +530,19 @@ def hll_state_estimate(
     p: int = 9,
     group_cols: list[str] | None = None,
     out_col: str = "hll_estimate",
+    linear_counting: bool = False,
 ) -> DataFrame | None:
     """Fold the newest committed register state into the estimate —
-    one row (or one per group); None before the first commit."""
+    one row (or one per group); None before the first commit.
+    ``linear_counting`` opts into the small-range correction (see
+    operators/sketch.hll_estimate_from_registers)."""
     from xlearning_spark.operators.sketch import hll_estimate_from_registers
 
     latest = _latest_hll_state(spark, state_dir)
     if latest is None:
         return None
     return hll_estimate_from_registers(
-        spark.read.parquet(latest), p, out_col, group_cols
+        spark.read.parquet(latest), p, out_col, group_cols, linear_counting
     )
 
 
