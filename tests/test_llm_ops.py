@@ -513,3 +513,32 @@ def test_bpe_on_real_corpus_agrees_with_reference(spark):
     exp, _ = _ref_bpe(corpus, 12, 2)
     got = learn_bpe_merges(docs, n_merges=12, min_freq=2)
     assert got == exp
+
+
+def test_delta_pairs_equal_filtered_full_pairs(spark):
+    # Incremental mode must emit EXACTLY the full generator's pairs
+    # restricted to delta-touching ones — the lossless-prefix-filter
+    # guarantee carries over to the delta join shape.
+    from tests.conftest import SF_SMOKE
+    from xlearning_spark.operators.dedup import ngram_jaccard_pairs
+    from xlearning_spark.sources import read_table
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    delta = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    dset = {r["doc_id"] for r in delta.collect()}
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    want = {p for p in full if p[0] in dset or p[1] in dset}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", 0.5, delta_ids=delta
+        ).collect()
+    }
+    assert got == want and got
+    # And strictly smaller than the full set on this fixture (the
+    # corpus-corpus pairs the incremental mode exists to skip).
+    assert got < full

@@ -191,9 +191,23 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_size: int = 5,
     materialize: bool = True,
+    delta_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram (word-shingle) Jaccard near-dup pairs via prefix
     filtering -> (id_a, id_b, jaccard), jaccard >= threshold.
+
+    ``delta_ids`` (a one-column frame of ids) switches to INCREMENTAL
+    mode — the production shape for a continuously-growing corpus:
+    candidate pairs are restricted at the generator to those with at
+    least one side in the delta, so already-deduped corpus docs are
+    never re-paired against each other. The restriction is
+    semantics-preserving for ingest sweeps (corpus-precedence dropping
+    only asks whether a NEW doc's component touches the corpus, and
+    corpus-corpus edges can merge corpus docs into a component but
+    never change that predicate). Prefix keys still explode for both
+    sides ONCE; only the delta's keys drive the equi join's build
+    side, so the join output is ~|delta| * shared-key frequency
+    instead of the full corpus pair volume.
 
     The AllPairs/PPJoin prefix lemma (Bayardo et al., WWW'07 — public
     set-similarity-join literature): under any global total order of
@@ -275,13 +289,29 @@ def ngram_jaccard_pairs(
     keys = base.select(
         "__id", F.explode(F.slice("__sh", F.lit(1), prefix_len)).alias("__k")
     )
-    pairs = (
-        keys.select("__k", F.col("__id").alias("id_a"))
-        .join(keys.select("__k", F.col("__id").alias("id_b")), "__k")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    if delta_ids is not None:
+        dids = delta_ids.select(
+            F.col(delta_ids.columns[0]).alias("__id")
+        ).distinct()
+        dkeys = keys.join(dids, "__id", "semi")
+        pairs = (
+            dkeys.select("__k", F.col("__id").alias("__x"))
+            .join(keys.select("__k", F.col("__id").alias("__y")), "__k")
+            .filter(F.col("__x") != F.col("__y"))
+            .select(
+                F.least("__x", "__y").alias("id_a"),
+                F.greatest("__x", "__y").alias("id_b"),
+            )
+            .distinct()
+        )
+    else:
+        pairs = (
+            keys.select("__k", F.col("__id").alias("id_a"))
+            .join(keys.select("__k", F.col("__id").alias("id_b")), "__k")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     sa = base.select(
         F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"), F.col("__m").alias("na")
     )

@@ -133,6 +133,7 @@ GRADED_SPARES = [
     "q94_gopher_rules",            # L6 per-rule Gopher curation audit (r5)
     "q95_token_budget_mixture",    # corpus token-budget mixture cap (r5)
     "q96_portable_cms",            # L4 hash-certified Count-Min frequency sketch (r5)
+    "q97_delta_neardup_pairs",     # L2 incremental (delta-restricted) near-dup generator (r5)
 ]
 
 #: Rows-only (oracle=None) queries: can never hash-match, so they must

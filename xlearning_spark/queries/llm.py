@@ -1582,3 +1582,44 @@ def q96_portable_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "exact_n", "cms_n")
         .orderBy("term")
     )
+
+
+@query(
+    "q97_delta_neardup_pairs",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+s AS (SELECT doc_id,
+        list_distinct(list_transform(range(1, len(toks) - 3),
+          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))) AS sh
+      FROM f)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 8) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE (a.doc_id % 7 = 0 OR b.doc_id % 7 = 0)
+  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+""",
+    tags=("llm", "L2", "ngram-jaccard", "incremental"),
+    doc="INCREMENTAL near-dup pair generation — the production shape "
+    "for a continuously-growing corpus: docs with doc_id % 7 = 0 play "
+    "the landed delta, and the generator (operators/dedup."
+    "ngram_jaccard_pairs delta_ids mode) emits exactly the qualifying "
+    "pairs that touch the delta, never re-pairing the already-deduped "
+    "corpus against itself. The DuckDB oracle is the brute-force "
+    "all-pairs twin filtered to delta-touching pairs — proving the "
+    "delta-restricted prefix filter loses nothing. Same lossless "
+    "AllPairs lemma as q70; pair volume scales with |delta|, not the "
+    "corpus's pair structure (the q83 sweep's streaming form, "
+    "streaming.neardup_ingest, composes this mode per micro-batch).",
+)
+def q97_delta_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, delta_ids=delta
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 8).alias("jaccard"))

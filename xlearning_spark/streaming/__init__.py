@@ -367,10 +367,11 @@ def neardup_ingest(
     Scale notes, stated honestly: the corpus side's shingle prefixes
     are recomputed per batch (read + one map pass — at 100 TB persist
     the shingle-prefix frame alongside the corpus and join batch
-    prefixes against it instead); components run over corpus∪batch
-    pairs, whose count is bounded because the corpus is already
-    deduped (near-threshold corpus-corpus pairs are the survivors'
-    residue, not whole dup clusters).
+    prefixes against it instead); pair generation runs in the
+    generator's INCREMENTAL mode (``delta_ids`` = the batch), so every
+    candidate pair touches a batch doc and the deduped corpus is never
+    re-paired against itself — pair volume is ~|batch| * shared-key
+    frequency, independent of corpus pair structure.
 
     Returns the batch ids that appended at least one document.
     """
@@ -398,8 +399,17 @@ def neardup_ingest(
             pool = corpus.withColumn("__corpus", F.lit(True)).unionByName(
                 batch.withColumn("__corpus", F.lit(False))
             )
+        # Incremental pair generation: every candidate pair must touch
+        # the landed batch — the already-deduped corpus is never
+        # re-paired against itself (semantics-preserving for the
+        # corpus-precedence verdicts below; see ngram_jaccard_pairs).
         pairs = ngram_jaccard_pairs(
-            pool, id_col, text_col, threshold=threshold, shingle_size=shingle_size
+            pool,
+            id_col,
+            text_col,
+            threshold=threshold,
+            shingle_size=shingle_size,
+            delta_ids=batch.select(id_col),
         ).select("id_a", "id_b")
         comps = connected_components(pairs)  # (id, component)
         rank = pool.select(F.col(id_col).alias("id"), "__corpus")
