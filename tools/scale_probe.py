@@ -68,6 +68,15 @@ HEADLINE = [
     # depth*width, so the probe join is the part under test.
     "q94_gopher_rules",
     "q96_portable_cms",
+    # r5 session 5: exact substring dedup — the Caesar replicas
+    # preserve each replica's intra-replica dup-span structure exactly
+    # while keeping cross-replica 8-gram overlap at ~0 (all rotations
+    # distinct for factor <= 16), so dup-span volume grows linearly
+    # with the corpus: the right construction for probing the span
+    # detector's four keyed shuffles and the excision's coverage
+    # window.
+    "q98_duplicate_spans",
+    "q99_excise_spans",
 ]
 
 #: Per-query extra factors beyond the CLI list: the queries probed
@@ -181,9 +190,9 @@ NOTES = """
 q53 deep-probe note (r4, re-measured r5): the row above is the FINAL
 operator config — pointer doubling with one jump per round and the
 convergence probe as a filter on the checkpointed frame (no new-vs-old
-join). Growth is sublinear at every factor (r5 5-run medians: 1.6x /
-2.7x / 4.1x time at 4/8/16x volume; 8x -> 16x doubles the data for
-1.55x the time), which settles the r3 "mildly superlinear" flag: the
+join). Growth is sublinear at every factor (r5 session-5 5-run
+medians: 2.1x / 2.0x / 3.0x time at 4/8/16x volume; 8x -> 16x doubles
+the data for 1.5x the time), which settles the r3 "mildly superlinear" flag: the
 trend is per-round fixed cost + linear join volume, not round-count
 growth (the Caesar-replica construction keeps component structure
 constant, so rounds stay constant by design). A 2-jump variant was
@@ -208,12 +217,22 @@ distinction that matters is analytic: at 100 TB with organic (unsalted,
 unbounded-block) data, q80's generator degrades toward the block
 square while q83's candidate volume stays ~(1-t)*m keys per doc.
 Pipelines at scale should copy q83 end-to-end; q80 remains the
-oracle-certified exact twin. Measured (r5 5-run medians): q83 beats
-q80 3.4x at 1x (1.26 s vs 4.32 s) and 3.2x at 16x (4.01 s vs 12.86 s),
+oracle-certified exact twin. Measured (r5 session-5 5-run medians):
+q83 beats q80 3.4x at 1x (2.5 s vs 8.6 s) and 3.4x at 16x (9.0 s vs
+30.9 s),
 with both curves sublinear on this constant-block-size probe design;
 on organic (unsalted, unbounded-block) corpora q80's generator cost
 becomes the block square while q83's stays ~(1-t)*m prefix keys per
 doc — the gap there is structural, not a constant factor.
+
+q78 variance note (r5 session 5): the full-session probe measured
+q78's 4x/8x cells at up to 3x their stable values while its 1x cell
+stayed flat — a session-ordering artifact (q78 runs directly after
+the q53/q70 checkpoint-heavy block). A focused quiet re-measure of
+q78 alone against the same cached scaled dirs gives 1.67 / 1.72 /
+2.83 s at 1/4/8x (ratios 1.03 / 1.70) — sublinear; the winnowing
+fingerprint stream has no superlinear term (one doc-key shuffle, all
+window arithmetic codegen'd).
 
 Variance note (round 5): the iterative sweeps are the one noisy spot
 in this probe — q80@16x measured 10.9/14.5/19.1 s medians across three
