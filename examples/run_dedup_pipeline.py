@@ -47,6 +47,21 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
     else:
         print("duplicate groups: 0 (fixture has few near-dups at sf0.001)")
 
+    # Sub-document granularity: exact substring dedup (Lee et al.
+    # ACL'22) — excise every 8-token span shared across docs, keep
+    # the unique prose. Doc-level dedup above drops WHOLE near-dup
+    # docs; this stage cleans the survivors of shared boilerplate.
+    from xlearning_spark.operators.dedup import excise_duplicate_spans
+
+    cleaned = excise_duplicate_spans(docs, "doc_id", "text", k=8)
+    stats = cleaned.agg(
+        F.sum("n_tokens").alias("toks"), F.sum("n_removed").alias("gone")
+    ).collect()[0]
+    print(
+        f"substring excision: removed {stats['gone']}/{stats['toks']}"
+        " tokens of cross-doc 8-gram boilerplate"
+    )
+
 
 if __name__ == "__main__":
     from xlearning_spark.engine import build_session

@@ -542,3 +542,105 @@ def test_delta_pairs_equal_filtered_full_pairs(spark):
     # And strictly smaller than the full set on this fixture (the
     # corpus-corpus pairs the incremental mode exists to skip).
     assert got < full
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-dedup spans (Lee et al. ACL'22 shape): duplicate_spans /
+# excise_duplicate_spans
+
+
+def _span_docs(spark):
+    boiler = "the quick brown fox jumps over the lazy dog again today"  # 11 toks
+    rows = [
+        # docs 1 and 2 share an 11-token boilerplate run (>= k=8) at
+        # different offsets; the rest of each doc is unique.
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"{boiler} epsilon zeta eta theta iota kappa"),
+        # doc 3: no 8-token overlap with anyone (7-token prefix of the
+        # boilerplate only — one token short of a shingle).
+        (3, "the quick brown fox jumps over the UNIQUE tail here now"),
+        # doc 4: repeats a phrase INTRA-doc only — min_docs=2 counts
+        # DISTINCT docs, so this must not flag.
+        (4, "x1 x2 x3 x4 x5 x6 x7 x8 filler x1 x2 x3 x4 x5 x6 x7 x8"),
+        # doc 5: fully boilerplate (every token covered once excised).
+        (5, boiler),
+        (6, boiler),
+        # doc 7: fewer than k tokens.
+        (7, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_duplicate_spans_planted_boilerplate(spark):
+    from xlearning_spark.operators.dedup import duplicate_spans
+
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_spans(_span_docs(spark), "doc_id", "text", k=8).collect()
+    }
+    # 11-token boilerplate = dup shingle starts at 4 positions -> one
+    # maximal span covering all 11 tokens, at each doc's own offset.
+    assert spans[1] == (2, 12, 11)
+    assert spans[2] == (0, 10, 11)
+    assert spans[5] == (0, 10, 11)
+    assert spans[6] == (0, 10, 11)
+    # doc 3 (7-token overlap < k) and doc 4 (intra-doc repeat only)
+    # and doc 7 (< k tokens) produce no spans.
+    assert set(spans) == {1, 2, 5, 6}
+
+
+def test_duplicate_spans_merges_disjoint_runs(spark):
+    from xlearning_spark.operators.dedup import duplicate_spans
+
+    a = "c1 c2 c3 c4 c5 c6 c7 c8"          # shared run A (8 toks)
+    b = "d1 d2 d3 d4 d5 d6 d7 d8"          # shared run B (8 toks)
+    df = spark.createDataFrame(
+        [
+            (1, f"{a} onlyone unique middle tokens {b}"),
+            (2, f"{b} something else entirely here {a}"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, "doc_id", "text", k=8).collect()
+    }
+    # Two SEPARATE spans per doc (runs are non-adjacent), at mirrored
+    # offsets: doc1 has A at 0-7 and B at 12-19; doc2 vice versa.
+    assert got == {(1, 0, 7), (1, 12, 19), (2, 0, 7), (2, 12, 19)}
+
+
+def test_excise_duplicate_spans_removes_exactly_covered(spark):
+    from xlearning_spark.operators.dedup import excise_duplicate_spans
+
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in excise_duplicate_spans(
+            _span_docs(spark), "doc_id", "text", k=8
+        ).collect()
+    }
+    assert len(out) == 7  # one row per input doc, always
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[1]["n_tokens"] == 15 and out[1]["n_removed"] == 11
+    assert out[2]["clean_text"] == "epsilon zeta eta theta iota kappa"
+    # Fully-boilerplate docs come back empty, not dropped.
+    assert out[5]["clean_text"] == "" and out[5]["n_removed"] == 11
+    # Untouched docs round-trip their token stream verbatim.
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"].split(" ")[7] == "UNIQUE"
+    assert out[4]["n_removed"] == 0
+    assert out[7]["clean_text"] == "tiny doc" and out[7]["n_removed"] == 0
+
+
+def test_excise_min_docs_three_spares_pairwise_dups(spark):
+    from xlearning_spark.operators.dedup import excise_duplicate_spans
+
+    df = _span_docs(spark)
+    out = {
+        r["doc_id"]: r["n_removed"]
+        for r in excise_duplicate_spans(
+            df, "doc_id", "text", k=8, min_docs=5
+        ).collect()
+    }
+    # Boilerplate appears in 4 docs < min_docs=5: nothing removed.
+    assert all(v == 0 for v in out.values())

@@ -554,3 +554,182 @@ def simhash_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+#: 60-bit engine-portable shingle hash (md5 prefix), reduced mod the
+#: 58-bit prime shared with the codegen shingle streams. Identical on
+#: Spark (conv/substring) and DuckDB ('0x'||substr)::UBIGINT — the same
+#: replayable-hash device the portable sketch tier (operators/sketch)
+#: certifies; at ~6M distinct shingles the birthday bound under 2^58 is
+#: ~6e-5 colliding pairs, and any collision affects both engines
+#: identically, so hash-certification is exact.
+_SPAN_MOD = 288230376151711717  # SHINGLE_MOD_58
+
+_SPARK_SPAN_HASH = (
+    "CAST(conv(substring(md5({sh}), 1, 15), 16, 10) AS BIGINT) % {P}L"
+)
+_DUCK_SPAN_HASH = "(('0x' || substr(md5({sh}), 1, 15))::UBIGINT % {P})::BIGINT"
+
+
+def _span_position_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """``(id, pos, tok, __h)`` rows: one row per token position, with
+    ``__h`` the portable hash of the k-token shingle STARTING at pos
+    (NULL for the last k-1 positions, where no full shingle starts).
+
+    Codegen row-stream shape (cf. functions.shingle_hash_rows): one
+    posexplode + k-1 ``lead()`` steps over the doc-key window — a
+    single linear (id)-partitioned shuffle of slim rows; no computed
+    array column is ever exploded (the Catalyst lambda-inlining trap
+    documented on shingle_hash_rows).
+    """
+    w = Window.partitionBy(id_col).orderBy("pos")
+    rows = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    # concat_ws skips NULLs, so guard explicitly: a shingle only exists
+    # where the (k-1)-th lookahead token does. Materialize the shingle
+    # string in its own projection, then hash it in the next one — the
+    # leads are evaluated once.
+    with_sh = rows.withColumn(
+        "__sh",
+        F.when(F.lead("tok", k - 1).over(w).isNotNull(), F.concat_ws(" ", *parts)),
+    )
+    return with_sh.withColumn(
+        "__h", F.expr(_SPARK_SPAN_HASH.format(sh="__sh", P=_SPAN_MOD))
+    ).drop("__sh")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans — the EXACT
+    substring-dedup primitive of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (ACL 2022), at token
+    granularity: every maximal run of positions whose k-token shingle
+    occurs in >= ``min_docs`` distinct documents.
+
+    Returns ``(id, span_start, span_end, span_tokens)`` — token
+    positions are 0-based and inclusive; a span starting at p and
+    built from dup shingles at p..q covers tokens p..q+k-1.
+
+    100 TB shape — every stage linear, every shuffle keyed:
+      1. posexplode + doc-key window (shingle hashes)   [shuffle: id]
+      2. hash-agg ``approx count`` -> dup-shingle set   [shuffle: __h]
+         (countDistinct(id) >= min_docs; group cardinality = distinct
+         shingles, no row multiplication)
+      3. left-semi join positions against dup set       [shuffle: __h]
+      4. islands-and-gaps window per doc                [shuffle: id]
+    Boilerplate-heavy (hot) shingles cost one group row and a semi-join
+    probe each — never a pair blowup, unlike pairwise dedup: this
+    operator's output is per-DOCUMENT spans, so its size is bounded by
+    corpus token count regardless of how many docs share a span.
+
+    Reference parity note: the reference (a YARN scheduler) has no
+    dedup; this extends the mandated LLM-pipeline tier (SURVEY §2.12
+    L2) beyond doc-level dedup to sub-document span dedup.
+    """
+    rows = _span_position_rows(df, id_col, text_col, k)
+    starts = rows.filter(F.col("__h").isNotNull())
+    dup = (
+        starts.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    dup_pos = starts.join(dup, "__h", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grouped = dup_pos.withColumn(
+        "__grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        grouped.groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + F.lit(k)).alias("span_tokens"),
+        )
+        .drop("__grp")
+    )
+
+
+def excise_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Rewrite each document with its cross-corpus duplicated spans
+    (see :func:`duplicate_spans`) REMOVED — the corpus-cleaning form
+    of exact substring dedup: boilerplate, licenses, and templated
+    passages shared by >= ``min_docs`` docs vanish from every doc
+    while unique prose survives.
+
+    Returns one row per input document:
+    ``(id, n_tokens, n_removed, clean_text)`` — ``clean_text`` is the
+    kept tokens re-joined with single spaces ('' when everything was
+    removed; token-less docs pass through with n_tokens=0).
+
+    Coverage is computed with ONE extra doc-key window (no per-span
+    join): a token at position t is covered iff some dup shingle
+    starts in [t-k+1, t], i.e. ``max(dup_flag) over rows (k-1)
+    preceding..current`` — positions are dense, so the row frame IS
+    the position range. Rebuild is a per-doc sort-agg on the same key.
+    Same linear/keyed stage list as duplicate_spans plus zero
+    additional shuffles (the flag join reuses the __h shuffle; the
+    window and rebuild reuse the id key).
+    """
+    rows = _span_position_rows(df, id_col, text_col, k)
+    starts = rows.filter(F.col("__h").isNotNull())
+    dup = (
+        starts.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h", F.lit(1).alias("__dup"))
+    )
+    flagged = rows.join(dup, "__h", "left").select(
+        id_col, "pos", "tok", F.coalesce("__dup", F.lit(0)).alias("__dup")
+    )
+    wcov = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(k - 1), Window.currentRow)
+    )
+    covered = flagged.withColumn("__cov", F.max("__dup").over(wcov))
+    kept = F.when(F.col("__cov") == 0, F.col("tok"))
+    rebuilt = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__cov").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__cov") == 0,
+                            F.struct(F.col("pos"), F.col("tok")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("clean_text"),
+    )
+    ids = df.select(F.col(id_col))
+    return (
+        ids.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -74,7 +74,7 @@ GRADING_WINDOW = [
     "q50_lsh_ann_topk",          # L3 hyperplane LSH (ungraded in r2)
     "q51_bpe_token_counting",    # L4 BPE tokens (ungraded in r2)
     "q53_neardup_components",    # L2 connected components (ungraded in r2)
-    "q86_portable_minhash",      # L2 hash-certified MinHash-LSH machinery (r5 rotation; spare: q54, driver-green r1-r4)
+    "q98_duplicate_spans",       # L2 exact substring-dedup spans, Lee et al. ACL'22 (r5 session 5; the portable-MinHash machinery twin q86 moves to spares — L2 stays certified by q70+q53+q98, and q86's banding algebra is pytest- plus local-oracle-certified)
     "q60_pipe_wordcount",        # E1/U1 pipe operator (ungraded in r2)
     "q61_input_file_list",       # S5 file-list delivery (ungraded in r2)
     "q62_map_functions",         # §2.6 map (ungraded in r2)
@@ -134,6 +134,8 @@ GRADED_SPARES = [
     "q95_token_budget_mixture",    # corpus token-budget mixture cap (r5)
     "q96_portable_cms",            # L4 hash-certified Count-Min frequency sketch (r5)
     "q97_delta_neardup_pairs",     # L2 incremental (delta-restricted) near-dup generator (r5)
+    "q86_portable_minhash",        # L2 hash-certified portable MinHash-LSH machinery (rotated to spares in r5 session 5 for q98)
+    "q99_excise_spans",            # L2 substring-dedup excision: corpus rebuilt minus shared spans (r5; span detector q98 holds the window slot)
 ]
 
 #: Rows-only (oracle=None) queries: can never hash-match, so they must

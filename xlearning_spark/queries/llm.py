@@ -1623,3 +1623,91 @@ def q97_delta_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", threshold=0.5, delta_ids=delta
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 8).alias("jaccard"))
+
+
+_SPAN_P = 288230376151711717
+_DUCK_SH8 = (
+    "(('0x' || substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],"
+    " w[i+4], w[i+5], w[i+6], w[i+7])), 1, 15))::UBIGINT"
+    f" % {_SPAN_P})::BIGINT"
+)
+
+
+@query(
+    "q98_duplicate_spans",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+r AS (SELECT doc_id, i - 1 AS pos, {_DUCK_SH8} AS h
+      FROM t, unnest(range(1, len(w) - 6)) AS u(i)),
+d AS (SELECT h FROM r GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+p AS (SELECT r.doc_id, r.pos FROM r JOIN d USING (h)),
+g AS (SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM p)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+       MAX(pos) - MIN(pos) + 8 AS span_tokens
+FROM g GROUP BY doc_id, grp
+""",
+    tags=("llm", "L2", "substring-dedup"),
+    doc="EXACT duplicated-substring spans (Lee et al., ACL 2022, "
+    "token granularity): maximal runs of positions whose 8-token "
+    "shingle occurs in >= 2 distinct docs — sub-document dedup, the "
+    "granularity doc-level near-dup (q70/q48) cannot see. Shingle "
+    "identity is the engine-portable 60-bit md5 hash (the "
+    "operators/sketch device), so the DuckDB oracle replays the hash, "
+    "the dup set, and the islands-and-gaps span merge bit-for-bit. "
+    "Shape: posexplode + doc-key lead window, shingle hash-agg, "
+    "left-semi join, islands window — four keyed linear shuffles, no "
+    "pair blowup (output is per-doc spans, bounded by corpus tokens, "
+    "however many docs share the boilerplate).",
+)
+def q98_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_spans(d, "doc_id", "text", k=8, min_docs=2)
+
+
+@query(
+    "q99_excise_spans",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+r AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
+      FROM t, unnest(range(1, len(w) + 1)) AS u(i)),
+hh AS (SELECT doc_id, i - 1 AS pos, {_DUCK_SH8} AS h
+       FROM t, unnest(range(1, len(w) - 6)) AS u(i)),
+d AS (SELECT h FROM hh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+s AS (SELECT hh.doc_id, hh.pos FROM hh JOIN d USING (h)),
+f AS (SELECT r.doc_id, r.pos, r.tok,
+             CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END AS dup
+      FROM r LEFT JOIN s ON s.doc_id = r.doc_id AND s.pos = r.pos),
+c AS (SELECT doc_id, pos, tok, dup,
+             MAX(dup) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+      FROM f),
+agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(cov) AS BIGINT) AS n_removed,
+               COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                        FILTER (WHERE cov = 0), '') AS clean_text
+        FROM c GROUP BY doc_id)
+SELECT d0.doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens,
+       COALESCE(agg.n_removed, 0) AS n_removed,
+       COALESCE(agg.clean_text, '') AS clean_text
+FROM documents d0 LEFT JOIN agg USING (doc_id)
+""",
+    tags=("llm", "L2", "substring-dedup", "curation"),
+    doc="Corpus cleaning by exact substring-dedup EXCISION: every "
+    "token covered by a cross-doc duplicated 8-token shingle (q98's "
+    "spans) is removed and each doc's text rebuilt from the kept "
+    "tokens — shared boilerplate vanishes from every doc, unique "
+    "prose survives; one row per input doc. Coverage is one extra "
+    "doc-key row-frame window (dense positions make the row frame the "
+    "position range), rebuild a per-doc sort-agg — zero shuffles "
+    "beyond q98's. The DuckDB oracle replays hash, dup set, coverage "
+    "window and string_agg rebuild verbatim.",
+)
+def q99_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.dedup import excise_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return excise_duplicate_spans(d, "doc_id", "text", k=8, min_docs=2)
