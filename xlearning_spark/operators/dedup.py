@@ -609,6 +609,7 @@ def duplicate_spans(
     text_col: str,
     k: int = 8,
     min_docs: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Maximal cross-document duplicated token spans — the EXACT
     substring-dedup primitive of Lee et al., "Deduplicating Training
@@ -632,11 +633,20 @@ def duplicate_spans(
     operator's output is per-DOCUMENT spans, so its size is bounded by
     corpus token count regardless of how many docs share a span.
 
+    ``materialize=True`` (default) persists the slim (id, pos, hash)
+    row frame so the dup-set aggregate and the probe side share ONE
+    scan+explode+window instead of re-deriving the subtree twice (the
+    plan otherwise duplicates stages 1-7 under the aggregate — plan
+    reuse does not fire across the aggregate boundary). Pass False for
+    a pure-lazy plan when composing into a larger pipeline.
+
     Reference parity note: the reference (a YARN scheduler) has no
     dedup; this extends the mandated LLM-pipeline tier (SURVEY §2.12
     L2) beyond doc-level dedup to sub-document span dedup.
     """
     rows = _span_position_rows(df, id_col, text_col, k)
+    if materialize:
+        rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
     starts = rows.filter(F.col("__h").isNotNull())
     dup = (
         starts.groupBy("__h")
@@ -666,6 +676,7 @@ def excise_duplicate_spans(
     text_col: str,
     k: int = 8,
     min_docs: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Rewrite each document with its cross-corpus duplicated spans
     (see :func:`duplicate_spans`) REMOVED — the corpus-cleaning form
@@ -685,9 +696,13 @@ def excise_duplicate_spans(
     the position range. Rebuild is a per-doc sort-agg on the same key.
     Same linear/keyed stage list as duplicate_spans plus zero
     additional shuffles (the flag join reuses the __h shuffle; the
-    window and rebuild reuse the id key).
+    window and rebuild reuse the id key). ``materialize`` as on
+    :func:`duplicate_spans` — here the persisted row frame is read
+    twice too (dup-set aggregate + the flagged probe side).
     """
     rows = _span_position_rows(df, id_col, text_col, k)
+    if materialize:
+        rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
     starts = rows.filter(F.col("__h").isNotNull())
     dup = (
         starts.groupBy("__h")
