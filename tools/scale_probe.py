@@ -190,9 +190,10 @@ NOTES = """
 q53 deep-probe note (r4, re-measured r5): the row above is the FINAL
 operator config — pointer doubling with one jump per round and the
 convergence probe as a filter on the checkpointed frame (no new-vs-old
-join). Growth is sublinear at every factor (r5 session-5 5-run
-medians: 2.1x / 2.0x / 3.0x time at 4/8/16x volume; 8x -> 16x doubles
-the data for 1.5x the time), which settles the r3 "mildly superlinear" flag: the
+join). Growth is sublinear at every factor (r5 session-5 dedicated-
+session 5-run medians: 1.6x / 3.1x / 4.0x time at 4/8/16x volume;
+8x -> 16x doubles the data for 1.3x the time), which settles the r3
+"mildly superlinear" flag: the
 trend is per-round fixed cost + linear join volume, not round-count
 growth (the Caesar-replica construction keeps component structure
 constant, so rounds stay constant by design). A 2-jump variant was
@@ -217,13 +218,32 @@ distinction that matters is analytic: at 100 TB with organic (unsalted,
 unbounded-block) data, q80's generator degrades toward the block
 square while q83's candidate volume stays ~(1-t)*m keys per doc.
 Pipelines at scale should copy q83 end-to-end; q80 remains the
-oracle-certified exact twin. Measured (r5 session-5 5-run medians):
-q83 beats q80 3.4x at 1x (2.5 s vs 8.6 s) and 3.4x at 16x (9.0 s vs
-30.9 s),
+oracle-certified exact twin. Measured (r5 session-5 dedicated-session
+5-run medians): q83 beats q80 2.9x at 1x (2.7 s vs 8.0 s) and 7.2x at
+16x (6.2 s vs 44.3 s; q80's 16x cell is the noisiest in the corpus —
+see the variance note),
 with both curves sublinear on this constant-block-size probe design;
 on organic (unsalted, unbounded-block) corpora q80's generator cost
 becomes the block square while q83's stays ~(1-t)*m prefix keys per
 doc — the gap there is structural, not a constant factor.
+
+Methodology note (r5 session 5): cells merge across runs via the
+.scale_probe/results.json sidecar; the iterative/checkpoint-heavy
+queries (q53/q70/q74/q80/q83) are recorded from DEDICATED
+single-query sessions (--only), because full-session measurements
+contaminated them with the preceding queries' GC debt (cells up to 3x
+their dedicated-session values, sometimes nonmonotone across factors
+— e.g. q53@8x reading above q53@16x). Same 5-run-median methodology
+either way; the dedicated session is the controlled environment.
+
+q98/q99 note (r5 session 5, exact substring dedup): q98 0.81 / 0.89 /
+1.58 s and q99 0.97 / 1.75 / 2.04 s at 1/4/8x — sublinear throughout.
+The Caesar replicas preserve intra-replica span structure and keep
+cross-replica 8-grams disjoint, so dup-span volume grows linearly;
+the curves confirm the four keyed shuffles (doc window, shingle
+hash-agg, semi-join, islands/coverage) carry no superlinear term and
+the persisted row frame is shared, not recomputed, across the
+dup-set and probe sides.
 
 q78 variance note (r5 session 5): the full-session probe measured
 q78's 4x/8x cells at up to 3x their stable values while its 1x cell
@@ -235,9 +255,11 @@ fingerprint stream has no superlinear term (one doc-key shuffle, all
 window arithmetic codegen'd).
 
 Variance note (round 5): the iterative sweeps are the one noisy spot
-in this probe — q80@16x measured 10.9/14.5/19.1 s medians across three
-clean sessions with one 74 s GC outlier observed, while the q83 curve
-reproduced within 10% every time (1.25 / ~1.5 / ~3.2 / ~3.9 s). The
+in this probe — q80@16x measured 11-44 s medians across six sessions
+(10.9/14.5/19.1 early, 30.9/40.5/44.3 later the same day, one 74 s GC
+outlier observed), and q53's 8x/16x cells spread 2x across sessions,
+while the q83 curve reproduced within ~25% every time (~2.6 / ~2.9 /
+~5.4 / ~6.1 s; earlier sessions ~1.3-3.9 s). The
 noise is local-mode JVM artifact (checkpoint blocks awaiting
 ContextCleaner + full-heap GC pauses on a 24 g driver), not plan
 instability: stage counts and shuffle volumes are identical across
@@ -271,7 +293,20 @@ refit by poisoning KMeans.fit after build).
 
 
 def main() -> None:
-    factors = [int(a) for a in sys.argv[1:]] or [4, 8]
+    # --only q53_...,q80_... re-measures just those queries in THIS
+    # session and merges their cells into the persisted sidecar — the
+    # fix for session-ordering contamination on the shared local JVM:
+    # a checkpoint-heavy query measured after a dozen heavy runs
+    # inherits their GC debt (observed: iterative-sweep cells up to 3x
+    # their dedicated-session values, and nonmonotone across factors).
+    # Full runs refresh every cell; suspicious cells then get a
+    # dedicated-session re-measure with the identical methodology.
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if args and args[0] == "--only":
+        only = set(args[1].split(","))
+        args = args[2:]
+    factors = [int(a) for a in args] or [4, 8]
 
     from xlearning_spark.engine import build_session
     from xlearning_spark.queries import registry
@@ -301,10 +336,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    import json
     import statistics
 
+    # Sidecar: the cells behind SCALE.md, merged across full and
+    # --only runs so a focused re-measure updates its rows in place.
+    sidecar = os.path.join(WORK, "results.json")
     results: dict[str, dict[int, float]] = {}
+    if os.path.exists(sidecar):
+        results = {
+            q: {int(f): v for f, v in cells.items()}
+            for q, cells in json.load(open(sidecar)).items()
+        }
     for name in HEADLINE:
+        if only is not None and name not in only:
+            continue
         results[name] = {}
         q_factors = sorted({1, *factors, *EXTRA_FACTORS.get(name, [])})
         for f in q_factors:
@@ -323,6 +369,8 @@ def main() -> None:
                 ).save()
                 runs.append(time.time() - t0)
             results[name][f] = round(statistics.median(runs), 3)
+
+    json.dump(results, open(sidecar, "w"), indent=1)
 
     fs = sorted({f for r in results.values() for f in r})
     lines = [
@@ -352,7 +400,9 @@ def main() -> None:
         "|---|" + "---|" * (2 * len(fs) - 1),
     ]
     for name in HEADLINE:
-        r = results[name]
+        r = results.get(name)
+        if not r:
+            continue
         ratios = [f"{r[f] / r[1]:.2f}" if f in r else "—" for f in fs[1:]]
         lines.append(
             f"| {name} | "
@@ -366,7 +416,8 @@ def main() -> None:
     open(out, "w").write("\n".join(lines))
     print(f"wrote {out}")
     for name in HEADLINE:
-        print(name, results[name])
+        if name in results:
+            print(name, results[name])
 
 
 if __name__ == "__main__":
