@@ -68,3 +68,37 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
             f"-> corpus holds {landed2} (re-deliveries dropped vs corpus)"
         )
         print(f"fixture docs: {n_docs}, final corpus: {landed2}")
+
+        # Substring tier: the same feed through forward-only span
+        # excision — later batches lose any 5-token span already seen
+        # in earlier-landed raw text; first occurrences are immutable.
+        ex_out = os.path.join(work, "excised")
+        ex_state = os.path.join(work, "shingle_registry")
+        ex_ckpt = os.path.join(work, "excise_ckpt")
+        src2 = os.path.join(work, "feed2")
+        os.makedirs(src2)
+        half.coalesce(1).write.mode("append").parquet(src2)
+        st.excise_ingest(
+            spark.readStream.format("parquet").schema(schema).load(src2),
+            ex_out, ex_state, ex_ckpt, k=5,
+        )
+        rest.unionByName(redeliver).coalesce(1).write.mode("append").parquet(src2)
+        st.excise_ingest(
+            spark.readStream.format("parquet").schema(schema).load(src2),
+            ex_out, ex_state, ex_ckpt, k=5,
+        )
+        stats = (
+            spark.read.parquet(ex_out)
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_removed").alias("removed"),
+                F.sum("n_tokens").alias("toks"),
+            )
+            .collect()[0]
+        )
+        print(
+            f"substring excision: {stats['docs']} docs landed, "
+            f"{stats['removed']}/{stats['toks']} tokens excised as "
+            "previously-seen 5-gram spans (re-deliveries collapse to "
+            "empty text; novel prose lands intact)"
+        )

@@ -547,3 +547,60 @@ def test_streaming_cms_crash_replay_is_exactly_once(spark, events_dir, tmp_path)
         for r in cms_registers(batch, "event_type", 4, 64).collect()
     }
     assert v1 == whole
+
+
+def test_excise_ingest_forward_only_substring_dedup(spark, tmp_path):
+    # L2 x T for the substring tier: landed batches are excised against
+    # the accumulated shingle registry (forward-only: first occurrence
+    # keeps its text, later ones lose the span) and against themselves
+    # (intra-batch dups behave like the batch operator: removed from
+    # every member).
+    import os
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "doc_id bigint, text string"
+
+    def land(rows):
+        if rows:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        return st.excise_ingest(
+            spark.readStream.format("parquet").schema(schema).load(src),
+            out, state, ckpt, k=3, min_docs=2,
+        )
+
+    # Batch 1: docs 1+2 share the 3-gram "a b c" -> excised from BOTH.
+    p1 = land([(1, "a b c d e"), (2, "a b c x y")])
+    assert p1
+    got1 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got1[1]["clean_text"] == "d e"
+    assert got1[1]["n_tokens"] == 5 and got1[1]["n_removed"] == 3
+    assert got1[2]["clean_text"] == "x y"
+
+    # Batch 2: registry hits come from batch-1 docs' RAW text — both
+    # the span that landed (doc 1 kept nothing of "a b c"... it was
+    # excised) and spans like "c d e" that DID land in doc 1's tail.
+    p2 = land([
+        (3, "p q c d e r"),                # "c d e" seen in doc 1 raw
+        (4, "totally new words here"),     # untouched
+        (5, "z a b c w"),                  # "a b c" seen (though excised at land time)
+    ])
+    assert p2
+    got2 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got2[3]["clean_text"] == "p q r"
+    assert got2[4]["clean_text"] == "totally new words here"
+    assert got2[4]["n_removed"] == 0
+    assert got2[5]["clean_text"] == "z w"
+    # Forward-only: already-landed docs are immutable.
+    assert got2[1]["clean_text"] == "d e"
+    assert got2[2]["clean_text"] == "x y"
+
+    # Replay with no new files: no-op, output unchanged.
+    assert land([]) == []
+    again = {r["doc_id"]: r["clean_text"] for r in spark.read.parquet(out).collect()}
+    assert again == {d: r["clean_text"] for d, r in got2.items()}

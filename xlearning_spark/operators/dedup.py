@@ -713,13 +713,25 @@ def excise_duplicate_spans(
     flagged = rows.join(dup, "__h", "left").select(
         id_col, "pos", "tok", F.coalesce("__dup", F.lit(0)).alias("__dup")
     )
+    return excise_from_flags(flagged, df.select(F.col(id_col)), id_col, k)
+
+
+def excise_from_flags(
+    flagged: DataFrame, ids: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Coverage + rebuild shared by :func:`excise_duplicate_spans` and
+    the streaming ingest twin: ``flagged`` is dense (id, pos, tok,
+    __dup) position rows (``__dup`` = 1 where a duplicated k-shingle
+    STARTS); a token is covered iff a dup shingle starts within the
+    preceding k-1 positions (row frame == position range on dense
+    rows). ``ids`` is the full id list, so token-less docs still get a
+    (0, 0, '') row."""
     wcov = (
         Window.partitionBy(id_col)
         .orderBy("pos")
         .rowsBetween(-(k - 1), Window.currentRow)
     )
     covered = flagged.withColumn("__cov", F.max("__dup").over(wcov))
-    kept = F.when(F.col("__cov") == 0, F.col("tok"))
     rebuilt = covered.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("__cov").alias("n_removed"),
@@ -738,7 +750,6 @@ def excise_duplicate_spans(
             ),
         ).alias("clean_text"),
     )
-    ids = df.select(F.col(id_col))
     return (
         ids.join(rebuilt, id_col, "left")
         .select(

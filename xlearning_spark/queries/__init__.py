@@ -90,9 +90,11 @@ GRADING_WINDOW = [
 #: outside the window costs nothing (their family is certified above).
 GRADED_SPARES = [
     # r5 rotations OUT of the window (driver-green r1-r4; their families
-    # stay certified by the rotated-in mates q11/q07/q85/q86/q88/q89/q90
+    # stay certified by the rotated-in mates q11/q07/q85/q88/q89/q90/q98
     # and by q17-q19 / q43+q51 / q70+q53; q14's exact distinct +
-    # percentile twins also live on inside q85/q88's graded outputs):
+    # percentile twins also live on inside q85/q88's graded outputs;
+    # q86 itself rotated back out in session 5 to make room for q98 —
+    # its banding algebra stays pytest- and local-oracle-certified):
     "q13_grouping_sets",
     "q06_semi_join_active_customers",
     "q28_quantile_buckets",

@@ -690,3 +690,122 @@ def cms_state_estimate(
     return cms_estimate(
         spark.read.parquet(latest), probes, col, depth, width, out_col
     )
+
+
+def excise_ingest(
+    stream_df: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> list[int]:
+    """Streaming exact substring-dedup EXCISION (L2 x T): each landed
+    micro-batch is rewritten with duplicated k-token spans removed —
+    spans shared with any PREVIOUSLY-landed document (via the
+    accumulated shingle registry) or with >= ``min_docs`` docs inside
+    the batch itself — then appended to ``out_dir``. The streaming
+    composition of :func:`~xlearning_spark.operators.dedup.
+    excise_duplicate_spans`.
+
+    Forward-only semantics, stated honestly: already-landed text is
+    immutable, so the FIRST occurrence of a span keeps it while every
+    later occurrence is excised — whereas the batch twin, seeing the
+    whole corpus at once, removes a shared span from every doc
+    including the first. (Intra-batch dups behave exactly like the
+    batch operator.)
+
+    Exactly-once by construction, no engine transaction needed:
+
+    - registry state is DELTA-partitioned — batch N overwrites
+      ``state_dir/batch=N`` with only the shingle hashes it introduced,
+      and reads strictly-below partitions (``batch < N``); a replayed
+      batch sees the identical prior registry and rewrites its own
+      partition idempotently (the additive-state discipline of
+      :func:`streaming_cms_counts`, in delta form — the registry is
+      append-only, so deltas replace snapshot versions);
+    - cleaned docs land in ``out_dir/batch=N`` with overwrite, so
+      replays cannot double-append.
+
+    100 TB shape: per batch, one posexplode + doc-key window over the
+    BATCH only; one left-semi probe of batch shingles against the
+    registry (shuffle keyed on the hash — at scale bucket-sort the
+    registry on ``__h`` so the probe co-locates); registry growth is
+    the corpus's distinct-shingle count, never rewritten — only
+    delta-appended.
+
+    Returns the batch ids that landed at least one document.
+    """
+    import os
+
+    from pyspark.storagelevel import StorageLevel
+
+    from xlearning_spark.operators.dedup import (
+        _span_position_rows,
+        excise_from_flags,
+    )
+
+    processed: list[int] = []
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
+        if batch.isEmpty():
+            return
+        rows = _span_position_rows(batch, id_col, text_col, k).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        starts = rows.filter(F.col("__h").isNotNull())
+        batch_dup = (
+            starts.groupBy("__h")
+            .agg(F.countDistinct(id_col).alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("__h")
+        )
+        try:
+            seen = (
+                spark.read.parquet(state_dir)
+                .filter(F.col("batch") < batch_id)
+                .select("__h")
+            )
+        except Exception as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            seen = None
+        dup = batch_dup if seen is None else batch_dup.unionByName(seen)
+        # Semi join: never multiplies rows, so `dup` needs no distinct
+        # (batch_dup and the registry deltas can overlap).
+        dup_pos = starts.join(dup, "__h", "left_semi").select(
+            id_col, "pos", F.lit(1).alias("__dup")
+        )
+        flagged = rows.join(dup_pos, [id_col, "pos"], "left").select(
+            id_col, "pos", "tok", F.coalesce("__dup", F.lit(0)).alias("__dup")
+        )
+        cleaned = excise_from_flags(
+            flagged, batch.select(F.col(id_col)), id_col, k
+        ).localCheckpoint(eager=True)
+        # Registry delta: the shingles this batch introduced.
+        new_h = starts.select("__h").distinct()
+        if seen is not None:
+            new_h = new_h.join(seen, "__h", "left_anti")
+        new_h = new_h.localCheckpoint(eager=True)
+        cleaned.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        new_h.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_id}")
+        )
+        rows.unpersist()
+        processed.append(batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(step)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return processed
