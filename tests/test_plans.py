@@ -112,3 +112,22 @@ def test_no_global_window_in_graded_corpus(spark):
         if "Window" in plan and "Exchange SinglePartition" in plan:
             offenders.append(name)
     assert not offenders, f"global-window queries: {offenders}"
+
+
+def test_q98_shares_one_position_row_frame(spark):
+    # The substring-dedup span detector must not re-derive the
+    # scan+explode+doc-window subtree under the dup-set aggregate: both
+    # the probe side and the aggregate read the ONE persisted
+    # (id, pos, hash) relation, and the corpus is scanned exactly once.
+    plan = _plan(spark, "q98_duplicate_spans")
+    assert _n_nodes(plan, "InMemoryTableScan") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q99_excision_plan_shape(spark):
+    # Excision = q98's stages + one coverage window + the rebuild
+    # sort-agg; same single-scan guarantee, and the final ids join must
+    # not degrade to a cartesian.
+    plan = _plan(spark, "q99_excise_spans")
+    assert _n_nodes(plan, "InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in plan
