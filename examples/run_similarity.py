@@ -20,6 +20,7 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
         brute_force_topk,
         ivf_topk,
         lsh_topk,
+        pq_topk_oneshot,
     )
     from xlearning_spark.sources import read_table
 
@@ -32,10 +33,16 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
         (r.qid, r.cid)
         for r in ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4).collect()
     }
+    pq = {
+        (r.qid, r.cid)
+        for r in pq_topk_oneshot(emb, queries, k=5, m=8, bits=4).collect()
+    }
     print(f"exact top-5 pairs: {len(exact)}")
     if exact:
         print(f"LSH recall: {len(exact & lsh) / len(exact):.2f}")
         print(f"IVF recall: {len(exact & ivf) / len(exact):.2f}")
+        print(f"PQ  recall: {len(exact & pq) / len(exact):.2f}"
+              " (8x4-bit codes, ADC shortlist + exact re-rank)")
     else:
         print("no query vectors in this fixture — recall undefined")
 

@@ -644,3 +644,68 @@ def test_excise_min_docs_three_spares_pairwise_dups(spark):
     }
     # Boilerplate appears in 4 docs < min_docs=5: nothing removed.
     assert all(v == 0 for v in out.values())
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. TPAMI 2011): build_pq_index / pq_topk
+
+
+def test_pq_codes_are_compact_and_valid(spark):
+    from xlearning_spark.operators.similarity import build_pq_index
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    index = build_pq_index(emb, id_col="vec_id", m=8, bits=4)
+    assert index.m == 8 and index.dsub == 8
+    assert all(len(cb) == 16 for cb in index.codebooks)
+    rows = index.codes.select("codes").collect()
+    assert rows and all(
+        len(r["codes"]) == 8 and all(0 <= c < 16 for c in r["codes"])
+        for r in rows
+    )
+    index.unpersist()
+
+
+def test_pq_recall_vs_brute_force(spark):
+    from xlearning_spark.operators.similarity import pq_topk_oneshot
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.qid, r.cid)
+        for r in brute_force_topk(emb, q, id_col="vec_id", k=5).collect()
+    }
+    approx = {
+        (r.qid, r.cid)
+        for r in pq_topk_oneshot(
+            emb, q, id_col="vec_id", k=5, m=8, bits=4, shortlist=50
+        ).collect()
+    }
+    # A 50-of-500 ADC shortlist re-ranked exactly must recover most of
+    # the true top-5.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"PQ recall {recall}"
+    per_q = {}
+    for qid, _ in approx:
+        per_q[qid] = per_q.get(qid, 0) + 1
+    assert all(v == 5 for v in per_q.values())
+
+
+def test_pq_build_probe_split_reuses_one_fit(spark, monkeypatch):
+    from pyspark.ml.clustering import KMeans
+
+    from xlearning_spark.operators.similarity import build_pq_index, pq_topk
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    index = build_pq_index(emb, id_col="vec_id", m=8, bits=4)
+    assert index.codes.storageLevel.useMemory
+
+    def boom(self, df):
+        raise AssertionError("probe must not refit KMeans")
+
+    monkeypatch.setattr(KMeans, "fit", boom)
+    for lo, hi in ((0, 5), (5, 10)):
+        q = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        got = pq_topk(index, q, id_col="vec_id", k=5).collect()
+        assert len(got) == 5 * (hi - lo)
+    monkeypatch.undo()
+    index.unpersist()

@@ -470,3 +470,206 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("qid", "cid", "cosine")
     )
+
+
+class PqIndex:
+    """A built product-quantization index: compact per-vector codes +
+    per-subspace codebooks.
+
+    ``codes`` is the encoded corpus — ``(cid, cv, codes)`` rows, where
+    ``codes`` is an array of m small ints (one per subspace; 2^bits
+    values each). m * bits bits replace d floats for the scan phase —
+    at 64d/float32 with m=8, bits=4 that is a 64x memory reduction —
+    which is what makes exhaustive candidate scoring affordable at
+    scale. ``codebooks[j][c]`` is subspace j's c-th centroid (a
+    d/m-dim list); the whole codebook set is m * 2^bits * d/m floats —
+    broadcastable by construction.
+    """
+
+    def __init__(
+        self, codes: DataFrame, codebooks: list[list[list[float]]]
+    ):
+        self.codes = codes
+        self.codebooks = codebooks
+
+    @property
+    def m(self) -> int:
+        return len(self.codebooks)
+
+    @property
+    def dsub(self) -> int:
+        return len(self.codebooks[0][0])
+
+    def unpersist(self) -> None:
+        self.codes.unpersist()
+
+
+def _sub(vec_col, j: int, dsub: int):
+    """Subvector j of an array column (1-based slice)."""
+    return F.slice(vec_col, j * dsub + 1, dsub)
+
+
+def _d2_to_literal(sub_col, centroid: list[float]):
+    """Squared L2 distance from an array column to a literal centroid
+    — zip_with + aggregate, whole-stage-codegen'd."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(sub_col, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    bits: int = 4,
+    seed: int = 42,
+    cache: bool = True,
+) -> PqIndex:
+    """Build half of the product-quantization ANN split (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    split each d-dim vector into m subvectors, learn a 2^bits-centroid
+    KMeans codebook PER SUBSPACE (m distributed fits over slim
+    d/m-dim frames), then encode every corpus vector map-side as m
+    nearest-centroid ids — ``array_min`` over (distance, id) structs,
+    deterministic tie-break on id, all codegen.
+
+    Build once, probe many (the IVF discipline): the m fits are the
+    only expensive passes; :func:`pq_topk` touches nothing but the
+    cached codes and the broadcast codebooks. At 100 TB, compose with
+    IVF cells (coarse quantizer) so the PQ scan covers only probed
+    cells — this operator is the scan-cost/memory half of that stack.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+    ksub = 1 << bits
+
+    base = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    if cache:
+        # The m fits and the encode all read this frame.
+        base = base.persist()
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        sub = base.select(
+            array_to_vector(_sub(F.col("cv"), j, dsub)).alias("features")
+        )
+        km = KMeans(
+            k=ksub, seed=seed + j, maxIter=8, featuresCol="features",
+            predictionCol="code",
+        )
+        codebooks.append(
+            [list(map(float, c)) for c in km.fit(sub).clusterCenters()]
+        )
+
+    def nearest(j: int):
+        cands = F.array(
+            *[
+                F.struct(
+                    _d2_to_literal(_sub(F.col("cv"), j, dsub), c).alias("d2"),
+                    F.lit(i).alias("i"),
+                )
+                for i, c in enumerate(codebooks[j])
+            ]
+        )
+        return F.array_min(cands).getField("i")
+
+    codes = base.select(
+        "cid", "cv", F.array(*[nearest(j) for j in range(m)]).alias("codes")
+    )
+    if cache:
+        codes = codes.persist()
+    return PqIndex(codes, codebooks)
+
+
+def pq_topk(
+    index: PqIndex,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 50,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe half of the PQ split: asymmetric-distance (ADC) scoring
+    against the compact codes, exact cosine re-rank of the shortlist.
+
+    Each query precomputes its distance TABLE — m x 2^bits partial
+    squared distances from its subvectors to every codebook centroid —
+    then every corpus vector's approximate distance is m table lookups
+    (``zip_with(tabs, codes, element_at)``), never d multiplies. The
+    query side (bounded) is broadcast with its tables; the scan is
+    map-only over the codes; one window takes the ``shortlist`` best
+    per query by ADC; exact cosine re-ranks only those. Returns
+    (qid, cid, cosine) top-k, deterministic tie-breaks.
+    """
+    m, dsub = index.m, index.dsub
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    tabs = F.array(
+        *[
+            F.array(
+                *[
+                    _d2_to_literal(_sub(F.col("qv"), j, dsub), c)
+                    for c in index.codebooks[j]
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+    qt = q.withColumn("tabs", tabs)
+    cand = index.codes.crossJoin(F.broadcast(qt))
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("cid"))
+    adc = F.aggregate(
+        F.zip_with("tabs", "codes", lambda t, c: F.element_at(t, c + F.lit(1))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ws = Window.partitionBy("qid").orderBy(F.col("adc"), F.col("cid"))
+    short = (
+        cand.withColumn("adc", adc)
+        .withColumn("sr", F.row_number().over(ws))
+        .filter(F.col("sr") <= shortlist)
+    )
+    scored = short.withColumn(
+        "cosine", _dot(F.col("qv"), F.col("cv")) / (_norm("qv") * _norm("cv"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "cosine")
+    )
+
+
+def pq_topk_oneshot(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    bits: int = 4,
+    shortlist: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """Convenience fit+probe in one call (the registry-query shape);
+    production reuses :func:`build_pq_index` across probe batches."""
+    index = build_pq_index(
+        corpus, id_col, vec_col, m=m, bits=bits, seed=seed, cache=True
+    )
+    return pq_topk(
+        index, queries, id_col, vec_col, k=k, shortlist=shortlist
+    )

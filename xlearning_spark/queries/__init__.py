@@ -152,6 +152,7 @@ ROWS_ONLY = [
     "q48_minhash_neardup",
     "q49_simhash_sketch",
     "q52_ivf_ann_topk",
+    "q100_pq_ann_topk",  # product-quantization ANN (KMeans codebooks; recall + reuse gates in tests, r5)
 ]
 
 GRADING_ORDER = GRADING_WINDOW + GRADED_SPARES + ROWS_ONLY

@@ -1711,3 +1711,32 @@ def q99_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return excise_duplicate_spans(d, "doc_id", "text", k=8, min_docs=2)
+
+
+@query(
+    "q100_pq_ann_topk",
+    oracle=None,  # KMeans codebooks: approximate by design
+    tags=("llm", "L3", "pq", "approx"),
+    doc="Product-quantization ANN top-k (Jégou et al. TPAMI 2011): "
+    "per-subspace KMeans codebooks compress each vector to m small "
+    "codes (m*bits bits vs d floats — the memory-bounded scan for "
+    "exhaustive candidate scoring at 100 TB), queries score via "
+    "asymmetric distance (m table lookups per candidate, zero "
+    "d-dim multiplies), and an exact cosine re-rank covers only the "
+    "ADC shortlist. Build/probe split API-visible "
+    "(build_pq_index/pq_topk, the IVF discipline); recall vs q46 and "
+    "probe-never-refits asserted in tests/test_llm_ops.py.",
+)
+def q100_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.similarity import pq_topk_oneshot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk_oneshot(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        k=5,
+        m=8,
+        bits=4,
+        shortlist=50,
+    ).orderBy("qid", "cid")
