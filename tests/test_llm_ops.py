@@ -691,18 +691,17 @@ def test_pq_recall_vs_brute_force(spark):
 
 
 def test_pq_build_probe_split_reuses_one_fit(spark, monkeypatch):
-    from pyspark.ml.clustering import KMeans
-
-    from xlearning_spark.operators.similarity import build_pq_index, pq_topk
+    from xlearning_spark.operators import similarity as sim
 
     emb = read_table(spark, SF_SMOKE, "embeddings")
-    index = build_pq_index(emb, id_col="vec_id", m=8, bits=4)
+    index = sim.build_pq_index(emb, id_col="vec_id", m=8, bits=4)
+    pq_topk = sim.pq_topk
     assert index.codes.storageLevel.useMemory
 
-    def boom(self, df):
-        raise AssertionError("probe must not refit KMeans")
+    def boom(*a, **kw):
+        raise AssertionError("probe must not retrain codebooks")
 
-    monkeypatch.setattr(KMeans, "fit", boom)
+    monkeypatch.setattr(sim, "_lloyd", boom)
     for lo, hi in ((0, 5), (5, 10)):
         q = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
         got = pq_topk(index, q, id_col="vec_id", k=5).collect()
