@@ -77,6 +77,10 @@ HEADLINE = [
     # window.
     "q98_duplicate_spans",
     "q99_excise_spans",
+    # r5 session 5: PQ ANN — embeddings replicas offset vec_id, the
+    # query side stays the original bounded set (as for q50), so the
+    # ADC scan's candidate volume grows linearly with the corpus.
+    "q100_pq_ann_topk",
 ]
 
 #: Per-query extra factors beyond the CLI list: the queries probed
@@ -244,6 +248,14 @@ the curves confirm the four keyed shuffles (doc window, shingle
 hash-agg, semi-join, islands/coverage) carry no superlinear term and
 the persisted row frame is shared, not recomputed, across the
 dup-set and probe sides.
+
+q100 note (r5 session 5, PQ ANN): 3.30 / 4.76 / 5.32 s at 1/4/8x
+(dedicated session) — the base is dominated by fixed cost (codegen of
+the m x 2^bits literal score tables + the one-sample codebook fit),
+and the growing part, the ADC scan over linearly-more codes, is m
+table lookups per candidate: the curve flattens exactly as the
+memory-bounded-scan design predicts. Query side stays the bounded
+original set, as in q50's construction.
 
 q78 variance note (r5 session 5): the full-session probe measured
 q78's 4x/8x cells at up to 3x their stable values while its 1x cell
