@@ -708,3 +708,30 @@ def test_pq_build_probe_split_reuses_one_fit(spark, monkeypatch):
         assert len(got) == 5 * (hi - lo)
     monkeypatch.undo()
     index.unpersist()
+
+
+def test_ivf_pq_recall_vs_brute_force(spark):
+    # The composed IVFPQ stack: cells bound WHO is scanned, codes bound
+    # WHAT the scan costs; with half the cells probed and an exact
+    # re-rank, most of the true top-5 must survive both approximations.
+    from xlearning_spark.operators.similarity import ivf_pq_topk
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.qid, r.cid)
+        for r in brute_force_topk(emb, q, id_col="vec_id", k=5).collect()
+    }
+    approx = {
+        (r.qid, r.cid)
+        for r in ivf_pq_topk(
+            emb, q, id_col="vec_id", k=5, n_cells=8, n_probe=4,
+            m=8, bits=4, shortlist=50,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVFPQ recall {recall}"
+    per_q = {}
+    for qid, _ in approx:
+        per_q[qid] = per_q.get(qid, 0) + 1
+    assert all(v == 5 for v in per_q.values())

@@ -712,3 +712,95 @@ def pq_topk_oneshot(
     return pq_topk(
         index, queries, id_col, vec_col, k=k, shortlist=shortlist
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    bits: int = 4,
+    shortlist: int = 50,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """The composed 100 TB ANN stack (FAISS's IVFPQ): IVF coarse cells
+    bound WHICH vectors each query scans (~corpus * n_probe / n_cells
+    candidates), PQ codes bound WHAT the scan costs per candidate
+    (m table lookups on m*bits-bit codes instead of d-float cosines),
+    and exact cosine re-ranks only the ADC shortlist.
+
+    Plan shape: both indexes build once over the corpus (KMeans cells
+    + sample-trained codebooks), the code table joins the cell
+    assignment on the id key, probes broadcast (bounded query set x
+    n_probe cells, with the per-query ADC tables attached), and the
+    candidate join is cell-local. Every stage is the already-certified
+    IVF or PQ stage; this operator is their join.
+    """
+    ivf = build_ivf_index(
+        corpus, id_col, vec_col, n_cells=n_cells, seed=seed, cache=False
+    )
+    pq = build_pq_index(
+        corpus, id_col, vec_col, m=m, bits=bits, seed=seed, cache=False
+    )
+    codes_cells = pq.codes.join(
+        ivf.cells.select("cid", "cell"), "cid"
+    )
+
+    cent_df = queries.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(ivf.centroids)], ["cell", "centroid"]
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    tabs_sql = "array(" + ", ".join(
+        "array("
+        + ", ".join(_pq_score_sql("qv", j * pq.dsub, c) for c in pq.codebooks[j])
+        + ")"
+        for j in range(m)
+    ) + ")"
+    qt = q.withColumn("tabs", F.expr(tabs_sql))
+    dist2 = F.aggregate(
+        F.zip_with("qv", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cell"))
+    probes = (
+        qt.crossJoin(F.broadcast(cent_df))
+        .withColumn("d2", dist2)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("qid", "qv", "tabs", "cell")
+    )
+
+    cand = codes_cells.join(F.broadcast(probes), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("cid"))
+    adc = F.expr(
+        " + ".join(
+            f"element_at(element_at(tabs, {j + 1}),"
+            f" element_at(codes, {j + 1}) + 1)"
+            for j in range(m)
+        )
+    )
+    ws = Window.partitionBy("qid").orderBy(F.col("adc"), F.col("cid"))
+    short = (
+        cand.withColumn("adc", adc)
+        .withColumn("sr", F.row_number().over(ws))
+        .filter(F.col("sr") <= shortlist)
+    )
+    scored = short.withColumn(
+        "cosine", _dot(F.col("qv"), F.col("cv")) / (_norm("qv") * _norm("cv"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "cosine")
+    )
