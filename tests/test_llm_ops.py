@@ -735,3 +735,31 @@ def test_ivf_pq_recall_vs_brute_force(spark):
     for qid, _ in approx:
         per_q[qid] = per_q.get(qid, 0) + 1
     assert all(v == 5 for v in per_q.values())
+
+
+def test_span_report_and_excision_agree_on_real_corpus(spark):
+    # Cross-operator invariant on the real fixture: q98's spans are
+    # maximal and non-overlapping per doc (islands merge), so each
+    # doc's total span coverage must equal q99's n_removed EXACTLY —
+    # the two operators implement one semantics through different
+    # plans (semi-join islands vs coverage window).
+    from xlearning_spark.operators.dedup import (
+        duplicate_spans,
+        excise_duplicate_spans,
+    )
+
+    docs = _docs(spark)
+    by_span = {
+        r["doc_id"]: r["cov"]
+        for r in duplicate_spans(docs, "doc_id", "text", k=8)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("cov"))
+        .collect()
+    }
+    assert by_span  # the fixture does contain cross-doc 8-gram dups
+    removed = {
+        r["doc_id"]: r["n_removed"]
+        for r in excise_duplicate_spans(docs, "doc_id", "text", k=8).collect()
+    }
+    for did, n in removed.items():
+        assert by_span.get(did, 0) == n, (did, by_span.get(did), n)
