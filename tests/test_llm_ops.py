@@ -763,3 +763,28 @@ def test_span_report_and_excision_agree_on_real_corpus(spark):
     }
     for did, n in removed.items():
         assert by_span.get(did, 0) == n, (did, by_span.get(did), n)
+
+
+def test_pq_index_round_trips_through_storage(spark, tmp_path, monkeypatch):
+    # Build once per corpus VERSION, across jobs: a saved index must
+    # reload with identical codebooks and codes and probe identically,
+    # without any retraining (trainer poisoned after save).
+    from xlearning_spark.operators import similarity as sim
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    built = sim.build_pq_index(emb, id_col="vec_id", m=8, bits=4)
+    want = {(r.qid, r.cid) for r in sim.pq_topk(built, q, id_col="vec_id", k=5).collect()}
+    path = str(tmp_path / "pq_index")
+    sim.save_pq_index(built, path)
+
+    def boom(*a, **kw):
+        raise AssertionError("load must not retrain codebooks")
+
+    monkeypatch.setattr(sim, "_lloyd", boom)
+    loaded = sim.load_pq_index(spark, path)
+    assert loaded.codebooks == built.codebooks
+    got = {(r.qid, r.cid) for r in sim.pq_topk(loaded, q, id_col="vec_id", k=5).collect()}
+    assert got == want and got
+    built.unpersist()
+    loaded.unpersist()

@@ -804,3 +804,43 @@ def ivf_pq_topk(
         .filter(F.col("rn") <= k)
         .select("qid", "cid", "cosine")
     )
+
+
+def save_pq_index(index: PqIndex, path: str) -> None:
+    """Persist a built PQ index: codes as parquet (``<path>/codes``),
+    codebooks as a one-row JSON parquet (``<path>/codebooks``) — both
+    through the Spark writers, so the index lands wherever the session
+    can write (local, HDFS, object store) and a later JOB can
+    :func:`load_pq_index` without retraining. The codebook table is
+    m * 2^bits rows of (subspace, code, centroid) — bounded and
+    schema'd, not a pickled blob.
+    """
+    spark = index.codes.sparkSession
+    index.codes.write.mode("overwrite").parquet(path + "/codes")
+    rows = [
+        (j, i, c)
+        for j, cb in enumerate(index.codebooks)
+        for i, c in enumerate(cb)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+
+
+def load_pq_index(spark, path: str, cache: bool = True) -> PqIndex:
+    """Load a :func:`save_pq_index` index — no KMeans, no sample, no
+    retraining: the build cost is paid exactly once per corpus
+    version, across sessions and jobs."""
+    cb_rows = (
+        spark.read.parquet(path + "/codebooks")
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    m = max(r["subspace"] for r in cb_rows) + 1
+    codebooks: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in cb_rows:
+        codebooks[r["subspace"]].append(list(r["centroid"]))
+    codes = spark.read.parquet(path + "/codes")
+    if cache:
+        codes = codes.persist()
+    return PqIndex(codes, codebooks)
