@@ -307,6 +307,36 @@ def test_gopher_flags_match_python_reference(spark, docs):
         )
 
 
+def test_gopher_flags_keep_null_and_empty_text_docs(spark):
+    # ADVICE r5: the top-word aggregate explodes to no rows for a
+    # NULL/empty-text doc, and the old INNER join back dropped the doc
+    # from the output entirely. Every input doc must yield exactly one
+    # output row; metric-less docs carry NULL metrics (never a
+    # fabricated pass/fail), matching the q94 oracle's CASE WHEN
+    # accounting (counted in n_docs, in no fail_* column).
+    from xlearning_spark.operators.text import gopher_flags
+
+    d = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog of yore"),
+         (2, None),
+         (3, "")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_flags(d).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_words"] == 10 and got[1]["top_word_frac"] is not None
+    # NULL text: no exploded rows, metric-less — NULL metrics, NULL keep.
+    assert got[2]["n_words"] is None
+    assert got[2]["top_word_frac"] is None
+    assert got[2]["keep"] is None
+    # Empty text: split yields [''] in BOTH engines (Spark split ==
+    # DuckDB string_split_regex), so it is one empty token, not a
+    # missing doc: real metrics, keep=False via the length rule.
+    assert got[3]["n_words"] == 1
+    assert got[3]["top_word_frac"] == 1.0
+    assert got[3]["keep"] is False
+
+
 def test_decontaminate_prefilter_identical_results(spark):
     # The candidate semi-join reduction must not change the flag set:
     # a flagged doc shares >= 1 shingle, so it always survives the

@@ -414,6 +414,55 @@ def test_lm_scores_out_of_corpus_unseen_bigrams(spark):
     assert abs(rows[2].lm_logp - round(math.log(1 / v), 4)) < 1e-9
 
 
+def test_lm_context_pruning_default_is_identity(spark):
+    # VERDICT r5 item 3: the pruning knobs exist as CODE, and at their
+    # defaults (and at limits that don't bite) the model is bit-for-bit
+    # the unpruned one — the q89 oracle contract.
+    from xlearning_spark.operators.text import lm_bigram_scores
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(120)
+    base = {
+        (r.doc_id, r.n_bigrams, r.lm_logp)
+        for r in lm_bigram_scores(docs).collect()
+    }
+    slack = {
+        (r.doc_id, r.n_bigrams, r.lm_logp)
+        for r in lm_bigram_scores(
+            docs, max_contexts=10_000_000, min_count=1
+        ).collect()
+    }
+    assert base == slack and base
+
+
+def test_lm_context_pruning_bounds_model_and_degrades_gracefully(spark):
+    # When pruning bites: every doc is still scored (same row set, same
+    # n_bigrams — pruning shrinks the MODEL, never the scored stream),
+    # scores stay finite log-probs, and the accuracy delta on a
+    # generous top-N prune is small because pruned contexts are the
+    # rare tail by construction.
+    from xlearning_spark.operators.text import lm_bigram_scores
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(120)
+    base = {r.doc_id: r for r in lm_bigram_scores(docs).collect()}
+    pruned = {
+        r.doc_id: r
+        for r in lm_bigram_scores(docs, max_contexts=200, min_count=2).collect()
+    }
+    assert set(pruned) == set(base)
+    assert all(pruned[d].n_bigrams == base[d].n_bigrams for d in base)
+    assert all(
+        pruned[d].lm_logp is not None and pruned[d].lm_logp < 0 for d in base
+    )
+    assert any(pruned[d].lm_logp != base[d].lm_logp for d in base)
+    # Pruned contexts/bigrams fall to the smoothing mass, which is
+    # SMALLER than any seen count's probability: scores only go down.
+    assert all(pruned[d].lm_logp <= base[d].lm_logp + 1e-9 for d in base)
+    mean_delta = sum(
+        abs(pruned[d].lm_logp - base[d].lm_logp) for d in base
+    ) / len(base)
+    assert mean_delta < 1.5, f"pruning delta too large: {mean_delta}"
+
+
 # --------------------------------------------------------------------
 # BPE tokenizer training (Sennrich ACL'16) — distributed trainer vs an
 # independent in-test reference implementation
@@ -663,6 +712,25 @@ def test_pq_codes_are_compact_and_valid(spark):
         for r in rows
     )
     index.unpersist()
+
+
+def test_pq_unpersist_releases_the_base_frame_too(spark):
+    # ADVICE r5: build_pq_index(cache=True) persists the internal
+    # (cid, cv) corpus frame for the sample+encode double read; it must
+    # be RELEASED by unpersist(), not pinned for the session.
+    from xlearning_spark.operators.similarity import build_pq_index
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    index = build_pq_index(emb, id_col="vec_id", m=8, bits=4)
+    assert index._base is not None
+    assert index._base.storageLevel.useMemory or index._base.storageLevel.useDisk
+    index.unpersist()
+    assert index._base is None
+    assert not index.codes.storageLevel.useMemory
+    # cache=False never persists, so there is nothing to track.
+    cold = build_pq_index(emb, id_col="vec_id", m=8, bits=4, cache=False)
+    assert cold._base is None
+    cold.unpersist()
 
 
 def test_pq_recall_vs_brute_force(spark):

@@ -604,3 +604,56 @@ def test_excise_ingest_forward_only_substring_dedup(spark, tmp_path):
     assert land([]) == []
     again = {r["doc_id"]: r["clean_text"] for r in spark.read.parquet(out).collect()}
     assert again == {d: r["clean_text"] for d, r in got2.items()}
+
+
+def test_excise_ingest_min_docs_counts_across_batches(spark, tmp_path):
+    # ADVICE r5: with min_docs=3 the cross-batch threshold must ALSO be
+    # 3 distinct documents — the registry carries per-shingle
+    # distinct-doc COUNTS, not mere presence, so a span seen in one
+    # prior doc plus one current doc (2 < 3) survives, and only the
+    # third distinct document trips excision.
+    import os
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "doc_id bigint, text string"
+
+    def land(rows):
+        if rows:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        return st.excise_ingest(
+            spark.readStream.format("parquet").schema(schema).load(src),
+            out, state, ckpt, k=3, min_docs=3,
+        )
+
+    # Batch 1: one doc holds "a b c" — count 1, far below 3.
+    land([(1, "a b c d")])
+    # Batch 2: second distinct doc with "a b c" — cumulative 2 < 3, so
+    # the presence-only registry would (wrongly) excise here.
+    land([(2, "a b c e")])
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[2]["clean_text"] == "a b c e"
+    assert got[2]["n_removed"] == 0
+    # Batch 3: third distinct doc -> 2 prior + 1 batch = 3 >= 3, excised.
+    land([(3, "a b c f")])
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[3]["clean_text"] == "f"
+    assert got[3]["n_removed"] == 3
+    # Forward-only: docs 1 and 2 stay as landed.
+    assert got[1]["clean_text"] == "a b c d"
+    assert got[2]["clean_text"] == "a b c e"
+    # Batch 4: the span is saturated in the registry (>= min_docs prior
+    # docs), so a FOURTH doc is excised on prior counts alone — and
+    # intra-batch still thresholds at min_docs: three new docs sharing
+    # a fresh span "x y z" all lose it at once.
+    land([(4, "a b c g"), (5, "x y z h"), (6, "x y z i"), (7, "x y z j")])
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[4]["clean_text"] == "g"
+    assert got[5]["clean_text"] == "h"
+    assert got[6]["clean_text"] == "i"
+    assert got[7]["clean_text"] == "j"

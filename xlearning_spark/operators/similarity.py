@@ -487,10 +487,18 @@ class PqIndex:
     """
 
     def __init__(
-        self, codes: DataFrame, codebooks: list[list[list[float]]]
+        self,
+        codes: DataFrame,
+        codebooks: list[list[list[float]]],
+        base: DataFrame | None = None,
     ):
         self.codes = codes
         self.codebooks = codebooks
+        # The persisted (cid, cv) source frame from build_pq_index
+        # (cache=True), kept ONLY so unpersist() can release it —
+        # dropping the reference would pin a full corpus copy in
+        # executor storage for the session (ADVICE r5).
+        self._base = base
 
     @property
     def m(self) -> int:
@@ -502,6 +510,9 @@ class PqIndex:
 
     def unpersist(self) -> None:
         self.codes.unpersist()
+        if self._base is not None:
+            self._base.unpersist()
+            self._base = None
 
 
 def _pq_score_sql(vec: str, off: int, centroid: list[float]) -> str:
@@ -624,7 +635,7 @@ def build_pq_index(
     )
     if cache:
         codes = codes.persist()
-    return PqIndex(codes, codebooks)
+    return PqIndex(codes, codebooks, base=base if cache else None)
 
 
 def pq_topk(

@@ -35,28 +35,28 @@ def _load_all() -> None:
 #: families, streaming-parity, sharding, pipe/UDF tiers, LLM-data tier).
 GRADING_WINDOW = [
     "q01_pricing_summary",       # A5 hash agg (flagship, TPC-H Q1 shape)
-    "q03_shipping_priority",     # J1 equi join + sort/limit (§2.8)
+    "q71_deterministic_split",   # corpus deterministic split (r6 rotation in; J1 spare q03 driver-green r1-r5)
     "q05_regional_revenue",      # J2 broadcast hash
     "q07_anti_join_dormant_customers",   # J3 anti (r5 rotation; semi spare: q06, driver-green r1-r4)
     "q08_range_join_price_bands",        # J4 theta/range
     "q09_asof_join_purchase_signup",     # J5 as-of
-    "q10_cross_join_region_nation",      # J6 cross
+    "q72_domain_mixture",        # corpus domain mixture (r6 rotation in; J6 spare q10 driver-green r1-r5)
     "q11_rollup_order_stats",    # A7 rollup (r5 rotation; grouping-sets spare: q13, driver-green r1-r4)
     "q69_multimodal_audio",      # L5 multimodal decode (real WAV decoder)
     "q88_portable_approx_percentile",    # A6 hash-certified sampled percentiles (r5 rotation; spare: q14, driver-green r1-r4 — its exact distinct+percentile twins live on inside q85/q88's outputs)
-    "q15_collect_sorted",        # A8 sort-agg/collect
+    "q73_token_chunking",        # corpus token chunking (r6 rotation in; A8 spare q15 driver-green r1-r5)
     "q17_topk_orders_per_customer",      # §2.7 ranking + top-k
     "q18_running_customer_spend",        # §2.7 rows frame
     "q19_lead_lag_event_gaps",   # §2.7 analytic
     "q82_multimodal_image",      # L5 real PNG decode (r5; §2.7 q28 rotates to spares — q17/q18/q19 keep the family certified)
     "q39_correlated_max_order",  # correlated subquery
-    "q21_set_operations",        # §2.9
-    "q22_string_functions",      # §2.6 string
-    "q23_datetime_functions",    # §2.6 date/time
-    "q24_math_functions",        # §2.6 math
-    "q25_array_functions",       # §2.6 array
-    "q26_json_functions",        # §2.6 json
-    "q27_conditional_functions", # §2.6 conditional
+    "q74_decontamination",       # corpus decontamination (r6 rotation in; §2.9 spare q21 driver-green r1-r5)
+    "q75_pii_redaction",         # corpus PII redaction (r6 rotation in; §2.6-string spare q22 driver-green r1-r5)
+    "q76_repetition_filter",     # corpus repetition filter (r6 rotation in; §2.6-datetime spare q23 driver-green r1-r5)
+    "q77_stratified_sample",     # corpus stratified sampling (r6 rotation in; §2.6-math spare q24 driver-green r1-r5)
+    "q78_winnowing_fingerprints",        # L4 winnowing, Rabin-Karp replayed oracle (r6 rotation in; §2.6-array spare q25 driver-green r1-r5)
+    "q80_neardup_sweep",         # L2 end-to-end sweep, recursive-CTE oracle (r6 rotation in; §2.6-json spare q26 driver-green r1-r5)
+    "q83_neardup_sweep_scaled",  # L2 sub-quadratic sweep composition (r6 rotation in; §2.6-conditional spare q27 driver-green r1-r5)
     "q90_mixture_temperature",   # corpus tier's first driver slot (r5 rotation; pivot spare: q29, driver-green r1-r4)
     "q30_tumbling_hourly_counts",        # T7 tumbling
     "q31_sliding_2h_windows",    # T2 sliding
@@ -89,6 +89,20 @@ GRADING_WINDOW = [
 #: Oracle-backed family-mates already driver-green in round 2; falling
 #: outside the window costs nothing (their family is certified above).
 GRADED_SPARES = [
+    # r6 rotations OUT of the window (driver-green r1-r5; each family
+    # stays certified by five consecutive rounds of driver-green rows —
+    # VERDICT r5 item 1 explicitly endorsed rotating this class out so
+    # the never-driver-graded corpus-tier queries earn driver slots):
+    "q03_shipping_priority",
+    "q10_cross_join_region_nation",
+    "q15_collect_sorted",
+    "q21_set_operations",
+    "q22_string_functions",
+    "q23_datetime_functions",
+    "q24_math_functions",
+    "q25_array_functions",
+    "q26_json_functions",
+    "q27_conditional_functions",
     # r5 rotations OUT of the window (driver-green r1-r4; their families
     # stay certified by the rotated-in mates q11/q07/q85/q88/q89/q90/q98
     # and by q17-q19 / q43+q51 / q70+q53; q14's exact distinct +
@@ -105,16 +119,8 @@ GRADED_SPARES = [
     "q45_quality_score",
     "q55_embedding_neardup_lsh",  # L2 scale form (family certified by q42/q53/q54)
     "q42_jaccard_pairs",          # L2 exact all-pairs twin of q70 (oracle spare)
-    # Training-corpus pipeline tier (operators/corpus.py) — all
-    # oracle-backed and local-green; lands outside the 50-query window
-    # because every §2 family above already holds its certifying slot.
-    "q71_deterministic_split",
-    "q72_domain_mixture",
-    "q73_token_chunking",
-    "q74_decontamination",
-    "q75_pii_redaction",
-    "q76_repetition_filter",
-    "q77_stratified_sample",
+    # (Training-corpus pipeline tier q71-q77 rotated INTO the window in
+    # r6 — VERDICT r5 item 1.)
     "q02_filter_project_pushdown",
     "q04_customer_order_counts",
     "q12_cube_lineitem",
@@ -123,10 +129,7 @@ GRADED_SPARES = [
     "q38_trailing_hour_range_frame",
     "q41_fingerprint_neardup",
     "q47_embedding_stats",
-    "q78_winnowing_fingerprints",  # L4 winnowing (SIGMOD'03), Rabin-Karp replayed oracle
-    "q79_winnowing_overlap_pairs", # L4/L2 winnowing near-dup report (max_df cap)
-    "q80_neardup_sweep",           # end-to-end dedup sweep (recursive-CTE oracle)
-    "q83_neardup_sweep_scaled",    # same sweep, sub-quadratic q70 generator (r5)
+    "q79_winnowing_overlap_pairs", # L4/L2 winnowing near-dup report (max_df cap; r7 rotation candidate)
     "q84_multimodal_gif",          # L5 real GIF/LZW decode (r5; family certified by q69/q82)
     "q91_multimodal_jpeg",         # L5 real baseline JPEG/DCT decode (r5; family certified by q69/q82)
     "q92_multimodal_video",        # L5 real MJPEG-in-AVI video decode (r5)

@@ -53,6 +53,42 @@ def read_events_stream(spark, path: str, fmt: str = "parquet") -> DataFrame:
     return spark.readStream.format(fmt).schema(EVENTS_SCHEMA).load(path)
 
 
+def _read_state_parquet(spark, path: str) -> DataFrame | None:
+    """Parquet frame at ``path``, or None before the first commit.
+
+    First-batch bootstrap for every stateful foreachBatch sink here.
+    Existence is probed through the Hadoop FileSystem API — NOT by
+    matching AnalysisException text, which differs across Spark
+    versions ("PATH_NOT_FOUND" vs "Path does not exist"; ADVICE r5).
+    A directory that exists but holds no parquet footprint yet (crash
+    before the very first job commit left only ``_temporary``) also
+    reads as None; any other read failure is re-raised loudly —
+    corrupt state must never be silently treated as empty.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:
+        cond = None
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(e, attr, None)
+            if fn is not None:
+                try:
+                    cond = fn()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        if cond == "UNABLE_TO_INFER_SCHEMA":
+            return None
+        raise
+
+
 def dedup_stream(
     events: DataFrame,
     key_cols: list[str],
@@ -240,8 +276,8 @@ def incremental_partition_save(
         merge = parts if key_cols is not None else parts & touched
         out = batch_df
         if merge:
-            try:
-                existing = batch_df.sparkSession.read.parquet(out_dir)
+            existing = _read_state_parquet(batch_df.sparkSession, out_dir)
+            if existing is not None:
                 # Partition columns read back with inferred types; cast
                 # to the batch schema so the union is exact.
                 existing = existing.select(
@@ -270,9 +306,6 @@ def incremental_partition_save(
                 # Spark (rightly) refuses a lazy self-overwrite plan.
                 old = old.localCheckpoint(eager=True)
                 out = batch_df.unionByName(old)
-            except Exception as e:  # first write: nothing on disk yet
-                if "PATH_NOT_FOUND" not in str(e):
-                    raise
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -387,12 +420,9 @@ def neardup_ingest(
         batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
         if batch.isEmpty():
             return
-        try:
-            corpus = spark.read.parquet(corpus_dir).select(id_col, text_col)
-        except Exception as e:
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            corpus = None
+        corpus = _read_state_parquet(spark, corpus_dir)
+        if corpus is not None:
+            corpus = corpus.select(id_col, text_col)
         if corpus is None:
             pool = batch.withColumn("__corpus", F.lit(False))
         else:
@@ -704,11 +734,14 @@ def excise_ingest(
 ) -> list[int]:
     """Streaming exact substring-dedup EXCISION (L2 x T): each landed
     micro-batch is rewritten with duplicated k-token spans removed —
-    spans shared with any PREVIOUSLY-landed document (via the
-    accumulated shingle registry) or with >= ``min_docs`` docs inside
-    the batch itself — then appended to ``out_dir``. The streaming
+    a span is excised when the number of distinct documents containing
+    it, counted across ALL previously-landed batches (via the
+    accumulated shingle-count registry) plus this batch, reaches
+    ``min_docs`` — then appended to ``out_dir``. The streaming
     composition of :func:`~xlearning_spark.operators.dedup.
-    excise_duplicate_spans`.
+    excise_duplicate_spans`. The intra-batch and cross-batch thresholds
+    are the SAME ``min_docs`` (ADVICE r5: the earlier presence-only
+    registry silently degraded the cross-batch threshold to 2).
 
     Forward-only semantics, stated honestly: already-landed text is
     immutable, so the FIRST occurrence of a span keeps it while every
@@ -720,21 +753,26 @@ def excise_ingest(
     Exactly-once by construction, no engine transaction needed:
 
     - registry state is DELTA-partitioned — batch N overwrites
-      ``state_dir/batch=N`` with only the shingle hashes it introduced,
-      and reads strictly-below partitions (``batch < N``); a replayed
-      batch sees the identical prior registry and rewrites its own
-      partition idempotently (the additive-state discipline of
-      :func:`streaming_cms_counts`, in delta form — the registry is
-      append-only, so deltas replace snapshot versions);
+      ``state_dir/batch=N`` with ``(__h, __nd)`` rows: the number of
+      distinct docs in batch N containing each shingle, written ONLY
+      for shingles whose prior cumulative count is still below
+      ``min_docs`` (saturation cap: once a shingle's accumulated sum
+      reaches the threshold, later batches add no rows for it, so
+      registry growth per shingle is bounded by ``min_docs`` rows
+      regardless of how hot it is). Reads take strictly-below
+      partitions (``batch < N``) and SUM the deltas; a replayed batch
+      sees the identical prior registry and rewrites its own partition
+      idempotently (the additive-state discipline of
+      :func:`streaming_cms_counts`, in delta form);
     - cleaned docs land in ``out_dir/batch=N`` with overwrite, so
       replays cannot double-append.
 
     100 TB shape: per batch, one posexplode + doc-key window over the
-    BATCH only; one left-semi probe of batch shingles against the
-    registry (shuffle keyed on the hash — at scale bucket-sort the
+    BATCH only; one hash-keyed aggregate of the registry deltas plus a
+    left join against batch shingle counts (at scale bucket-sort the
     registry on ``__h`` so the probe co-locates); registry growth is
-    the corpus's distinct-shingle count, never rewritten — only
-    delta-appended.
+    bounded by min_docs x distinct-shingle count, never rewritten —
+    only delta-appended.
 
     Returns the batch ids that landed at least one document.
     """
@@ -758,25 +796,27 @@ def excise_ingest(
             StorageLevel.MEMORY_AND_DISK
         )
         starts = rows.filter(F.col("__h").isNotNull())
-        batch_dup = (
-            starts.groupBy("__h")
-            .agg(F.countDistinct(id_col).alias("__nd"))
-            .filter(F.col("__nd") >= min_docs)
-            .select("__h")
+        batch_counts = starts.groupBy("__h").agg(
+            F.countDistinct(id_col).alias("__nd")
         )
-        try:
-            seen = (
-                spark.read.parquet(state_dir)
-                .filter(F.col("batch") < batch_id)
-                .select("__h")
+        reg = _read_state_parquet(spark, state_dir)
+        if reg is not None:
+            prior = (
+                reg.filter(F.col("batch") < batch_id)
+                .groupBy("__h")
+                .agg(F.sum("__nd").alias("__prior"))
             )
-        except Exception as e:
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            seen = None
-        dup = batch_dup if seen is None else batch_dup.unionByName(seen)
-        # Semi join: never multiplies rows, so `dup` needs no distinct
-        # (batch_dup and the registry deltas can overlap).
+            scored = batch_counts.join(prior, "__h", "left").withColumn(
+                "__prior", F.coalesce("__prior", F.lit(0))
+            )
+        else:
+            scored = batch_counts.withColumn("__prior", F.lit(0))
+        # Used twice (dup verdicts + registry delta): one pass, cached.
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        dup = scored.filter(
+            F.col("__nd") + F.col("__prior") >= min_docs
+        ).select("__h")
+        # Semi join: never multiplies rows even if `dup` had overlaps.
         dup_pos = starts.join(dup, "__h", "left_semi").select(
             id_col, "pos", F.lit(1).alias("__dup")
         )
@@ -786,17 +826,19 @@ def excise_ingest(
         cleaned = excise_from_flags(
             flagged, batch.select(F.col(id_col)), id_col, k
         ).localCheckpoint(eager=True)
-        # Registry delta: the shingles this batch introduced.
-        new_h = starts.select("__h").distinct()
-        if seen is not None:
-            new_h = new_h.join(seen, "__h", "left_anti")
-        new_h = new_h.localCheckpoint(eager=True)
+        # Registry delta: this batch's per-shingle distinct-doc counts,
+        # dropped once the prior sum has saturated at min_docs.
+        delta = scored.filter(F.col("__prior") < F.lit(min_docs)).select(
+            "__h", "__nd"
+        )
+        delta = delta.localCheckpoint(eager=True)
         cleaned.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch={batch_id}")
         )
-        new_h.write.mode("overwrite").parquet(
+        delta.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"batch={batch_id}")
         )
+        scored.unpersist()
         rows.unpersist()
         processed.append(batch_id)
 
