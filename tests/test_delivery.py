@@ -194,3 +194,52 @@ def test_scheme_uri_jobspec_end_to_end(spark, tree, tmp_path):
     # scheme-qualified path through the FileSystem API.
     with pytest.raises(FileExistsError):
         submit(spark, spec)
+
+
+def test_viewfs_bucket_scheme_full_lifecycle(spark, tree, tmp_path):
+    # S2 on a REAL non-file: scheme: ViewFileSystem serves
+    # viewfs://warehouse/... through the Hadoop mount table, so every
+    # path in this test resolves through a FileSystem whose URIs are
+    # NOT file: — the exact contract an s3a:// endpoint would get.
+    # Covers: glob -> record scan -> whole-file scan -> parquet
+    # round-trip -> JobSpec lifecycle (validate / no-clobber / commit
+    # marker), all scheme-qualified end-to-end.
+    from xlearning_spark.job import JobSpec, submit
+    from xlearning_spark.sources import table_exists
+    from xlearning_spark.sources.sinks import is_committed
+
+    base = delivery.mount_bucket(spark, "warehouse", tree.as_uri())
+    assert base == "viewfs://warehouse/data"
+
+    got = delivery.glob_files(spark, base + "/*.txt")
+    assert [p.rsplit("/", 1)[-1] for p in got] == ["a.txt", "b.txt"]
+    assert all(p.startswith("viewfs://warehouse/") for p in got)
+
+    # record scan (S3) and whole-file scan (S4) through the scheme
+    assert delivery.read_records(spark, base + "/*.txt").count() == 3
+    dl = delivery.read_download(spark, base, glob="*.txt")
+    assert {r.path.rsplit("/", 1)[-1] for r in dl.collect()} == {"a.txt", "b.txt"}
+    assert all(r.path.startswith("viewfs://") for r in dl.collect())
+
+    # DataFrame parquet sink + scan through the scheme (S6/S10)
+    out_mnt = delivery.mount_bucket(
+        spark, "warehouse", (tmp_path / "s2_viewfs_out").as_uri(), "/out"
+    )
+    spark.range(7).write.parquet(out_mnt + "/t1")
+    assert spark.read.parquet(out_mnt + "/t1").count() == 7
+    assert is_committed(out_mnt + "/t1", spark)
+    assert table_exists(spark, out_mnt + "/t1")
+    assert not table_exists(spark, out_mnt + "/missing")
+
+    # Full job lifecycle on the scheme: no-clobber + commit marker
+    spec = JobSpec(
+        inputs={"in": base + "/*.txt"},
+        output=out_mnt + "/job1",
+        output_format="text.gz",
+    )
+    res = submit(spark, spec)
+    assert res.committed
+    assert res.n_records_out == 3
+    assert all(f.startswith("viewfs://") for f in res.input_files["in"])
+    with pytest.raises(FileExistsError):
+        submit(spark, spec)

@@ -4,6 +4,8 @@ stream is drained (Trigger.AvailableNow over a file source)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -657,3 +659,24 @@ def test_excise_ingest_min_docs_counts_across_batches(spark, tmp_path):
     assert got[5]["clean_text"] == "h"
     assert got[6]["clean_text"] == "i"
     assert got[7]["clean_text"] == "j"
+
+
+def test_crash_replay_under_real_task_failure():
+    # r5 verdict item 4: a REAL mid-batch task failure (flaky-once UDF
+    # + local[4,2] task retry) against all three streaming commit
+    # disciplines — excise_ingest, streaming_cms_counts,
+    # incremental_partition_save — asserting output/registers land
+    # EXACTLY once (equal to a no-failure control run). Runs in a
+    # subprocess: task retry needs its own master (local[N,2]); the
+    # shared session never retries.
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "crash_replay_scenario.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert "CRASH_REPLAY_OK" in proc.stdout

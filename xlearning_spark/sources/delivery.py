@@ -20,11 +20,15 @@ so the capability is auditable:
 S2 (object stores): every function here takes Hadoop URIs, so s3a://
 works wherever file:// does — the scheme only selects the FileSystem
 implementation (the reference relies on the same property,
-AmazonS3.java / ApplicationMaster.java:768-831). The authority-form
-URI path is covered end-to-end by tests/test_delivery.py's scheme
-tests (file:///). To verify against a REAL S3 endpoint (no S3 service
-exists in this container), run a local MinIO and point the same tests'
-URIs at it:
+AmazonS3.java / ApplicationMaster.java:768-831). The full lifecycle
+(glob -> record/whole-file scan -> parquet sink -> no-clobber ->
+_SUCCESS commit) is driven end-to-end on a real NON-file: scheme in
+tests/test_delivery.py via :func:`mount_bucket` (Hadoop
+ViewFileSystem mount table — bucket-authority viewfs:// URIs resolved
+through a foreign FileSystem, the same contract an s3a endpoint
+gets), plus the authority-form file:/// tests. To verify against a
+REAL S3 endpoint (no S3 service exists in this container), run a
+local MinIO and point the same tests' URIs at it:
 
     minio server /tmp/minio &            # default key/secret minioadmin
     spark = (SparkSession.builder
@@ -146,3 +150,38 @@ def cancel_job_group(spark: SparkSession, group_id: str) -> None:
     """E5: deliver a stop signal to every task of a job group — the
     engine's analogue of the reference's REST signal endpoint."""
     spark.sparkContext.cancelJobGroup(group_id)
+
+
+def mount_bucket(
+    spark: SparkSession, bucket: str, target: str, mount_point: str = "/data"
+) -> str:
+    """S2 test double: expose ``target`` (any Hadoop URI) under a
+    bucket-style, non-``file:`` scheme — ``viewfs://{bucket}{mount_point}``
+    — via Hadoop's ViewFileSystem mount table (the federation client,
+    public Hadoop: ``fs.viewfs.mounttable.<authority>.link.<path>``).
+
+    Why this exists: no object-store endpoint is reachable in the test
+    environment, but every delivery/sink function here must be proven
+    scheme-agnostic END TO END — glob expansion, no-clobber checks,
+    DataFrame scans/writes, and the ``_SUCCESS`` commit marker all
+    resolving through a FileSystem whose URIs are NOT ``file:``.
+    ViewFileSystem gives exactly that: callers hold
+    ``viewfs://bucket/...`` paths (authority = bucket, as s3a does),
+    path resolution goes through the mount table, and the backing
+    store stays local. The same call sites then take ``s3a://`` with
+    no code change (live-MinIO recipe in the module docstring).
+
+    Returns the mounted URI prefix, e.g. ``viewfs://warehouse/data``.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    # Ensure the backing target exists (ViewFs resolves through it).
+    tpath = jvm.org.apache.hadoop.fs.Path(target)
+    tpath.getFileSystem(hconf).mkdirs(tpath)
+    hconf.set(f"fs.viewfs.mounttable.{bucket}.link.{mount_point}", target)
+    # The mount table is read once per cached FileSystem instance —
+    # evict any instance created before this link so the next resolve
+    # sees the updated table.
+    uri = jvm.java.net.URI.create(f"viewfs://{bucket}/")
+    jvm.org.apache.hadoop.fs.FileSystem.get(uri, hconf).close()
+    return f"viewfs://{bucket}{mount_point}"
