@@ -856,3 +856,58 @@ def test_pq_index_round_trips_through_storage(spark, tmp_path, monkeypatch):
     assert got == want and got
     built.unpersist()
     loaded.unpersist()
+
+
+def test_ngram_jaccard_demote_hot_order_is_lossless(spark):
+    """demote_hot_df re-ranks the global shingle order (hot boilerplate
+    last) — the AllPairs lemma holds for ANY total order, so the pair
+    set and jaccard values must be BIT-identical to the default hash
+    order, on a corpus where 40% of docs share a hot boilerplate."""
+    import random
+
+    from xlearning_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(7)
+    boiler = "this content is provided as is without warranty of any kind whatsoever"
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(120):
+        body = " ".join(rng.choice(vocab) for _ in range(30))
+        if i % 5 < 2:  # 40% carry the boilerplate
+            body = boiler + " " + body
+        rows.append((i, body))
+    # true near-dups: clone a few docs with a one-token edit
+    for i, (src, text) in enumerate(rows[:6]):
+        toks = text.split()
+        toks[len(toks) // 2] = "edited"
+        rows.append((1000 + i, " ".join(toks)))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def res(**kw):
+        return sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(d, "doc_id", "text", 0.5, **kw).collect()
+        )
+
+    plain = res()
+    assert len(plain) >= 6  # the clones must be found
+    assert res(demote_hot_df=0.1) == plain
+    # cap path: only the single hottest shingle demoted — still lossless
+    assert res(demote_hot_df=0.1, max_hot=1) == plain
+    # no shingle above the bar -> demotion is a no-op path
+    assert res(demote_hot_df=0.99) == plain
+    # delta mode composes with demotion
+    delta = spark.createDataFrame([(1000 + i,) for i in range(6)], "doc_id long")
+    dplain = sorted(
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            d, "doc_id", "text", 0.5, delta_ids=delta
+        ).collect()
+    )
+    ddem = sorted(
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            d, "doc_id", "text", 0.5, delta_ids=delta, demote_hot_df=0.1
+        ).collect()
+    )
+    assert dplain == ddem

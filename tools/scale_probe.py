@@ -424,6 +424,15 @@ def main() -> None:
     lines.append("")
     lines.append(NOTES.strip())
     lines.append("")
+    # Fold in sections written by the sibling probes (organic-skew,
+    # ANN recall sweep) so a SCALE.md regeneration never drops them.
+    for extra in (
+        os.path.join(REPO, ".skew_probe", "section.md"),
+        os.path.join(REPO, ".ann_sweep", "section.md"),
+    ):
+        if os.path.exists(extra):
+            lines.append(open(extra).read().strip())
+            lines.append("")
     out = os.path.join(REPO, "SCALE.md")
     open(out, "w").write("\n".join(lines))
     print(f"wrote {out}")

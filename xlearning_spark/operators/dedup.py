@@ -192,6 +192,8 @@ def ngram_jaccard_pairs(
     shingle_size: int = 5,
     materialize: bool = True,
     delta_ids: DataFrame | None = None,
+    demote_hot_df: float | None = None,
+    max_hot: int = 256,
 ) -> DataFrame:
     """Exact n-gram (word-shingle) Jaccard near-dup pairs via prefix
     filtering -> (id_a, id_b, jaccard), jaccard >= threshold.
@@ -221,8 +223,25 @@ def ngram_jaccard_pairs(
     a sizes-compatible guard (t*max <= min) pruning before any array
     intersect. Candidate volume is driven by shared-rare-shingle
     frequency; a corpus dominated by one hot shingle degrades toward
-    the within-key square — for adversarial distributions compose with
-    MinHash LSH (minhash_near_duplicates), which bounds bucket width.
+    the within-key square under the default (hash) order.
+
+    ``demote_hot_df`` is the LOSSLESS organic-skew mitigation — the
+    canonical AllPairs frequency ordering (Bayardo et al. §3.1: order
+    elements by ascending document frequency so prefixes hold the
+    RAREST elements). The prefix lemma holds for ANY global total
+    order, so the output is bit-identical; what changes is which
+    shingles land in prefixes. One extra linear pass computes shingle
+    document frequencies; shingles in more than ``demote_hot_df`` of
+    docs (top ``max_hot`` by df — a bounded, broadcastable set) are
+    demoted to the END of the order, so a boilerplate 8-gram shared by
+    30 % of the corpus almost never enters anyone's prefix and its
+    would-be quadratic key join vanishes. Measured (tools/skew_probe.py,
+    SCALE.md organic-skew section): with a hot boilerplate in 10-50 %
+    of docs the demoted order removes the hot-key term entirely while
+    plain hash order degrades toward the block square. For fully
+    adversarial distributions (hot shingles beyond ``max_hot``)
+    compose with MinHash LSH (minhash_near_duplicates), which bounds
+    bucket width by construction.
 
     Jaccard is computed over distinct shingle *hashes* (identical to
     string-shingle Jaccard modulo ~2^-64 collisions — the same hashing
@@ -286,8 +305,50 @@ def ngram_jaccard_pairs(
     prefix_len = (
         F.col("__m") - F.ceil(F.col("__m") * F.lit(threshold)) + 1
     ).cast("int")
+    order_col = "__sh"
+    if demote_hot_df is not None:
+        if not (0.0 < demote_hot_df <= 1.0):
+            raise ValueError("demote_hot_df must be in (0, 1]")
+        n_docs = base.count()
+        # Shingle document frequency (arrays are distinct per doc, so
+        # count == df). Bounded collect: top max_hot hot shingles only.
+        hot = [
+            r["__k"]
+            for r in (
+                base.select(F.explode("__sh").alias("__k"))
+                .groupBy("__k")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") >= F.lit(demote_hot_df * n_docs))
+                .orderBy(F.desc("__df"), "__k")
+                .limit(max_hot)
+                .collect()
+            )
+        ]
+        if hot:
+            hot_arr = F.array(*[F.lit(int(h)) for h in sorted(hot)])
+            # Re-rank: (is_hot, hash) struct order puts every hot
+            # shingle AFTER every rare one; verify still runs on __sh.
+            base = base.withColumn(
+                "__ord",
+                F.array_sort(
+                    F.transform(
+                        "__sh",
+                        lambda h: F.struct(
+                            F.array_contains(hot_arr, h)
+                            .cast("int")
+                            .alias("hot"),
+                            h.alias("h"),
+                        ),
+                    )
+                ),
+            )
+            order_col = "__ord"
     keys = base.select(
-        "__id", F.explode(F.slice("__sh", F.lit(1), prefix_len)).alias("__k")
+        "__id", F.explode(F.slice(order_col, F.lit(1), prefix_len)).alias("__e")
+    )
+    keys = keys.select(
+        "__id",
+        (F.col("__e.h") if order_col == "__ord" else F.col("__e")).alias("__k"),
     )
     if delta_ids is not None:
         dids = delta_ids.select(

@@ -141,6 +141,7 @@ GRADED_SPARES = [
     "q97_delta_neardup_pairs",     # L2 incremental (delta-restricted) near-dup generator (r5)
     "q86_portable_minhash",        # L2 hash-certified portable MinHash-LSH machinery (rotated to spares in r5 session 5 for q98)
     "q99_excise_spans",            # L2 substring-dedup excision: corpus rebuilt minus shared spans (r5; span detector q98 holds the window slot)
+    "q101_demoted_jaccard",        # L2 frequency-demoted (organic-skew) prefix order — q70's oracle, reordered generator (r6)
 ]
 
 #: Rows-only (oracle=None) queries: can never hash-match, so they must

@@ -33,6 +33,7 @@ from xlearning_spark.functions import (
 from xlearning_spark.operators.dedup import (
     exact_dedup,
     minhash_near_duplicates,
+    ngram_jaccard_pairs,
     simhash,
 )
 from xlearning_spark.operators.similarity import (
@@ -1740,3 +1741,39 @@ def q100_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=4,
         shortlist=50,
     ).orderBy("qid", "cid")
+
+
+@query(
+    "q101_demoted_jaccard",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+s AS (SELECT doc_id,
+        list_distinct(list_transform(range(1, len(toks) - 3),
+          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))) AS sh
+      FROM f)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 8) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+""",
+    tags=("llm", "L2", "ngram-jaccard", "skew"),
+    doc="q70's exact Jaccard generator under the FREQUENCY-DEMOTED "
+    "global shingle order (ngram_jaccard_pairs demote_hot_df — the "
+    "AllPairs ascending-df order, the organic-skew mitigation from "
+    "tools/skew_probe.py: hot boilerplate shingles sort LAST so they "
+    "never enter prefixes). The oracle is the identical brute-force "
+    "all-pairs SQL as q70's: a hash-match certifies the prefix lemma "
+    "holds under the reordering — the mitigation is lossless on real "
+    "data, not just in unit fixtures. demote_hot_df=0.004 with "
+    "max_hot=256 demotes every shingle shared by >=2 docs at sf0.01 "
+    "(top 256 by df), so the reordered path genuinely executes.",
+)
+def q101_demoted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, demote_hot_df=0.004, max_hot=256
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 8).alias("jaccard"))
