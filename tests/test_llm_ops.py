@@ -911,3 +911,51 @@ def test_ngram_jaccard_demote_hot_order_is_lossless(spark):
         ).collect()
     )
     assert dplain == ddem
+
+
+def test_ann_recall_monotone_and_exhaustive(spark):
+    """r5 verdict item 6 (test half): recall@k is non-decreasing in the
+    knob that widens the search (IVF n_probe; PQ shortlist), and the
+    exhaustive endpoints recover brute force EXACTLY (n_probe=n_cells
+    scans every cell; shortlist>=corpus re-ranks everything — both
+    share brute force's (cosine desc, cid) tie-break, so the top-k
+    sets must be identical, not just similar). The at-volume curves
+    live in SCALE.md (tools/ann_recall_sweep.py, 8x corpus)."""
+    from xlearning_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        build_pq_index,
+        ivf_probe,
+        pq_topk,
+    )
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    truth = {(r.qid, r.cid) for r in brute_force_topk(emb, q, k=5).collect()}
+
+    ivf = build_ivf_index(emb, n_cells=8)
+    last = -1.0
+    for n_probe in (1, 2, 4, 8):
+        got = {
+            (r.qid, r.cid)
+            for r in ivf_probe(ivf, q, k=5, n_probe=n_probe).collect()
+        }
+        rec = len(got & truth) / len(truth)
+        assert rec >= last - 1e-9, f"recall dropped at n_probe={n_probe}"
+        last = rec
+    assert last == 1.0  # n_probe == n_cells is exhaustive
+    ivf.unpersist()
+
+    pq = build_pq_index(emb, m=8, bits=4)
+    last = -1.0
+    for shortlist in (5, 20, 80, n):
+        got = {
+            (r.qid, r.cid)
+            for r in pq_topk(pq, q, k=5, shortlist=shortlist).collect()
+        }
+        rec = len(got & truth) / len(truth)
+        assert rec >= last - 1e-9, f"recall dropped at shortlist={shortlist}"
+        last = rec
+    assert last == 1.0  # shortlist >= corpus re-ranks everything exactly
+    pq.unpersist()
