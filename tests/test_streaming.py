@@ -680,3 +680,152 @@ def test_crash_replay_under_real_task_failure():
     )
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
     assert "CRASH_REPLAY_OK" in proc.stdout
+
+
+def test_compact_excise_registry_preserves_semantics(spark, tmp_path):
+    # Registry compaction folds committed delta partitions into one
+    # batch=-1 base; later batches must see EXACTLY the same cumulative
+    # shingle counts — asserted against a parallel uncompacted run of
+    # the identical batch sequence.
+    def mk(name):
+        d = {k: str(tmp_path / f"{name}_{k}") for k in ("src", "out", "state", "ckpt")}
+        os.makedirs(d["src"])
+        return d
+
+    schema = "doc_id bigint, text string"
+
+    def land(d, rows):
+        if rows:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(d["src"])
+        return st.excise_ingest(
+            spark.readStream.format("parquet").schema(schema).load(d["src"]),
+            d["out"], d["state"], d["ckpt"], k=3, min_docs=3,
+        )
+
+    a, b = mk("cmp"), mk("ctl")
+    batches = [
+        [(1, "a b c d e")],
+        [(2, "a b c x y")],
+        [(3, "q q q q q")],
+    ]
+    for d in (a, b):
+        for rows in batches:
+            land(d, rows)
+
+    # Compact the committed prefix (default upto = max-1 = 1).
+    upto = st.compact_excise_registry(spark, a["state"])
+    assert upto == 1
+    parts = sorted(p.name for p in (tmp_path / "cmp_state").iterdir() if p.is_dir())
+    assert parts == ["batch=-1", "batch=2"]
+
+    # Batch 4: doc 4 is the THIRD distinct doc carrying "a b c" — its
+    # excision depends on the compacted counts (1+1 prior) being exact.
+    last = [(4, "n a b c m"), (5, "fresh stuff entirely")]
+    for d in (a, b):
+        land(d, last)
+    got_a = {
+        (r.doc_id, r.n_tokens, r.n_removed, r.clean_text)
+        for r in spark.read.parquet(a["out"]).collect()
+    }
+    got_b = {
+        (r.doc_id, r.n_tokens, r.n_removed, r.clean_text)
+        for r in spark.read.parquet(b["out"]).collect()
+    }
+    assert got_a == got_b
+    assert (4, 5, 3, "n m") in got_a  # third distinct doc -> span excised
+
+    # Fully-drained compaction folds everything into the base.
+    st.compact_excise_registry(spark, a["state"], upto_batch=10**6)
+    parts = sorted(p.name for p in (tmp_path / "cmp_state").iterdir() if p.is_dir())
+    assert parts == ["batch=-1"]
+    # Another doc with the span: still excised on compacted state alone.
+    for d in (a, b):
+        land(d, [(6, "z a b c w")])
+    ra = {r.doc_id: r.clean_text for r in spark.read.parquet(a["out"]).collect()}
+    rb = {r.doc_id: r.clean_text for r in spark.read.parquet(b["out"]).collect()}
+    assert ra == rb and ra[6] == "z w"
+
+
+def test_compaction_crash_recovery_is_idempotent(spark, tmp_path):
+    # Crash AFTER the commit marker, DURING the swap: recovery must
+    # complete it exactly once; crash BEFORE the marker: staging is
+    # discarded and the old partitions stay authoritative.
+    import shutil
+
+    state = tmp_path / "state"
+    for bid, rows in ((0, [(11, 2)]), (1, [(11, 1), (22, 1)])):
+        spark.createDataFrame(rows, "__h bigint, __nd bigint").write.parquet(
+            str(state / f"batch={bid}")
+        )
+
+    # --- committed staging, olds still present (mid-swap crash)
+    staging = state / ".compact_staging"
+    spark.createDataFrame(
+        [(11, 3), (22, 1)], "__h bigint, __nd bigint"
+    ).write.parquet(str(staging))
+    (staging / "_UPTO").write_text("1")
+    (staging / "_COMMITTED_COMPACTION").touch()
+    assert st._finish_compaction(spark, str(state))
+    parts = sorted(p.name for p in state.iterdir() if p.is_dir())
+    assert parts == ["batch=-1"]
+    got = {
+        (r["__h"], r["__nd"])
+        for r in spark.read.parquet(str(state / "batch=-1")).collect()
+    }
+    assert got == {(11, 3), (22, 1)}
+    # second recovery call: no staging -> no-op
+    assert not st._finish_compaction(spark, str(state))
+
+    # --- UNcommitted staging (crash before the marker): discarded.
+    spark.createDataFrame([(99, 9)], "__h bigint, __nd bigint").write.parquet(
+        str(staging)
+    )
+    (staging / "_UPTO").write_text("1")
+    assert not st._finish_compaction(spark, str(state))
+    assert not staging.exists()
+    got = {
+        (r["__h"], r["__nd"])
+        for r in spark.read.parquet(str(state / "batch=-1")).collect()
+    }
+    assert got == {(11, 3), (22, 1)}  # untouched
+    shutil.rmtree(str(state))
+
+
+def test_prune_sketch_versions(spark, tmp_path):
+    # CMS versions are point-in-time snapshots; pruning to the newest 2
+    # keeps estimates identical and preserves the replay predecessor.
+    src = tmp_path / "src"
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    for i in range(3):
+        spark.createDataFrame(
+            [(f"t{j % 3}",) for j in range(10)], "term string"
+        ).coalesce(1).write.parquet(str(src / f"f{i}"))
+    st.streaming_cms_counts(
+        spark.readStream.format("parquet")
+        .schema("term string")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src) + "/*"),
+        "term", state, ckpt, depth=4, width=64,
+    )
+    versions = sorted(p.name for p in (tmp_path / "state").iterdir())
+    assert len(versions) == 3
+    probes = spark.createDataFrame([("t0",), ("t1",)], "term string")
+    before = {
+        (r.term, r.cms_estimate)
+        for r in st.cms_state_estimate(spark, state, probes, "term", 4, 64).collect()
+    }
+    doomed = st.prune_sketch_versions(spark, state, keep=2)
+    assert len(doomed) == 1 and versions[0] in doomed[0]
+    after = {
+        (r.term, r.cms_estimate)
+        for r in st.cms_state_estimate(spark, state, probes, "term", 4, 64).collect()
+    }
+    assert before == after
+    assert st.prune_sketch_versions(spark, state, keep=1)
+    assert len(list((tmp_path / "state").iterdir())) == 1
+    with pytest.raises(ValueError):
+        st.prune_sketch_versions(spark, state, keep=0)

@@ -787,6 +787,10 @@ def excise_ingest(
 
     processed: list[int] = []
 
+    # Complete any compaction swap a crash interrupted (idempotent,
+    # no-op in the common case) before the first registry read.
+    _finish_compaction(stream_df.sparkSession, state_dir)
+
     def step(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
@@ -851,3 +855,177 @@ def excise_ingest(
     )
     q.awaitTermination()
     return processed
+
+
+# ---------------------------------------------------------------- state
+# maintenance: registry compaction + sketch-version pruning.  The
+# streaming commit disciplines above keep state exactly-once but let it
+# GROW — one delta partition per micro-batch (excise_ingest), one
+# version directory per batch (CMS/HLL).  At 100 TB-pipeline lifetimes
+# that is thousands of partitions whose per-batch read cost creeps up
+# linearly; these two offline maintenance ops bound it again without
+# weakening the replay guarantees (reference analogue: the staging-dir
+# cleanup half of the commit protocol, ApplicationMaster.java:3106-3172).
+
+
+def _fs_for(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jvm
+
+
+def _finish_compaction(spark, state_dir: str) -> bool:
+    """Idempotent recovery half of :func:`compact_excise_registry`'s
+    swap: if a committed staging dir exists (crash AFTER the marker,
+    DURING the swap), complete the swap — delete every folded
+    partition and rename staging into place. Returns True if a swap
+    was completed."""
+    import os
+
+    fs, jvm = _fs_for(spark, state_dir)
+    staging = os.path.join(state_dir, ".compact_staging")
+    marker = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(staging, "_COMMITTED_COMPACTION")
+    )
+    if not fs.exists(marker):
+        # No committed staging: drop any UNcommitted leftover (crash
+        # before the marker — the old partitions are intact and
+        # authoritative).
+        sp = jvm.org.apache.hadoop.fs.Path(staging)
+        if fs.exists(sp):
+            fs.delete(sp, True)
+        return False
+    upto_p = jvm.org.apache.hadoop.fs.Path(os.path.join(staging, "_UPTO"))
+    stream = fs.open(upto_p)
+    try:
+        upto = int(bytes(stream.readAllBytes()).decode())
+    finally:
+        stream.close()
+    # Glob the partitions that actually exist (never iterate the id
+    # range — upto may be far above the real ids).
+    for st_ in fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(os.path.join(state_dir, "batch=*"))
+    ) or []:
+        name = st_.getPath().getName()
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid <= upto:
+            fs.delete(st_.getPath(), True)
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(staging),
+        jvm.org.apache.hadoop.fs.Path(os.path.join(state_dir, "batch=-1")),
+    )
+    return True
+
+
+def compact_excise_registry(
+    spark, state_dir: str, upto_batch: int | None = None
+) -> int | None:
+    """Fold :func:`excise_ingest`'s per-batch registry delta partitions
+    into ONE base partition ``batch=-1`` — bounded registry read cost
+    for long-lived streams, with the replay guarantee intact.
+
+    Why ``batch=-1`` works unchanged: the ingest read path takes
+    ``batch < N`` and sums ``__nd`` — the base partition (-1) is below
+    every real batch id, so post-compaction reads see exactly the same
+    cumulative sums through one partition instead of thousands.
+
+    Why the default ``upto_batch = max - 1`` is always replay-safe:
+    Structured Streaming commits batch N's checkpoint before starting
+    N+1, so every state partition EXCEPT possibly the newest belongs
+    to a committed batch and can never be replayed. The newest may be
+    a crash orphan whose replay must still see ``batch < N`` WITHOUT
+    its own delta — so it is never folded by default. Pass
+    ``upto_batch=max`` only for a fully-drained stream.
+
+    Crash discipline (staged swap): merged sums land in a dot-prefixed
+    staging dir (invisible to partitioned reads), then ``_UPTO`` and a
+    commit marker, then the swap (delete folded partitions, rename
+    staging to ``batch=-1``). A crash before the marker leaves the old
+    partitions authoritative (staging discarded on recovery); a crash
+    after it is completed idempotently by :func:`_finish_compaction`,
+    which both this function and :func:`excise_ingest` run first.
+
+    Returns the folded-through batch id, or None if there was nothing
+    to compact.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    _finish_compaction(spark, state_dir)
+    fs, jvm = _fs_for(spark, state_dir)
+    glob = jvm.org.apache.hadoop.fs.Path(os.path.join(state_dir, "batch=*"))
+    statuses = fs.globStatus(glob)
+    if not statuses:
+        return None
+    ids = []
+    for st in statuses:
+        name = st.getPath().getName()
+        try:
+            ids.append(int(name.split("=", 1)[1]))
+        except ValueError:
+            continue
+    real = [i for i in ids if i >= 0]
+    if not real:
+        return None
+    upto = max(real) - 1 if upto_batch is None else min(upto_batch, max(real))
+    fold = [i for i in ids if i <= upto]  # includes batch=-1 if present
+    if len(fold) < 2:
+        return None
+    dirs = [os.path.join(state_dir, f"batch={i}") for i in fold]
+    merged = (
+        spark.read.parquet(*dirs)
+        .groupBy("__h")
+        .agg(F.sum("__nd").alias("__nd"))
+    )
+    staging = os.path.join(state_dir, ".compact_staging")
+    merged.write.mode("overwrite").parquet(staging)
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(os.path.join(staging, "_UPTO")), True
+    )
+    try:
+        out.write(str(upto).encode())
+    finally:
+        out.close()
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(
+            os.path.join(staging, "_COMMITTED_COMPACTION")
+        ),
+        True,
+    ).close()
+    _finish_compaction(spark, state_dir)
+    return upto
+
+
+def prune_sketch_versions(spark, state_dir: str, keep: int = 2) -> list[str]:
+    """Delete all but the newest ``keep`` version directories of the
+    CMS/HLL versioned sketch state (:func:`streaming_cms_counts`,
+    :func:`streaming_hll_distinct`) — each ``v{N}`` is a point-in-time
+    SNAPSHOT, so only the newest is ever needed for estimates.
+
+    ``keep=2`` is the replay-safe floor for a stream that may still be
+    running: the newest version can be a crash orphan whose batch was
+    never checkpoint-committed, and its replay rebuilds FROM the
+    version strictly below it (``_latest_state_below``) — pruning that
+    predecessor would strand the replay. ``keep=1`` is valid only for
+    a fully-drained stream. Returns the deleted paths.
+    """
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(state_dir + "/v*")
+    fs = path.getFileSystem(conf)
+    statuses = fs.globStatus(path)
+    if not statuses:
+        return []
+    dirs = sorted(
+        st.getPath().toString() for st in statuses if st.isDirectory()
+    )
+    doomed = dirs[:-keep] if keep < len(dirs) else []
+    for d in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+    return doomed
