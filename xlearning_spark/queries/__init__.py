@@ -142,6 +142,7 @@ GRADED_SPARES = [
     "q86_portable_minhash",        # L2 hash-certified portable MinHash-LSH machinery (rotated to spares in r5 session 5 for q98)
     "q99_excise_spans",            # L2 substring-dedup excision: corpus rebuilt minus shared spans (r5; span detector q98 holds the window slot)
     "q101_demoted_jaccard",        # L2 frequency-demoted (organic-skew) prefix order — q70's oracle, reordered generator (r6)
+    "q102_salted_agg",             # explicit two-stage salted aggregation == plain GROUP BY, hash-certified (r6)
 ]
 
 #: Rows-only (oracle=None) queries: can never hash-match, so they must

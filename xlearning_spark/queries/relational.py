@@ -971,3 +971,44 @@ def q27_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("c_acctbal") > 0).alias("in_credit"),
     )
+
+
+@query(
+    "q102_salted_agg",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS l_quantity_sum,
+       COUNT(l_orderkey) AS l_orderkey_count,
+       MAX(l_tax) AS l_tax_max
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("agg", "skew", "salted"),
+    doc="The explicit skew-mitigation aggregate (operators/skew.salted_agg "
+    "— two-stage: (keys + salt) partial, then per-key merge, so a hot "
+    "grouping key spreads over `salt` reducers instead of funneling one) "
+    "hash-certified against the plain single-stage GROUP BY oracle: the "
+    "salting must be invisible in the result. Summed measure is "
+    "integer-valued (l_quantity) so the two-stage summation order cannot "
+    "introduce float drift — the comparison is exact, not tolerance-based. "
+    "Reference analogue: the chief-minimum-data skew carve-out "
+    "(AM/ApplicationMaster.java:987-1008); AQE skew-join split covers the "
+    "join side (engine.py defaults, tests/test_skew_and_io.py).",
+)
+def q102_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={"l_quantity": "sum", "l_orderkey": "count", "l_tax": "max"},
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity_sum",
+        "l_orderkey_count",
+        "l_tax_max",
+    )
