@@ -829,3 +829,42 @@ def test_prune_sketch_versions(spark, tmp_path):
     assert len(list((tmp_path / "state").iterdir())) == 1
     with pytest.raises(ValueError):
         st.prune_sketch_versions(spark, state, keep=0)
+
+
+def test_neardup_ingest_demoted_order_same_corpus(spark, tmp_path):
+    # The organic-skew knob must be invisible in ingest results: the
+    # demoted prefix order is lossless, so the accumulated corpus after
+    # identical batch sequences is identical — here with a hot
+    # boilerplate prefix shared by most docs (the case the knob is for).
+    src_a, src_b = str(tmp_path / "a_src"), str(tmp_path / "b_src")
+    schema = "doc_id bigint, text string"
+    boiler = "standard legal disclaimer applies to this document"
+    batches = [
+        [(1, boiler + " alpha beta gamma delta epsilon"),
+         (2, boiler + " alpha beta gamma delta zeta"),
+         (3, boiler + " one two three four five")],
+        [(5, boiler + " alpha beta gamma delta omega"),
+         (6, "fresh unrelated words entirely here"),
+         (7, boiler + " six seven eight nine ten")],
+    ]
+    results = {}
+    for tag, src, kw in (
+        ("plain", src_a, {}),
+        ("demoted", src_b, {"demote_hot_df": 0.3}),
+    ):
+        os.makedirs(src)
+        corpus = str(tmp_path / f"{tag}_corpus")
+        ckpt = str(tmp_path / f"{tag}_ckpt")
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            st.neardup_ingest(
+                spark.readStream.format("parquet").schema(schema).load(src),
+                corpus, ckpt, threshold=0.5, shingle_size=2, **kw,
+            )
+        results[tag] = {
+            (r.doc_id, r.text) for r in spark.read.parquet(corpus).collect()
+        }
+    assert results["plain"] == results["demoted"]
+    assert {d for d, _ in results["plain"]} == {1, 3, 6, 7}

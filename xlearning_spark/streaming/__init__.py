@@ -374,6 +374,7 @@ def neardup_ingest(
     text_col: str = "text",
     threshold: float = 0.5,
     shingle_size: int = 5,
+    demote_hot_df: float | None = None,
 ) -> list[int]:
     """Streaming near-dup ingest (L2 x T, the last batch-only gap in
     the LLM tier): every landed micro-batch is near-dup checked against
@@ -440,6 +441,10 @@ def neardup_ingest(
             threshold=threshold,
             shingle_size=shingle_size,
             delta_ids=batch.select(id_col),
+            # Organic-skew knob passed through: boilerplate-heavy
+            # corpora demote hot shingles out of prefixes (lossless —
+            # see ngram_jaccard_pairs / SCALE.md organic-skew probe).
+            demote_hot_df=demote_hot_df,
         ).select("id_a", "id_b")
         comps = connected_components(pairs)  # (id, component)
         rank = pool.select(F.col(id_col).alias("id"), "__corpus")
