@@ -959,3 +959,36 @@ def test_ann_recall_monotone_and_exhaustive(spark):
         last = rec
     assert last == 1.0  # shortlist >= corpus re-ranks everything exactly
     pq.unpersist()
+
+
+def test_ivf_index_round_trips_through_storage(spark, tmp_path, monkeypatch):
+    # Persistence parity with the PQ index: a saved IVF index reloads
+    # with identical centroids and cells and probes identically, with
+    # KMeans poisoned after save (no refit on load).
+    from pyspark.ml.clustering import KMeans
+
+    from xlearning_spark.operators import similarity as sim
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    built = sim.build_ivf_index(emb, id_col="vec_id", n_cells=8)
+    want = {
+        (r.qid, r.cid)
+        for r in sim.ivf_probe(built, q, id_col="vec_id", k=5, n_probe=4).collect()
+    }
+    path = str(tmp_path / "ivf_index")
+    sim.save_ivf_index(built, path)
+
+    def boom(self, *a, **kw):
+        raise AssertionError("load must not refit KMeans")
+
+    monkeypatch.setattr(KMeans, "fit", boom)
+    loaded = sim.load_ivf_index(spark, path)
+    assert loaded.centroids == built.centroids
+    got = {
+        (r.qid, r.cid)
+        for r in sim.ivf_probe(loaded, q, id_col="vec_id", k=5, n_probe=4).collect()
+    }
+    assert got == want and got
+    built.unpersist()
+    loaded.unpersist()

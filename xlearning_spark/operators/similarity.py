@@ -855,3 +855,29 @@ def load_pq_index(spark, path: str, cache: bool = True) -> PqIndex:
     if cache:
         codes = codes.persist()
     return PqIndex(codes, codebooks)
+
+
+def save_ivf_index(index: IvfIndex, path: str) -> None:
+    """Persist a built IVF index (persistence parity with
+    :func:`save_pq_index`): the inverted file as parquet
+    (``<path>/cells``), the bounded centroid table as
+    ``(cell, centroid)`` rows (``<path>/centroids``) — schema'd
+    parquet through the Spark writers, so a later job can
+    :func:`load_ivf_index` and probe without refitting KMeans."""
+    spark = index.cells.sparkSession
+    index.cells.write.mode("overwrite").parquet(path + "/cells")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(index.centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def load_ivf_index(spark, path: str, cache: bool = True) -> IvfIndex:
+    """Load a :func:`save_ivf_index` index — no KMeans fit; the build
+    cost is paid once per corpus version, across sessions and jobs."""
+    cent = spark.read.parquet(path + "/centroids").orderBy("cell").collect()
+    centroids = [list(r["centroid"]) for r in cent]
+    cells = spark.read.parquet(path + "/cells")
+    if cache:
+        cells = cells.persist()
+    return IvfIndex(cells, centroids)
