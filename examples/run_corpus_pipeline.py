@@ -38,9 +38,11 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
         temperature_source_sample,
         weighted_source_sample,
     )
-    from xlearning_spark.operators.dedup import connected_components
+    from xlearning_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
     from xlearning_spark.operators.text import lm_bigram_scores
-    from xlearning_spark.queries.llm import q42_jaccard_pairs
     from xlearning_spark.sources import read_table
 
     docs = read_table(spark, sf_dir, "documents")
@@ -97,7 +99,13 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
     mixed = flags.filter("pass_len").select(*mixed.columns)
 
     # 4. near-dup sweep: drop every non-keeper member of a dup group.
-    pairs = q42_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    # The q83 composition — the sub-quadratic prefix-filtered generator
+    # (never all-pairs; q42's block-quadratic generator exists only as
+    # the oracle twin; demote_hot_df is the knob for boilerplate-heavy
+    # corpora — SCALE.md organic-skew probe).
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b"
+    )
     comps = connected_components(pairs)
     losers = comps.filter(F.col("id") != F.col("component")).select("id")
     swept = mixed.join(F.broadcast(losers), mixed.doc_id == losers.id, "left_anti")
