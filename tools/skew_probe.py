@@ -222,6 +222,59 @@ def main() -> None:
         cells = []
     else:
         cells = [(f, p_main) for f in factors] + [(8, p) for p in psweep]
+
+    # ---- hot-BAND probe (--hotband): p of docs are EXACT duplicates of
+    # one string — every band bucket for that text holds p*N docs, the
+    # degenerate case max_bucket exists for. Measures banding under the
+    # cap and the recommended composition (exact_dedup FIRST collapses
+    # the identical cluster so banding never sees it).
+    if "--hotband" in sys.argv:
+        from pyspark.sql import functions as F
+
+        from xlearning_spark.operators.dedup import (
+            exact_dedup,
+            minhash_candidate_pairs,
+            minhash_signatures,
+        )
+        from xlearning_spark.sources import read_table
+
+        for factor in (4, 8):
+            d = build_skewed(spark, factor, 0.0)
+            docs = read_table(spark, d, "documents")
+            hot = (
+                "identical boilerplate document body repeated verbatim "
+                "across the corpus exactly as license files are"
+            )
+            docs = docs.withColumn(
+                "text",
+                F.when(F.pmod("doc_id", F.lit(100)) < 30, F.lit(hot)).otherwise(
+                    F.col("text")
+                ),
+            ).persist()
+            n = docs.count()
+            cell = {"n_docs": n}
+            for cap in (1000, 64):
+                t0 = time.time()
+                sigs = minhash_signatures(docs, "doc_id", "text")
+                cand = minhash_candidate_pairs(
+                    sigs, "doc_id", max_bucket=cap
+                ).count()
+                cell[f"cand_cap{cap}"] = cand
+                cell[f"sec_cap{cap}"] = round(time.time() - t0, 3)
+            # Recommended composition: exact_dedup first — the identical
+            # cluster collapses to one survivor before any banding.
+            t0 = time.time()
+            survivors = exact_dedup(docs, ["text"], "doc_id")
+            cand = minhash_candidate_pairs(
+                minhash_signatures(survivors, "doc_id", "text"), "doc_id"
+            ).count()
+            cell["cand_after_exact_dedup"] = cand
+            cell["sec_exact_then_band"] = round(time.time() - t0, 3)
+            docs.unpersist()
+            results[f"hotband_x{factor}"] = cell
+            json.dump(results, open(sidecar, "w"), indent=1, sort_keys=True)
+            print(f"hotband_x{factor}", cell, flush=True)
+        cells = []
     for factor, p in cells:
         tag = f"x{factor}_p{int(p * 100)}"
         d = build_skewed(spark, factor, p)
@@ -280,12 +333,44 @@ def main() -> None:
     ]
     for tag in sorted(results):
         c = results[tag]
+        if "jaccard_hash_order_sec" not in c:
+            continue
         lines.append(
             f"| {tag} | {c.get('cand_hash_order', '—')} |"
             f" {c.get('cand_demoted', '—')} |"
             f" {c['jaccard_hash_order_sec']} | {c['jaccard_demoted_sec']} |"
             f" {c['minhash_sec']} | {c['spans_sec']} | {c['pairs']} |"
         )
+    hb = {t: c for t, c in results.items() if t.startswith("hotband_")}
+    if hb:
+        lines += [
+            "",
+            "Hot-BAND cell (p=0.3 of docs EXACT duplicates of one string —",
+            "every band bucket for that text holds 30% of the corpus, the",
+            "degenerate case `max_bucket` exists for):",
+            "",
+            "| cell | n_docs | cand cap=1000 | s | cand cap=64 | s | cand after exact_dedup first | s |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for t in sorted(hb):
+            c = hb[t]
+            lines.append(
+                f"| {t} | {c['n_docs']} | {c['cand_cap1000']} |"
+                f" {c['sec_cap1000']} | {c['cand_cap64']} | {c['sec_cap64']} |"
+                f" {c['cand_after_exact_dedup']} | {c['sec_exact_then_band']} |"
+            )
+        lines += [
+            "",
+            "Reading the cells: at 4x the identical cluster (600 docs) is",
+            "below cap=1000, so candidates are the raw quadratic C(600,2);",
+            "at 8x the cluster (1200) EXCEEDS the cap and candidates",
+            "saturate at ~C(1000,2) = 499.5k — bounded from there on no",
+            "matter how the cluster grows. cap=64 bounds it at ~2.1k",
+            "(235x less). The RECOMMENDED composition — exact_dedup first,",
+            "banding on survivors — removes the degenerate cluster",
+            "entirely (56/112 organic candidates left), which is why every",
+            "sweep example runs exact dedup before MinHash.",
+        ]
     lines += [
         "",
         "Findings (round 6):",
