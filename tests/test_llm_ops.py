@@ -992,3 +992,25 @@ def test_ivf_index_round_trips_through_storage(spark, tmp_path, monkeypatch):
     assert got == want and got
     built.unpersist()
     loaded.unpersist()
+
+
+def test_demote_hot_df_implies_materialization(spark):
+    # ADVICE r6: the demotion knob's document-frequency pass (count +
+    # explode/groupBy) must reuse ONE persisted shingle frame even when
+    # the caller opted out of materialization — otherwise tokenization
+    # and shingling re-execute two extra times before the main job.
+    from xlearning_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.createDataFrame(
+        [(i, f"a b c d e f g h token{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    ngram_jaccard_pairs(
+        d, "doc_id", "text", 0.5, materialize=False, demote_hot_df=0.1
+    )
+    assert not cm.isEmpty()  # demotion forced the persist
+    spark.catalog.clearCache()
+    ngram_jaccard_pairs(d, "doc_id", "text", 0.5, materialize=False)
+    assert cm.isEmpty()  # plain opt-out stays pure-lazy

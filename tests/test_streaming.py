@@ -868,3 +868,103 @@ def test_neardup_ingest_demoted_order_same_corpus(spark, tmp_path):
         }
     assert results["plain"] == results["demoted"]
     assert {d for d, _ in results["plain"]} == {1, 3, 6, 7}
+
+
+def test_prune_refuses_mixed_runs(spark, tmp_path):
+    # ADVICE r6: after a checkpoint-RESET restart the new run's version
+    # numbers start over BELOW the dead run's, so number-order pruning
+    # would delete the live run's fresh chain. The guard detects the
+    # mixed state (a lower-numbered version newer on disk than the
+    # highest-numbered one) and refuses.
+    import shutil
+    import time
+
+    state = tmp_path / "state"
+    for i in range(4):
+        spark.createDataFrame([(1,)], "x int").write.parquet(
+            str(state / f"v{i:010d}")
+        )
+    # Simulate the reset restart: the new run rewrote v0/v1, so they
+    # are NEWER than the dead run's v2/v3.
+    now = time.time()
+    for name in ("v0000000000", "v0000000001"):
+        os.utime(str(state / name), (now + 120, now + 120))
+    with pytest.raises(RuntimeError, match="dead run"):
+        st.prune_sketch_versions(spark, str(state), keep=2)
+    # All four version dirs intact — the guard deleted nothing.
+    assert len([p for p in state.iterdir() if p.name.startswith("v")]) == 4
+    # Recovery per the docstring: drop the dead run's dirs, then prune.
+    for name in ("v0000000002", "v0000000003"):
+        shutil.rmtree(str(state / name))
+    assert st.prune_sketch_versions(spark, str(state), keep=2) == []
+    assert st.prune_sketch_versions(spark, str(state), keep=1)
+    assert [p.name for p in state.iterdir()] == ["v0000000001"]
+
+
+def test_compact_refuses_live_ingest(spark, tmp_path):
+    # Compaction's swap is non-atomic w.r.t. a concurrent ingest read
+    # (ADVICE r6): a live stream on the same registry must make
+    # compact_excise_registry refuse up front.
+    state = str(tmp_path / "state")
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "1")
+        .load()
+        .writeStream.format("noop")
+        .queryName(st._excise_query_name(state))
+        .start()
+    )
+    try:
+        with pytest.raises(RuntimeError, match="offline-only"):
+            st.compact_excise_registry(spark, state)
+    finally:
+        q.stop()
+    # Stream stopped -> compaction proceeds (nothing to fold -> None).
+    assert st.compact_excise_registry(spark, state) is None
+
+
+def test_finish_compaction_raises_on_failed_rename(spark, tmp_path, monkeypatch):
+    # Hadoop rename signals failure via a false RETURN, not an
+    # exception (ADVICE r6): a failed swap must be loud, because the
+    # folded partitions are already deleted and only the committed
+    # staging dir can complete the registry.
+    state = tmp_path / "state"
+    for bid, rows in ((0, [(11, 2)]), (1, [(22, 1)])):
+        spark.createDataFrame(rows, "__h bigint, __nd bigint").write.parquet(
+            str(state / f"batch={bid}")
+        )
+    staging = state / ".compact_staging"
+    spark.createDataFrame(
+        [(11, 2), (22, 1)], "__h bigint, __nd bigint"
+    ).write.parquet(str(staging))
+    (staging / "_UPTO").write_text("1")
+    (staging / "_COMMITTED_COMPACTION").touch()
+
+    class FailingRenameFS:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, *a):
+            return False
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    real = st._fs_for
+
+    def wrapped(sp, path):
+        fs, jvm = real(sp, path)
+        return FailingRenameFS(fs), jvm
+
+    monkeypatch.setattr(st, "_fs_for", wrapped)
+    with pytest.raises(IOError, match="returned false"):
+        st._finish_compaction(spark, str(state))
+    monkeypatch.undo()
+    # The committed staging dir survived the failed swap; a retry with
+    # a healthy filesystem completes it exactly once.
+    assert st._finish_compaction(spark, str(state))
+    got = {
+        (r["__h"], r["__nd"])
+        for r in spark.read.parquet(str(state / "batch=-1")).collect()
+    }
+    assert got == {(11, 2), (22, 1)}

@@ -257,7 +257,12 @@ def ngram_jaccard_pairs(
     the sf0.1 documents fixture, local[32]). The persisted frame is
     left for Spark's LRU cache manager to evict; pass
     ``materialize=False`` for a pure-lazy plan (e.g. composing into a
-    larger pipeline that persists on its own terms).
+    larger pipeline that persists on its own terms). Exception:
+    ``demote_hot_df`` IMPLIES materialization regardless — its document-
+    frequency pass runs ``count()`` plus an explode/groupBy over the
+    shingle frame before the main job, which without the persist would
+    re-execute tokenization+shingling two extra times (exactly the
+    recomputation this knob exists to avoid paying at scale).
 
     The reference has no similarity operators at all; this tier is the
     engine's LLM-data extension (SURVEY.md §2.12 L2).
@@ -300,7 +305,10 @@ def ngram_jaccard_pairs(
         )
         .withColumn("__m", F.size("__sh"))
     )
-    if materialize:
+    # demote_hot_df implies materialization: its df pass (count +
+    # explode/groupBy) and the main prefix/verify branches must reuse
+    # one computed shingle frame, not re-tokenize per branch.
+    if materialize or demote_hot_df is not None:
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
     prefix_len = (
         F.col("__m") - F.ceil(F.col("__m") * F.lit(threshold)) + 1

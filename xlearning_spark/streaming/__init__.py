@@ -856,6 +856,10 @@ def excise_ingest(
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
+        # Named after the state dir so offline maintenance
+        # (compact_excise_registry) can detect — and refuse to run
+        # concurrently with — a live ingest on the same registry.
+        .queryName(_excise_query_name(state_dir))
         .start()
     )
     q.awaitTermination()
@@ -877,6 +881,13 @@ def _fs_for(spark, path: str):
     jvm = spark.sparkContext._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jvm
+
+
+def _excise_query_name(state_dir: str) -> str:
+    """Stream name :func:`excise_ingest` registers for a registry dir —
+    the handle :func:`compact_excise_registry` uses to refuse running
+    concurrently with a live ingest on the same state."""
+    return f"excise_ingest:{state_dir.rstrip('/')}"
 
 
 def _finish_compaction(spark, state_dir: str) -> bool:
@@ -918,10 +929,24 @@ def _finish_compaction(spark, state_dir: str) -> bool:
             continue
         if bid <= upto:
             fs.delete(st_.getPath(), True)
-    fs.rename(
+    # Hadoop FileSystem.rename reports failure by returning FALSE, not
+    # by raising — an unchecked failed swap here would leave the folded
+    # partitions deleted and the merged base invisible inside
+    # .compact_staging, a silent under-count window until some later
+    # recovery call happened to succeed (ADVICE r6). Raise loudly; the
+    # committed staging dir survives, so retrying this function (or the
+    # next excise_ingest start) completes the swap.
+    if not fs.rename(
         jvm.org.apache.hadoop.fs.Path(staging),
         jvm.org.apache.hadoop.fs.Path(os.path.join(state_dir, "batch=-1")),
-    )
+    ):
+        raise IOError(
+            f"compaction swap failed: rename({staging!r} -> "
+            f"{os.path.join(state_dir, 'batch=-1')!r}) returned false; "
+            "the committed staging dir is intact — re-run "
+            "compact_excise_registry (or restart the ingest stream) to "
+            "complete the swap"
+        )
     return True
 
 
@@ -953,6 +978,16 @@ def compact_excise_registry(
     after it is completed idempotently by :func:`_finish_compaction`,
     which both this function and :func:`excise_ingest` run first.
 
+    OFFLINE-ONLY: must not run while an :func:`excise_ingest` stream on
+    this ``state_dir`` is live — a micro-batch that reads the registry
+    between the swap's deletes and its rename would sum an incomplete
+    registry and under-excise. The crash path is safe (marker +
+    :func:`_finish_compaction`); the concurrency path is not. Guarded:
+    this function raises if the session has an active streaming query
+    named for this registry (the name :func:`excise_ingest` registers);
+    an ingest running in a DIFFERENT SparkSession or process cannot be
+    detected — the offline-only contract is the caller's to keep there.
+
     Returns the folded-through batch id, or None if there was nothing
     to compact.
     """
@@ -960,6 +995,15 @@ def compact_excise_registry(
 
     from pyspark.sql import functions as F
 
+    want = _excise_query_name(state_dir)
+    for aq in spark.streams.active:
+        if aq.name == want:
+            raise RuntimeError(
+                f"compact_excise_registry({state_dir!r}) refused: "
+                f"streaming query {want!r} is active on this registry — "
+                "compaction is offline-only (stop or drain the ingest "
+                "first)"
+            )
     _finish_compaction(spark, state_dir)
     fs, jvm = _fs_for(spark, state_dir)
     glob = jvm.org.apache.hadoop.fs.Path(os.path.join(state_dir, "batch=*"))
@@ -1017,6 +1061,19 @@ def prune_sketch_versions(spark, state_dir: str, keep: int = 2) -> list[str]:
     version strictly below it (``_latest_state_below``) — pruning that
     predecessor would strand the replay. ``keep=1`` is valid only for
     a fully-drained stream. Returns the deleted paths.
+
+    RESTART CAVEAT (ADVICE r6): after a checkpoint-RESET restart (the
+    stale-window case the CMS/HLL docstrings describe) the new run's
+    batch ids — and therefore its ``v{N}`` numbers — start over below
+    the old run's, so "newest N by version number" would keep the DEAD
+    run's versions and delete the live run's entire fresh chain,
+    including the predecessor a crash-replayed batch rebuilds from.
+    Guarded: versions written by one run are modified in version order,
+    so a lower-numbered directory that is NEWER on disk than the
+    highest-numbered one means two runs share the state dir — this
+    function then refuses to prune. Recover by deleting the dead run's
+    ``v*`` directories manually (they are point-in-time snapshots; the
+    live run never reads them), then prune.
     """
     if keep < 1:
         raise ValueError("keep must be >= 1")
@@ -1027,10 +1084,31 @@ def prune_sketch_versions(spark, state_dir: str, keep: int = 2) -> list[str]:
     statuses = fs.globStatus(path)
     if not statuses:
         return []
-    dirs = sorted(
-        st.getPath().toString() for st in statuses if st.isDirectory()
-    )
-    doomed = dirs[:-keep] if keep < len(dirs) else []
+    vers = []  # (version number, mtime, path string)
+    for st in statuses:
+        if not st.isDirectory():
+            continue
+        p = st.getPath().toString()
+        try:
+            n = int(p.rsplit("/v", 1)[1])
+        except ValueError:
+            continue
+        vers.append((n, st.getModificationTime(), p))
+    vers.sort()  # numeric version order, not lexical
+    if not vers:
+        return []
+    top_mtime = vers[-1][1]
+    stale = [n for n, mt, _ in vers[:-1] if mt > top_mtime]
+    if stale:
+        raise RuntimeError(
+            f"prune_sketch_versions({state_dir!r}) refused: versions "
+            f"{stale} are newer on disk than the highest-numbered "
+            f"version v{vers[-1][0]} — the state dir mixes a dead run "
+            "with a restarted (checkpoint-reset) run, and number-order "
+            "pruning would delete the live run's chain. Delete the dead "
+            "run's v* directories manually, then prune."
+        )
+    doomed = [p for _, _, p in vers[:-keep]] if keep < len(vers) else []
     for d in doomed:
         fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
     return doomed
