@@ -1014,3 +1014,39 @@ def test_demote_hot_df_implies_materialization(spark):
     spark.catalog.clearCache()
     ngram_jaccard_pairs(d, "doc_id", "text", 0.5, materialize=False)
     assert cm.isEmpty()  # plain opt-out stays pure-lazy
+
+
+def test_sq8_recall_and_code_invariance(spark):
+    # SQ8 shortlist+rescore must track brute force closely (8-bit
+    # per-dim quantization is nearly lossless for cosine ranking), and
+    # the coded index must be identical under any partitioning.
+    from xlearning_spark.operators.similarity import (
+        brute_force_topk,
+        build_sq8_index,
+        sq8_topk,
+    )
+    from xlearning_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.qid, r.cid)
+        for r in brute_force_topk(emb, queries, id_col="vec_id", k=5).collect()
+    }
+    idx = build_sq8_index(emb.repartition(7), id_col="vec_id")
+    got = {
+        (r.qid, r.cid)
+        for r in sq8_topk(idx, emb, queries, id_col="vec_id", k=5,
+                          shortlist=32).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, recall
+    # codes are a pure function of the data, not the partitioning
+    idx2 = build_sq8_index(emb.coalesce(1), id_col="vec_id")
+    c1 = {(r.cid, tuple(r.codes)) for r in idx.codes.collect()}
+    c2 = {(r.cid, tuple(r.codes)) for r in idx2.codes.collect()}
+    assert c1 == c2
+    # every code fits int8's unsigned range
+    assert all(0 <= c <= 255 for _, cs in c1 for c in cs)
+    idx.unpersist()
+    idx2.unpersist()

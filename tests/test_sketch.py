@@ -257,3 +257,75 @@ def test_hll_linear_counting_small_range(spark):
     r = hll_distinct(big, "v", p=4).collect()[0][0]  # n >> 2.5m = 40
     c = hll_distinct(big, "v", p=4, linear_counting=True).collect()[0][0]
     assert r == c
+
+
+def test_bloom_no_false_negatives_and_partition_invariance(spark):
+    # Every build key must probe true (one-sided error), and the bit
+    # set must be identical under any partitioning (OR idempotence).
+    from xlearning_spark.operators.sketch import bloom_bits, bloom_might_contain
+
+    build = spark.createDataFrame([(f"k{i}",) for i in range(200)], "key string")
+    bits_1 = bloom_bits(build.coalesce(1), "key", m_bits=1024, k=3)
+    bits_8 = bloom_bits(build.repartition(8), "key", m_bits=1024, k=3)
+    assert {r["__bit"] for r in bits_1.collect()} == {
+        r["__bit"] for r in bits_8.collect()
+    }
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(400)], "key string"
+    )
+    got = {
+        r.key: r.bloom_hit
+        for r in bloom_might_contain(bits_8, probes, "key", 1024, 3).collect()
+    }
+    assert all(got[f"k{i}"] for i in range(200))  # no false negatives
+    # tight filter -> SOME false positives live, but not all non-members
+    fps = [i for i in range(200, 400) if got[f"k{i}"]]
+    assert 0 < len(fps) < 200
+
+
+def test_bloom_union_is_distinct_union(spark):
+    from xlearning_spark.operators.sketch import bloom_bits
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "key string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "key string")
+    u = a.unionByName(b)
+    bits_u = {r["__bit"] for r in bloom_bits(u, "key", 512, 3).collect()}
+    bits_ab = {
+        r["__bit"]
+        for r in bloom_bits(a, "key", 512, 3)
+        .unionByName(bloom_bits(b, "key", 512, 3))
+        .distinct()
+        .collect()
+    }
+    assert bits_u == bits_ab
+
+
+def test_heavy_hitters_exact_on_skewed_large_domain(spark):
+    # 10k distinct tail values + a few planted heavy keys: the MG
+    # candidate pass must never lose a true heavy hitter, and the
+    # final set must be EXACTLY {x : freq(x) * k > N} with exact
+    # counts — independent of partitioning.
+    import random
+
+    from xlearning_spark.operators.sketch import heavy_hitters
+
+    rng = random.Random(11)
+    rows = [(f"hot{j}",) for j in range(3) for _ in range(4000)]
+    rows += [(f"warm{j}",) for j in range(4) for _ in range(900)]
+    rows += [(f"tail{i}",) for i in range(10000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "v string")
+    n = len(rows)
+    k = 20  # threshold n/20 = 1280: hot (4000) pass, warm (900) + tail miss
+    from collections import Counter
+
+    truth = {
+        (v, c) for v, c in Counter(r[0] for r in rows).items() if c * k > n
+    }
+    for parts in (1, 16):
+        got = {
+            (r.v, r.freq)
+            for r in heavy_hitters(df.repartition(parts), "v", k=k).collect()
+        }
+        assert got == truth
+    assert len(truth) == 3  # the planted hot keys, exactly

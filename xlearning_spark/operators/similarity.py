@@ -881,3 +881,163 @@ def load_ivf_index(spark, path: str, cache: bool = True) -> IvfIndex:
     if cache:
         cells = cells.persist()
     return IvfIndex(cells, centroids)
+
+
+# ------------------------------------------------------------ scalar
+# quantization (SQ8): the remaining standard ANN compression rung
+# between raw floats (brute force) and product quantization — one
+# int8 code per DIMENSION (8x smaller than float64), dequantized
+# per-dimension for approximate scoring, exact rescore on the
+# shortlist. Unlike PQ there is nothing learned beyond per-dimension
+# min/max, so the whole pipeline is closed-form and DETERMINISTIC —
+# which makes SQ8 the one ANN family whose approximate scores can be
+# hash-certified against an independent engine (q114): both engines
+# floor the same affine map and sum the same dequantized products in
+# index order.
+
+
+class Sq8Index:
+    """A built SQ8 index: the coded corpus + per-dimension ranges.
+
+    ``codes`` is ``(cid, codes array<int>)`` — the persistable 8x-
+    compressed artifact an ANN service would keep hot; ``mns``/``mxs``
+    are the ``dim`` per-dimension bounds (bounded driver state, like
+    the PQ codebooks). At 100 TB the build is one min/max aggregate
+    pass + one map-side encode; approximate scoring scans codes only,
+    and raw vectors are fetched just for the shortlist rescore.
+    """
+
+    def __init__(self, codes: DataFrame, mns: list[float], mxs: list[float]):
+        self.codes = codes
+        self.mns = mns
+        self.mxs = mxs
+
+    def unpersist(self) -> None:
+        self.codes.unpersist()
+
+
+def _sq8_deq(codes_col, mn_arr, mx_arr):
+    """Dequantized array<double>: mn + code * (mx - mn) / 255."""
+    return F.transform(
+        codes_col,
+        lambda c, i: F.element_at(mn_arr, i + 1)
+        + c.cast("double")
+        * (F.element_at(mx_arr, i + 1) - F.element_at(mn_arr, i + 1))
+        / F.lit(255.0),
+    )
+
+
+def build_sq8_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache: bool = True,
+) -> Sq8Index:
+    """Train (per-dimension min/max) + encode in two distributed
+    passes. The min/max table is ``dim`` rows — a bounded collect
+    (same discipline as the PQ codebook sample); the encode is
+    map-side against the broadcast-literal bounds:
+    ``code_d = floor((x_d - mn_d) / (mx_d - mn_d) * 255 + 0.5)``
+    (constant dimensions encode as 0). Codes are exact integers, so
+    the index is partition- and replay-invariant by construction.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    stats = (
+        c.select(F.posexplode("cv").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("d")
+        .collect()
+    )
+    mns = [r.mn for r in stats]
+    mxs = [r.mx for r in stats]
+    mn_arr = F.array(*[F.lit(v) for v in mns])
+    mx_arr = F.array(*[F.lit(v) for v in mxs])
+    enc = F.transform(
+        "cv",
+        lambda x, i: F.when(
+            F.element_at(mx_arr, i + 1) == F.element_at(mn_arr, i + 1),
+            F.lit(0).cast("int"),
+        ).otherwise(
+            F.floor(
+                (x - F.element_at(mn_arr, i + 1))
+                / (F.element_at(mx_arr, i + 1) - F.element_at(mn_arr, i + 1))
+                * F.lit(255.0)
+                + F.lit(0.5)
+            ).cast("int")
+        ),
+    )
+    codes = c.select("cid", enc.alias("codes"))
+    if cache:
+        codes = codes.persist()
+    return Sq8Index(codes, mns, mxs)
+
+
+def sq8_topk(
+    index: Sq8Index,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 32,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: ADC over dequantized codes -> per-query
+    ``shortlist`` by approximate cosine -> EXACT cosine rescore of the
+    shortlist only -> top ``k``. Output ``(qid, cid, cosine)`` with
+    exact cosines.
+
+    Shape: queries broadcast against the codes frame (the corpus's raw
+    vectors are touched only by the shortlist-sized rescore join);
+    both rankings tie-break on cid, so results are deterministic.
+    """
+    mn_arr = F.array(*[F.lit(v) for v in index.mns])
+    mx_arr = F.array(*[F.lit(v) for v in index.mxs])
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    deq = _sq8_deq(F.col("codes"), mn_arr, mx_arr)
+    scored = index.codes.withColumn("dv", deq).crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.filter(F.col("qid") != F.col("cid"))
+    approx = scored.select(
+        "qid",
+        "cid",
+        (
+            _dot(F.col("dv"), F.col("qv"))
+            / (_norm(F.col("dv")) * _norm(F.col("qv")))
+        ).alias("approx"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("approx"), "cid")
+    short = (
+        approx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select("qid", "cid")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    exact = (
+        short.join(cv, "cid")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "cid",
+            (
+                _dot(F.col("cv"), F.col("qv"))
+                / (_norm(F.col("cv")) * _norm(F.col("qv")))
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

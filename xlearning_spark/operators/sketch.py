@@ -718,3 +718,222 @@ __hit AS (
 SELECT term, MIN(cnt)::BIGINT AS {out_col}
 FROM __hit GROUP BY term
 )"""
+
+
+# ---------------------------------------------------------------- Bloom
+# filter (portable): the fifth hash-certified sketch family beside HLL
+# (cardinality), MinHash-LSH (set similarity), SimHash (cosine) and CMS
+# (point frequency) — set MEMBERSHIP with one-sided error. The bit set
+# is a pure function of the distinct build keys (OR is idempotent +
+# commutative), so the sketch is partition- and replay-safe by
+# construction, and an independent engine replaying the same hash math
+# derives the identical bits — which makes even the FALSE POSITIVES
+# certifiable. Spark's native BloomFilterAggregate (used by the runtime
+# bloom semi-join reduction in tests/test_skew_and_io.py) can never be
+# cross-checked like this; this portable twin certifies the machinery.
+
+
+def _bloom_coeffs(k: int, seed: int = 0xB100F) -> list[tuple[int, int]]:
+    """LCG-derived universal-hash rows (same replay trick as
+    :func:`_cms_coeffs`, independent seed stream)."""
+    coeffs = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(k):
+        x = (6364136223846793005 * x + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        a = (x >> 16) % (MINHASH_P - 1) + 1
+        x = (6364136223846793005 * x + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        b = (x >> 16) % MINHASH_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def _bloom_idx_exprs(k: int, m_bits: int) -> list:
+    """``k`` bit-position columns for a ``__ht`` key-hash column."""
+    return [
+        F.pmod(F.lit(a).cast("long") * F.col("__ht") + F.lit(b), F.lit(MINHASH_P))
+        % F.lit(m_bits)
+        for (a, b) in _bloom_coeffs(k)
+    ]
+
+
+def bloom_bits(
+    df: DataFrame, col: str, m_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """Build a Bloom filter over ``col`` as a one-column DataFrame of
+    the DISTINCT set bit positions ``__bit`` — at most ``m_bits`` rows
+    whatever the input size (Bloom 1970's structure in relational
+    form: the bit array is sparse-encoded as the set of 1-positions).
+
+    100 TB shape: one map pass (hash + k position columns, one
+    explode), one DISTINCT bounded at m_bits rows. Bits OR
+    idempotently, so unions of filters are just ``union().distinct()``
+    and replayed builds land on the identical set — no exactly-once
+    bookkeeping needed (contrast the CMS's additive registers).
+    """
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .withColumn("__ht", _tok_hash_col(col))
+        .select(F.explode(F.array(*_bloom_idx_exprs(k, m_bits))).alias("__bit"))
+    )
+    return rows.distinct()
+
+
+def bloom_might_contain(
+    bits: DataFrame,
+    probes: DataFrame,
+    col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Membership verdict for every probe row: true iff ALL ``k`` bit
+    positions of the probe key are set — the classic no-false-negative
+    / bounded-false-positive contract (FP rate ~ (1 - e^{-kn/m})^k).
+
+    Shape: probe fans out to ``k`` rows, left-joins the bounded bit
+    table (broadcast when small), one all-hits aggregate per probe.
+    The build side is never rescanned.
+    """
+    p = (
+        probes.filter(F.col(col).isNotNull())
+        .withColumn("__ht", _tok_hash_col(col))
+        .select(
+            col,
+            F.explode(F.array(*_bloom_idx_exprs(k, m_bits))).alias("__bit"),
+        )
+    )
+    marked = p.join(
+        bits.withColumn("__set", F.lit(1)), "__bit", "left"
+    ).select(col, F.coalesce("__set", F.lit(0)).alias("__set"))
+    return marked.groupBy(col).agg(
+        (F.min("__set") == 1).alias(out_col)
+    )
+
+
+def bloom_oracle_sql(
+    build_expr: str,
+    build_from: str,
+    probe_expr: str,
+    probe_from: str,
+    m_bits: int = 4096,
+    k: int = 3,
+    out_col: str = "bloom_hit",
+) -> str:
+    """DuckDB replay of build + probe: identical md5 key hash, LCG
+    coefficients and position math, independent engine. Returns a
+    parenthesized subquery with columns ``(key, {out_col})`` where
+    ``key`` is the probe expression's value as VARCHAR.
+    """
+    coeffs = _bloom_coeffs(k)
+    values = ", ".join(f"({a}, {b})" for (a, b) in coeffs)
+    return f"""(
+WITH __bc(a, b) AS (VALUES {values}),
+__bh AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(({build_expr}) AS VARCHAR)), 1, 15))::UBIGINT
+             % {MINHASH_P} AS h
+  FROM {build_from} WHERE ({build_expr}) IS NOT NULL
+),
+__bits AS (
+  SELECT DISTINCT (__bc.a * __bh.h + __bc.b) % {MINHASH_P} % {m_bits} AS bit
+  FROM __bh CROSS JOIN __bc
+),
+__ph AS (
+  SELECT DISTINCT CAST(({probe_expr}) AS VARCHAR) AS key,
+         ('0x' || substr(md5(CAST(({probe_expr}) AS VARCHAR)), 1, 15))::UBIGINT
+             % {MINHASH_P} AS h
+  FROM {probe_from} WHERE ({probe_expr}) IS NOT NULL
+)
+SELECT p.key,
+       BOOL_AND(EXISTS (SELECT 1 FROM __bits t
+                        WHERE t.bit = (c.a * p.h + c.b) % {MINHASH_P} % {m_bits}))
+           AS {out_col}
+FROM __ph p CROSS JOIN __bc c
+GROUP BY p.key
+)"""
+
+
+# ---------------------------------------------------------- heavy
+# hitters: Misra-Gries candidate pruning + exact recount. The final
+# answer is EXACTLY the set {x : freq(x) * k > N} — deterministic and
+# oracle-checkable (GROUP BY ... HAVING COUNT(*)*k > (SELECT COUNT(*)))
+# — while the distributed work is bounded by the sketch: the MG
+# summary (Misra & Gries 1982; the "frequent" algorithm) guarantees
+# every item with local share > 1/(k+1) survives a partition's k
+# counters, and any item with GLOBAL share > 1/k must have local share
+# > 1/k > 1/(k+1) in at least one partition (average argument), so the
+# candidate union is a provable superset of the true heavy hitters.
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
+    """Items of ``col`` with frequency strictly greater than ``N/k``
+    (``N`` = non-null row count), with exact counts: columns
+    ``(col, freq)``. Keys are compared as strings (the summary's
+    Arrow schema is string-typed); cast back outside if needed.
+
+    Three bounded stages, never an all-values shuffle of rare items
+    into the final filter:
+
+    1. per-partition Misra-Gries with ``k`` counters (``mapInPandas``
+       — Arrow-batched, the documented custom-operator path for
+       imperative per-partition logic) emits at most ``k`` candidate
+       values + one partition row-count row per partition;
+    2. the candidate set (<= k * n_partitions values, a provable
+       superset of every global heavy hitter) is DISTINCTed and
+       semi-joins the input — one broadcastable filter — before the
+       exact groupBy recount;
+    3. the recount filters ``freq * k > N`` in INTEGER math (no
+       division, no float threshold), so the output is bit-exact.
+
+    ``N`` reaches the driver as one long (bounded collect, documented —
+    same discipline as the PQ codebook sample). 100 TB: stage 1 is
+    map-only; stage 2 shuffles only candidate-matching rows.
+    """
+    import pandas as pd
+
+    src = df.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("string").alias("__v")
+    )
+
+    def mg(batches):
+        # Mergeable-summaries form of MG (Agarwal et al., PODS'12):
+        # add each Arrow batch's exact value_counts into the summary,
+        # then reduce to k counters by subtracting the (k+1)-th largest
+        # count from all and dropping non-positives — same error bound
+        # (<= n_p/(k+1)), vectorized instead of per-row.
+        counters: dict = {}
+        total = 0
+        for pdf in batches:
+            vc = pdf["__v"].value_counts()
+            total += int(vc.sum())
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    key: c - cut for key, c in counters.items() if c > cut
+                }
+        yield pd.DataFrame(
+            {
+                "__cand": list(counters.keys()) + [None],
+                "__n": [0] * len(counters) + [total],
+            }
+        )
+
+    summary = src.mapInPandas(mg, schema="__cand string, __n long")
+    summary = summary.persist()
+    n_total = summary.agg(F.sum("__n")).collect()[0][0] or 0
+    cands = (
+        summary.filter(F.col("__cand").isNotNull())
+        .select("__cand")
+        .distinct()
+    )
+    out = (
+        src.join(cands, src["__v"] == cands["__cand"], "semi")
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * F.lit(k) > F.lit(n_total))
+        .select(F.col("__v").alias(col), "freq")
+    )
+    summary.unpersist()
+    return out

@@ -18,7 +18,14 @@ from importlib import import_module
 from xlearning_spark.queries import registry
 
 #: Query modules imported for their @query registration side effects.
-_MODULES = ("relational", "eventsq", "llm", "reference_ops", "corpus")
+_MODULES = (
+    "relational",
+    "eventsq",
+    "llm",
+    "reference_ops",
+    "corpus",
+    "subqueries",
+)
 
 
 def _load_all() -> None:

@@ -1777,3 +1777,168 @@ def q101_demoted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", threshold=0.5, demote_hot_df=0.004, max_hot=256
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 8).alias("jaccard"))
+
+
+def _q112_oracle() -> str:
+    from xlearning_spark.operators.sketch import bloom_oracle_sql
+
+    bl = bloom_oracle_sql(
+        "c_custkey",
+        "(SELECT * FROM customer WHERE c_acctbal > 8000.0) __b",
+        "c_custkey",
+        "customer",
+        m_bits=1024,
+        k=3,
+    )
+    return f"""
+SELECT CAST(t.key AS BIGINT) AS c_custkey, t.bloom_hit,
+       c.c_acctbal > 8000.0 AS exact_member,
+       (t.bloom_hit AND NOT (c.c_acctbal > 8000.0)) AS is_fp
+FROM {bl} t JOIN customer c ON CAST(t.key AS BIGINT) = c.c_custkey
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "q112_portable_bloom",
+    oracle=_q112_oracle(),
+    tags=("llm", "sketch", "bloom", "membership"),
+    doc="Portable Bloom filter (Bloom 1970): set-membership verdicts "
+    "whose VALUES — including the false positives — are hash-certified: "
+    "the DuckDB oracle replays the identical md5 key hash, LCG rows and "
+    "(a*h+b) mod P mod m bit positions and derives the same bit set "
+    "(operators/sketch.bloom_bits/bloom_might_contain). Fifth certified "
+    "sketch family beside HLL/MinHash/SimHash/CMS. m_bits=1024 over ~300 "
+    "build keys is deliberately tight (~19% FP rate) so false positives "
+    "are LIVE in "
+    "the graded output (is_fp=true rows) — the certification covers the "
+    "one-sided-error behavior, not just the exact-member case; bits OR "
+    "idempotently (replay-safe with no exactly-once bookkeeping, cf. "
+    "the CMS's additive registers). The engine's production bloom "
+    "semi-join reduction (Spark BloomFilterAggregate, plan-asserted in "
+    "tests/test_skew_and_io.py) is certified by this portable twin.",
+)
+def q112_portable_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.sketch import bloom_bits, bloom_might_contain
+
+    cust = _t(spark, sf_dir, "customer")
+    build = cust.filter(F.col("c_acctbal") > 8000.0)
+    bits = bloom_bits(build, "c_custkey", m_bits=1024, k=3)
+    hit = bloom_might_contain(
+        bits, cust.select("c_custkey"), "c_custkey", m_bits=1024, k=3
+    )
+    return (
+        hit.join(
+            cust.select(
+                "c_custkey",
+                (F.col("c_acctbal") > 8000.0).alias("exact_member"),
+            ),
+            "c_custkey",
+        )
+        .select(
+            "c_custkey",
+            "bloom_hit",
+            "exact_member",
+            (F.col("bloom_hit") & ~F.col("exact_member")).alias("is_fp"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q113_heavy_hitters",
+    oracle="""
+WITH tok AS (SELECT u.tok AS term
+             FROM documents, unnest(string_split_regex(text, '\\s+')) AS u(tok))
+SELECT term, COUNT(*) AS freq
+FROM tok GROUP BY term
+HAVING COUNT(*) * 30 > (SELECT COUNT(*) FROM tok)
+ORDER BY term
+""",
+    tags=("llm", "L4", "sketch", "heavy-hitters"),
+    doc="Heavy hitters via Misra-Gries candidate pruning + exact "
+    "recount (operators/sketch.heavy_hitters): the final answer is "
+    "EXACTLY {term : freq * k > N} in integer math, so it hash-matches "
+    "a plain GROUP BY ... HAVING oracle — while the distributed work "
+    "is sketch-bounded (per-partition MG summaries via mapInPandas, a "
+    "provable candidate superset, then one semi-join-filtered recount; "
+    "Misra & Gries 1982 / Agarwal et al. PODS'12 merge form). k=30 "
+    "over the ~31-term corpus vocabulary keeps the threshold LIVE in "
+    "the graded output: 16 terms clear N/30, the rest miss it.",
+)
+def q113_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.sketch import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("term"))
+    return heavy_hitters(tok, "term", k=30).orderBy("term")
+
+
+@query(
+    "q114_sq8_ann_topk",
+    oracle="""
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id < 10),
+st AS (SELECT u.i AS d, MIN(cv[u.i]) AS mn, MAX(cv[u.i]) AS mx
+       FROM c, unnest(range(1, 65)) AS u(i) GROUP BY u.i),
+bounds AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM st),
+enc AS (SELECT cid, cv, list_transform(range(1, 65),
+          i -> CASE WHEN b.mxs[i] = b.mns[i] THEN 0
+               ELSE CAST(floor((cv[i] - b.mns[i]) / (b.mxs[i] - b.mns[i])
+                               * 255.0 + 0.5) AS INT) END) AS codes
+        FROM c, bounds b),
+deq AS (SELECT cid, list_transform(range(1, 65),
+          i -> b.mns[i] + CAST(codes[i] AS DOUBLE) * (b.mxs[i] - b.mns[i]) / 255.0)
+            AS dv
+        FROM enc, bounds b),
+ap AS (SELECT qid, cid,
+          list_dot_product(dv, qv)
+            / (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(qv, qv)))
+            AS approx
+       FROM deq, q WHERE qid != cid),
+short AS (SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY approx DESC, cid) AS rn
+            FROM ap) WHERE rn <= 32),
+ex AS (SELECT s.qid, s.cid,
+          list_dot_product(cv, qv)
+            / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+            AS cosine
+       FROM short s JOIN c ON c.cid = s.cid JOIN q ON q.qid = s.qid)
+SELECT qid, cid, ROUND(cosine, 8) AS cosine
+FROM (SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, cid) AS rn
+      FROM ex)
+WHERE rn <= 5
+""",
+    tags=("llm", "L3", "similarity", "sq8", "quantization"),
+    doc="SQ8 scalar-quantization ANN (operators/similarity."
+    "build_sq8_index/sq8_topk) — the compression rung between brute "
+    "force and PQ, and the ONE ANN family whose approximate scores are "
+    "hash-certified, not just recall-gated: per-dimension min/max "
+    "bounds, floor((x-mn)/(mx-mn)*255+0.5) codes, dequantized ADC "
+    "shortlist (32), exact cosine rescore to top-5 — the DuckDB oracle "
+    "replays every stage (same affine map, same index-order float "
+    "sums via list_dot_product, same cid tie-breaks) and must derive "
+    "the identical shortlist and ranking. 100 TB: codes are 8x "
+    "smaller than the raw vectors; only the shortlist join touches "
+    "raw vectors.",
+)
+def q114_sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.similarity import build_sq8_index, sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = build_sq8_index(emb, id_col="vec_id", vec_col="embedding")
+    out = sq8_topk(
+        idx,
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        shortlist=32,
+    )
+    return out.select("qid", "cid", F.round("cosine", 8).alias("cosine"))
