@@ -1,6 +1,6 @@
 """Similarity-search demo over `embeddings`: exact broadcast top-k,
-then the two ANN scale paths (hyperplane LSH, IVF) with their recall
-against the exact answer.
+then the ANN compression/scale ladder (hyperplane LSH, IVF, PQ, SQ8)
+with each rung's recall against the exact answer.
 """
 
 from __future__ import annotations
@@ -18,9 +18,11 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
 
     from xlearning_spark.operators.similarity import (
         brute_force_topk,
+        build_sq8_index,
         ivf_topk,
         lsh_topk,
         pq_topk_oneshot,
+        sq8_topk,
     )
     from xlearning_spark.sources import read_table
 
@@ -37,12 +39,20 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
         (r.qid, r.cid)
         for r in pq_topk_oneshot(emb, queries, k=5, m=8, bits=4).collect()
     }
+    sq_idx = build_sq8_index(emb)
+    sq = {
+        (r.qid, r.cid)
+        for r in sq8_topk(sq_idx, emb, queries, k=5, shortlist=32).collect()
+    }
+    sq_idx.unpersist()
     print(f"exact top-5 pairs: {len(exact)}")
     if exact:
         print(f"LSH recall: {len(exact & lsh) / len(exact):.2f}")
         print(f"IVF recall: {len(exact & ivf) / len(exact):.2f}")
         print(f"PQ  recall: {len(exact & pq) / len(exact):.2f}"
               " (8x4-bit codes, ADC shortlist + exact re-rank)")
+        print(f"SQ8 recall: {len(exact & sq) / len(exact):.2f}"
+              " (per-dim int8 codes — deterministic, hash-certified in q114)")
     else:
         print("no query vectors in this fixture — recall undefined")
 

@@ -1050,3 +1050,40 @@ def test_sq8_recall_and_code_invariance(spark):
     assert all(0 <= c <= 255 for _, cs in c1 for c in cs)
     idx.unpersist()
     idx2.unpersist()
+
+
+def test_sq8_index_persistence_no_refit(spark, tmp_path):
+    # Save/load parity with the PQ/IVF indexes: the loaded index must
+    # answer identically to the built one WITHOUT re-running the
+    # min/max pass (trainer poisoned after save).
+    from xlearning_spark.operators import similarity as sim
+    from xlearning_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    built = sim.build_sq8_index(emb)
+    want = {
+        (r.qid, r.cid, round(r.cosine, 9))
+        for r in sim.sq8_topk(built, emb, queries, k=5).collect()
+    }
+    path = str(tmp_path / "sq8_index")
+    sim.save_sq8_index(built, path)
+    built.unpersist()
+
+    import pytest as _pytest
+
+    def poisoned(*a, **kw):  # pragma: no cover - must never run
+        raise AssertionError("load path must not retrain")
+
+    orig = sim.build_sq8_index
+    sim.build_sq8_index = poisoned
+    try:
+        loaded = sim.load_sq8_index(spark, path)
+        got = {
+            (r.qid, r.cid, round(r.cosine, 9))
+            for r in sim.sq8_topk(loaded, emb, queries, k=5).collect()
+        }
+    finally:
+        sim.build_sq8_index = orig
+    assert got == want and got
+    loaded.unpersist()

@@ -81,6 +81,21 @@ HEADLINE = [
     # query side stays the original bounded set (as for q50), so the
     # ADC scan's candidate volume grows linearly with the corpus.
     "q100_pq_ann_topk",
+    # r7: the decorrelation tier's fact-driven shapes — Q17's
+    # correlated scalar AVG (per-partkey agg rejoined to lineitem),
+    # Q21's EXISTS + NOT EXISTS pair (semi + anti on l_orderkey; pair
+    # volume grows with replicated orders), Q2's correlated MIN over a
+    # join (lineitem x supplier agg pulled up) — plus the MG
+    # heavy-hitter recount over the Caesar-multiplied vocabulary
+    # (candidate set grows ~linearly with replica count here: each
+    # replica's rotated vocab is distinct, the worst case for the
+    # candidate union) and the SQ8 ADC scan whose candidate volume
+    # grows linearly with the embeddings corpus, query side fixed.
+    "q103_small_quantity_revenue",
+    "q104_sole_blame_supplier",
+    "q108_cheapest_supplier_per_part",
+    "q113_heavy_hitters",
+    "q114_sq8_ann_topk",
 ]
 
 #: Per-query extra factors beyond the CLI list: the queries probed

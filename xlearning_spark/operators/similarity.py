@@ -1041,3 +1041,29 @@ def sq8_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def save_sq8_index(index: Sq8Index, path: str) -> None:
+    """Persist a built SQ8 index (persistence parity with
+    :func:`save_pq_index` / :func:`save_ivf_index`): the codes as
+    parquet (``<path>/codes``), the per-dimension bounds as ``(d, mn,
+    mx)`` rows (``<path>/bounds``) — schema'd parquet through the
+    Spark writers, so a later job can :func:`load_sq8_index` and probe
+    without re-running the min/max training pass."""
+    spark = index.codes.sparkSession
+    index.codes.write.mode("overwrite").parquet(path + "/codes")
+    spark.createDataFrame(
+        [(d, mn, mx) for d, (mn, mx) in enumerate(zip(index.mns, index.mxs))],
+        "d int, mn double, mx double",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/bounds")
+
+
+def load_sq8_index(spark, path: str, cache: bool = True) -> Sq8Index:
+    """Load a :func:`save_sq8_index` index — no training pass; bounds
+    round-trip as exact doubles, so probes against the loaded index
+    are bit-identical to probes against the built one."""
+    rows = spark.read.parquet(path + "/bounds").orderBy("d").collect()
+    codes = spark.read.parquet(path + "/codes")
+    if cache:
+        codes = codes.persist()
+    return Sq8Index(codes, [r.mn for r in rows], [r.mx for r in rows])

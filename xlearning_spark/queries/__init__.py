@@ -74,23 +74,33 @@ GRADING_WINDOW = [
     "q101_demoted_jaccard",      # L2 frequency-demoted (organic-skew) prefix order, q70-oracle-certified (r6 rotation-2 in; A4 spare q37 driver-green r1-r6)
     "q102_salted_agg",           # explicit two-stage salted aggregation == plain GROUP BY (r6 rotation-2 in; L1 spare q40 driver-green r1-r6, exact dedup also inside q80/q83 sweeps)
     "q70_ngram_jaccard",         # L2 exact n-gram Jaccard, prefix-filtered (scale form)
-    "q43_text_stats",            # L4
     "q85_portable_hll",          # A6 hash-certified portable HyperLogLog (r5 rotation; L4 spare: q44, driver-green r1-r4)
-    "q89_lm_quality",            # L6 statistical-LM quality (r5 rotation; heuristic spare: q45, driver-green r1-r4)
-    "q46_cosine_topk",           # L3 brute-force ANN
     "q50_lsh_ann_topk",          # L3 hyperplane LSH (ungraded in r2)
     "q51_bpe_token_counting",    # L4 BPE tokens (ungraded in r2)
     "q53_neardup_components",    # L2 connected components (ungraded in r2)
     "q98_duplicate_spans",       # L2 exact substring-dedup spans, Lee et al. ACL'22 (r5 session 5; the portable-MinHash machinery twin q86 moves to spares — L2 stays certified by q70+q53+q98, and q86's banding algebra is pytest- plus local-oracle-certified)
-    "q60_pipe_wordcount",        # E1/U1 pipe operator (ungraded in r2)
-    "q61_input_file_list",       # S5 file-list delivery (ungraded in r2)
-    "q62_map_functions",         # §2.6 map (ungraded in r2)
-    "q63_pandas_udf_tokens",     # U2 scalar pandas UDF (ungraded in r2)
-    "q64_apply_in_pandas_group_stats",   # U3 UDAF (ungraded in r2)
-    "q65_tokens_udtf",           # U4 UDTF (ungraded in r2)
-    "q66_round_robin_allocation",        # P1 round-robin split (ungraded in r2)
-    "q67_epoch_replay",          # P6 epoch replay (ungraded in r2)
-    "q68_hadoop_records",        # S3 arbitrary InputFormat scan
+    # r7 rotation IN: the new subquery-decorrelation tier (TPC-H
+    # Q17/Q21/Q22/Q11/Q20/Q2/Q18/Q15/Q13 shapes — Catalyst's
+    # RewriteCorrelatedScalarSubquery / RewritePredicateSubquery paths,
+    # previously certified only by q39's single correlated-max shape)
+    # and the three new r7 operator families (portable Bloom, MG heavy
+    # hitters, SQ8 quantized ANN). Rotated out to make room (families
+    # stay certified by five-to-six consecutive driver-green rounds,
+    # pytest guards, and in-window family mates q81/q113 for L4, q50/
+    # q114 for L3, q94 for L6): q60-q68 (driver-green r2-r6), q43/q46
+    # (r1-r6), q89 (r5-r6).
+    "q103_small_quantity_revenue",   # TPC-H Q17: correlated scalar AVG
+    "q104_sole_blame_supplier",      # TPC-H Q21: EXISTS + NOT EXISTS
+    "q105_dormant_rich_customers",   # TPC-H Q22: scalar + NOT EXISTS
+    "q106_important_part_share",     # TPC-H Q11: HAVING vs global scalar
+    "q107_red_part_volume_suppliers",  # TPC-H Q20: nested IN over HAVING
+    "q108_cheapest_supplier_per_part", # TPC-H Q2: correlated MIN over join
+    "q109_large_volume_orders",      # TPC-H Q18: IN-over-HAVING semi join
+    "q110_top_revenue_supplier",     # TPC-H Q15: CTE + MAX scalar equality
+    "q111_order_count_distribution", # TPC-H Q13: outer-join count dist
+    "q112_portable_bloom",           # 5th certified sketch family (live FPs)
+    "q113_heavy_hitters",            # MG candidates + exact integer recount
+    "q114_sq8_ann_topk",             # L3 quantized ANN, hash-certified ADC
 ]
 
 #: Oracle-backed family-mates already driver-green in round 2; falling
@@ -158,6 +168,21 @@ GRADED_SPARES = [
     "q38_trailing_hour_range_frame",
     "q41_fingerprint_neardup",
     "q47_embedding_stats",
+    # r7 rotations OUT of the window (driver-green r2-r6 / r1-r6 /
+    # r5-r6 respectively; every family keeps an in-window certifier or
+    # a multi-round driver-green history — see the window comment):
+    "q60_pipe_wordcount",
+    "q61_input_file_list",
+    "q62_map_functions",
+    "q63_pandas_udf_tokens",
+    "q64_apply_in_pandas_group_stats",
+    "q65_tokens_udtf",
+    "q66_round_robin_allocation",
+    "q67_epoch_replay",
+    "q68_hadoop_records",
+    "q43_text_stats",
+    "q46_cosine_topk",
+    "q89_lm_quality",
 ]
 
 #: Rows-only (oracle=None) queries: can never hash-match, so they must

@@ -140,7 +140,8 @@ _Q106 = f"""
 SELECT l_partkey, CAST({_REV} AS DOUBLE) AS value
 FROM {{li}}
 GROUP BY l_partkey
-HAVING {_REV} > (SELECT {_REV} * CAST(0.0008 AS DECIMAL(8,6)) FROM {{li}})
+HAVING {_REV} * (SELECT COUNT(DISTINCT l_partkey) FROM {{li}}) * 5
+       > (SELECT {_REV} FROM {{li}}) * 8
 ORDER BY value DESC, l_partkey
 """
 
@@ -149,10 +150,12 @@ ORDER BY value DESC, l_partkey
     "q106_important_part_share",
     oracle=_Q106.format(li="lineitem"),
     tags=("subquery", "having-scalar", "hash-agg"),
-    doc="TPC-H Q11 shape: HAVING compared against a global scalar "
-    "subquery (sum x fraction). Both sides stay DECIMAL through the "
-    "comparison, so the > is exact rational arithmetic on both "
-    "engines; the scalar aggregates once and broadcasts.",
+    doc="TPC-H Q11 shape: HAVING compared against global scalar "
+    "subqueries — parts whose revenue exceeds 8/5 of the average "
+    "part's (cross-multiplied so the comparison is DECIMAL x INT "
+    "exact arithmetic on both engines, no division, and the "
+    "selectivity is scale-factor-invariant); the scalars aggregate "
+    "once and broadcast.",
 )
 def q106_important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "lineitem")
