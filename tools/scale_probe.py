@@ -309,6 +309,29 @@ tier; per-doc cost is constant). This is the representative curve for
 the whole multimodal tier (q69/q82/q84/q92 share the exact plan
 shape: pandas-UDF synth -> mapInPandas decode).
 
+Round-7 environment note (the biggest single change in probe history):
+build_session now sizes the local JVM heap for the machine
+(spark.driver.memory=16g) instead of inheriting PySpark's 1g default.
+Under the 1g heap the probe exhibited the GCLocker-retry warnings and
+multi-second full-GC pauses blamed above on "local-mode JVM artifact",
+and q104's fact-fact sort-merge joins (EXISTS + NOT EXISTS lowering)
+OOM'd OUTRIGHT at 8x volume in a fresh fork — reproduced, then fixed
+by the sizing (1.8 s clean, 5-run median). The r7 table above is
+measured on the sized heap: q48/q50 flattened to ~1.0x ratios, and the
+remaining >1 ratios belong to the documented iterative sweeps. On a
+real cluster this knob is per-executor memory sizing; the lesson
+transfers (size the heap for the task concurrency, or GC debt
+masquerades as engine cost).
+
+Round-7 new-query curves (same probe design): q103 (correlated scalar
+AVG) 1.18/1.17 at 4/8x; q104 (EXISTS+NOT EXISTS) 1.82/1.40; q108
+(correlated MIN over join) 1.04/1.24; q113 (MG heavy hitters —
+candidate union grows with the Caesar-multiplied vocabulary, the
+worst case for the recount semi-join) 1.14/1.46; q114 (SQ8 ADC scan,
+query side fixed) 1.06/1.26. All flat-to-sublinear; the decorrelated
+subqueries add one agg + one join on the correlation key each, exactly
+the shuffle footprint the hand-written two-pass forms would have.
+
 IVF build/probe split (round 5, r4 verdict item 3): sf0.1 embeddings
 (2000 x 64d), local[32], 3-run medians — build_ivf_index (KMeans fit +
 cell assignment + cache materialize) 1.83 s ONCE; ivf_probe per query

@@ -37,6 +37,15 @@ _DEFAULT_CONF = {
     # 128 MB scan partitions: the standard data/128MB task sizing that
     # holds from sf0.001 up to 100 TB (SURVEY.md §4.3).
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Size the single local-mode JVM for the machine instead of
+    # PySpark's 1g default: 32 concurrent tasks sharing one heap need
+    # real headroom or the session accrues GC debt (GCLocker retry
+    # warnings, multi-second full-GC pauses on the seconds-scale bench
+    # tail) and fact-fact sort-merge joins OOM at probe volumes. Takes
+    # effect at JVM launch (getOrCreate -> spark-submit); a no-op when
+    # attaching to an already-running gateway. On a real cluster this
+    # is per-executor sizing, not this knob.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.sql.shuffle.partitions": "32",
     # Fixture events.parquet carries TIMESTAMP(NANOS); read as long and
     # normalize in sources.read_table (Spark has no nanos timestamp).

@@ -928,12 +928,14 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
         .select("__cand")
         .distinct()
     )
-    out = (
+    # The summary frame stays persisted for the returned (lazy) plan's
+    # candidate branch — an eager unpersist here would force the
+    # mapInPandas pass to re-run at evaluation time. Spark's LRU cache
+    # manager evicts it (same discipline as the dedup shingle frame).
+    return (
         src.join(cands, src["__v"] == cands["__cand"], "semi")
         .groupBy("__v")
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") * F.lit(k) > F.lit(n_total))
         .select(F.col("__v").alias(col), "freq")
     )
-    summary.unpersist()
-    return out

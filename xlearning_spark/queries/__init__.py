@@ -69,7 +69,7 @@ GRADING_WINDOW = [
     "q95_token_budget_mixture",  # corpus token-budget mixture cap (r6 rotation-2 in; T2 spare q31 driver-green r1-r6 + stream-parity test)
     "q96_portable_cms",          # L4 hash-certified Count-Min sketch (r6 rotation-2 in; A1 spare q32 driver-green r1-r6)
     "q97_delta_neardup_pairs",   # L2 incremental near-dup generator (r6 rotation-2 in; A2 spare q33 driver-green r1-r6)
-    "q35_sessionization",        # T3 session
+    "q115_quality_keeper_dedup", # L2xL6 quality-aware keeper sweep (r7; swaps in for q35_sessionization — T3 six-round driver-green, stream==batch + applyInPandasWithState-certified, spare q34 local-green)
     "q99_excise_spans",          # L2 substring-dedup excision (r6 rotation-2 in; A3 spare q36 driver-green r1-r6)
     "q101_demoted_jaccard",      # L2 frequency-demoted (organic-skew) prefix order, q70-oracle-certified (r6 rotation-2 in; A4 spare q37 driver-green r1-r6)
     "q102_salted_agg",           # explicit two-stage salted aggregation == plain GROUP BY (r6 rotation-2 in; L1 spare q40 driver-green r1-r6, exact dedup also inside q80/q83 sweeps)
@@ -171,6 +171,7 @@ GRADED_SPARES = [
     # r7 rotations OUT of the window (driver-green r2-r6 / r1-r6 /
     # r5-r6 respectively; every family keeps an in-window certifier or
     # a multi-round driver-green history — see the window comment):
+    "q35_sessionization",
     "q60_pipe_wordcount",
     "q61_input_file_list",
     "q62_map_functions",

@@ -1942,3 +1942,74 @@ def q114_sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=32,
     )
     return out.select("qid", "cid", F.round("cosine", 8).alias("cosine"))
+
+
+@query(
+    "q115_quality_keeper_dedup",
+    oracle="""
+WITH RECURSIVE
+t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+s AS (SELECT doc_id,
+        list_distinct(list_transform(range(1, len(toks) - 3),
+          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))) AS sh
+      FROM f),
+p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+e AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+reach(u, v) AS (SELECT u, v FROM e
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+         FROM reach GROUP BY u),
+tc AS (SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tokens
+       FROM documents),
+rk AS (SELECT c.id,
+              ROW_NUMBER() OVER (PARTITION BY c.component
+                                 ORDER BY tc.n_tokens DESC, c.id) AS rn
+       FROM comp c JOIN tc ON tc.doc_id = c.id)
+SELECT d.doc_id, d.source, tc.n_tokens
+FROM documents d JOIN tc ON tc.doc_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT id FROM rk WHERE rn > 1)
+""",
+    tags=("llm", "L2", "L6", "dedup", "pipeline", "quality-keeper"),
+    doc="Quality-aware dedup sweep — the keeper policy real corpus "
+    "pipelines use instead of keep-min-id: within each near-dup "
+    "component (q70's lossless prefix-filtered pairs -> pointer-"
+    "doubling components), keep the doc with the MOST TOKENS (the "
+    "most-complete duplicate), tie-break on doc_id; drop the rest via "
+    "a broadcast anti join (the corpus never shuffles for the drop). "
+    "The keeper metric is an INTEGER, so the argmax is exact on both "
+    "engines; the DuckDB oracle recomputes the groups through the "
+    "independent RECURSIVE transitive-closure formulation (q80/q83 "
+    "discipline) and the same windowed keeper rank.",
+)
+def q115_quality_keeper_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from xlearning_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens("text")).cast("bigint")
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    ranked = comps.join(
+        docs.select(F.col("doc_id").alias("id"), "n_tokens"), "id"
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.desc("n_tokens"), F.asc("id")
+            )
+        ),
+    )
+    losers = ranked.filter(F.col("rn") > 1).select("id")
+    return docs.join(
+        F.broadcast(losers), docs.doc_id == losers.id, "left_anti"
+    ).select("doc_id", "source", "n_tokens")
