@@ -32,7 +32,11 @@ headline takes min(in-session, isolated) per query — the query's
 achievable cost once the environment artifact the other mode exhibits
 (session GC debt vs fork cold-JIT) is removed. The in-session loop
 additionally nudges the JVM GC every few queries to bound debt for
-the sub-second tier.
+the sub-second tier, and the in-session figure is itself the min of
+TWO passes (forward + reverse registry order, cache/GC reset between)
+so a query's recorded cost doesn't depend on its session position —
+the late sub-second tail read 2-3x its baseline purely from running
+after ~90 heavier queries.
 """
 
 from __future__ import annotations
@@ -131,9 +135,24 @@ def main() -> None:
             specs[n].spark(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+        timings = run_queries(spark, sf_dir, names, n_runs)
     else:
+        # Two in-session passes, forward then REVERSE registry order
+        # with a cache-clear + GC at the boundary, per-query min: a
+        # query's in-session cost depends on its session POSITION
+        # (accumulated persisted frames + GC debt inflate the late
+        # tail — observed 2-3x on sub-second queries measured after
+        # ~90 heavier ones, pure position artifact since a fresh fork
+        # reads them at baseline). The reverse pass gives every late
+        # query an early slot; min-of-positions removes the ordering
+        # artifact with one rule applied to ALL queries (the same
+        # min-of-environments principle as the fork tier below).
         names = list(specs)
-    timings = run_queries(spark, sf_dir, names, n_runs)
+        timings = run_queries(spark, sf_dir, names, n_runs)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        second = run_queries(spark, sf_dir, list(reversed(names)), n_runs)
+        timings = {n: min(timings[n], second[n]) for n in names}
 
     heavy_in_session: dict[str, float] = {}
     heavy_isolated: dict[str, float] = {}
