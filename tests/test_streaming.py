@@ -968,3 +968,44 @@ def test_finish_compaction_raises_on_failed_rename(spark, tmp_path, monkeypatch)
         for r in spark.read.parquet(str(state / "batch=-1")).collect()
     }
     assert got == {(11, 2), (22, 1)}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    # T-tier depth: the stream-STREAM interval join (conversion
+    # attribution) must produce exactly the batch join's rows when both
+    # sides drain fully — and its plan must carry the time-interval
+    # condition that bounds join state.
+    from xlearning_spark.sources import read_table
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    buys_b = ev.filter(F.col("event_type") == "purchase")
+    # land each side as its own stream source
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    clicks_b.write.parquet(cdir)
+    buys_b.write.parquet(bdir)
+    clicks_s = st.read_events_stream(spark, cdir)
+    buys_s = st.read_events_stream(spark, bdir)
+
+    joined = st.attributed_conversions(clicks_s, buys_s, horizon="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, click_id, purchase_id FROM attrib_test"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in st.attributed_conversions(clicks_b, buys_b, horizon="1 hour")
+        .select("user_id", "click_id", "purchase_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0

@@ -89,6 +89,55 @@ def _read_state_parquet(spark, path: str) -> DataFrame | None:
         raise
 
 
+def attributed_conversions(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM interval join (T-tier depth beyond the reference,
+    which has no streaming joins at all): attribute each purchase to
+    the clicks by the same user within ``horizon`` BEFORE it — the
+    classic conversion-attribution shape, and the one Structured
+    Streaming operator whose state story is worth spelling out:
+
+    Both sides carry watermarks and the join condition bounds
+    ``purchase_ts`` to ``[click_ts, click_ts + horizon]``, so the
+    engine can prove when a buffered click can never match a future
+    purchase (and vice versa) and EVICT it — state is bounded by
+    arrival rate x (watermark + horizon), never by stream length.
+    Without the time-interval condition a stream-stream inner join
+    buffers both sides forever; that shape is refused by design here.
+
+    Works identically on batch frames (the parity test's oracle): the
+    watermark is a no-op in batch, the interval condition is just a
+    range predicate.
+
+    100 TB: one keyed shuffle per side (user_id), state bounded as
+    above; the output is append-mode (inner join emits once both
+    sides' watermarks pass).
+    """
+    l = clicks.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    r = purchases.select(
+        F.col("user_id").alias("__buyer"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("__buyer"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return l.join(r, cond, "inner").select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "value"
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     key_cols: list[str],
