@@ -1087,3 +1087,37 @@ def test_sq8_index_persistence_no_refit(spark, tmp_path):
         sim.build_sq8_index = orig
     assert got == want and got
     loaded.unpersist()
+
+
+def test_ivf_sq8_recall_and_exhaustive_exactness(spark):
+    # The composed IVFxSQ8 rung: decent recall at partial probe, and
+    # EXACT recovery at exhaustive probe with shortlist >= corpus (the
+    # SQ8 shortlist then contains everything, so the exact rescore is
+    # a full brute force — same gate discipline as IVFPQ's).
+    from xlearning_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_sq8_topk,
+    )
+    from xlearning_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.qid, r.cid)
+        for r in brute_force_topk(emb, queries, id_col="vec_id", k=5).collect()
+    }
+    part = {
+        (r.qid, r.cid)
+        for r in ivf_sq8_topk(
+            emb, queries, id_col="vec_id", k=5, n_cells=8, n_probe=4
+        ).collect()
+    }
+    assert len(part & truth) / len(truth) >= 0.7
+    full = {
+        (r.qid, r.cid)
+        for r in ivf_sq8_topk(
+            emb, queries, id_col="vec_id", k=5, n_cells=8, n_probe=8,
+            shortlist=10**6,
+        ).collect()
+    }
+    assert full == truth

@@ -1067,3 +1067,81 @@ def load_sq8_index(spark, path: str, cache: bool = True) -> Sq8Index:
     if cache:
         codes = codes.persist()
     return Sq8Index(codes, [r.mn for r in rows], [r.mx for r in rows])
+
+
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF x SQ8 (FAISS's IVFFlat-with-SQ8 rung, completing the
+    composed-ANN ladder beside :func:`ivf_pq_topk`): IVF cells bound
+    WHICH vectors each query scans, SQ8 codes bound the candidate
+    frame's FOOTPRINT (int8 per dimension — 8x smaller than float64,
+    so the hot scan set fits in memory at 8x the corpus), and exact
+    cosine re-ranks only the shortlist against the raw vectors.
+
+    Versus PQ: per-candidate cost stays O(d) (dequantized dot) rather
+    than m table lookups, but accuracy is near-exact — SQ8 is the
+    right rung when memory, not FLOPs, is the binding constraint.
+    Every stage is an already-certified IVF or SQ8 stage (q52/q114);
+    this operator is their join.
+    """
+    ivf = build_ivf_index(
+        corpus, id_col, vec_col, n_cells=n_cells, seed=seed, cache=False
+    )
+    sq = build_sq8_index(corpus, id_col, vec_col, cache=False)
+    codes_cells = sq.codes.join(ivf.cells.select("cid", "cv", "cell"), "cid")
+
+    cent_df = queries.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(ivf.centroids)], ["cell", "centroid"]
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with("qv", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("d2", dist2)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("qid", "qv", "cell")
+    )
+
+    mn_arr = F.array(*[F.lit(v) for v in sq.mns])
+    mx_arr = F.array(*[F.lit(v) for v in sq.mxs])
+    cand = codes_cells.join(F.broadcast(probes), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("cid"))
+    deq = _sq8_deq(F.col("codes"), mn_arr, mx_arr)
+    approx = cand.withColumn("dv", deq).withColumn(
+        "approx",
+        _dot(F.col("dv"), F.col("qv")) / (_norm(F.col("dv")) * _norm(F.col("qv"))),
+    )
+    ws = Window.partitionBy("qid").orderBy(F.desc("approx"), F.col("cid"))
+    short = (
+        approx.withColumn("sr", F.row_number().over(ws))
+        .filter(F.col("sr") <= shortlist)
+    )
+    scored = short.withColumn(
+        "cosine", _dot(F.col("cv"), F.col("qv")) / (_norm("cv") * _norm("qv"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "cosine")
+    )
