@@ -131,3 +131,32 @@ def test_q99_excision_plan_shape(spark):
     plan = _plan(spark, "q99_excise_spans")
     assert _n_nodes(plan, "InMemoryTableScan") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_sweep_anti_join_is_aqe_broadcast_not_forced(spark):
+    # r7 VERDICT item 1: the loser-set anti-join in the dedup sweeps
+    # must NOT force a driver-side broadcast — the loser set scales
+    # with the corpus dup rate (billions of ids at 100 TB), where a
+    # forced broadcast OOMs the driver and an AQE-chosen shuffled
+    # left-anti just works. The hint is gone from the code; this test
+    # pins the other half of the intent: at fixture scale AQE still
+    # CHOOSES broadcast on its own, so small corpora keep the fast
+    # plan. (Reference analogue: broadcast-vs-split is the AM's
+    # runtime decision, AM/ApplicationMaster.java:1043-1076.)
+    from xlearning_spark.queries import registry
+
+    for name in (
+        "q80_neardup_sweep",
+        "q83_neardup_sweep_scaled",
+        "q115_quality_keeper_dedup",
+    ):
+        df = registry.get(name).spark(spark, SF_SMOKE)
+        df.collect()  # materialize so AQE finalizes the join strategy
+        plan = plan_string(df)
+        assert "isFinalPlan=true" in plan, name
+        anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti_lines, f"{name}: no LeftAnti join in final plan"
+        assert any("Broadcast" in ln for ln in anti_lines), (
+            f"{name}: AQE did not choose broadcast at fixture scale: "
+            f"{anti_lines}"
+        )

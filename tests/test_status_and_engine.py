@@ -240,3 +240,20 @@ def test_connected_components_deep_chain(spark):
     assert {r.component for r in rows} == {0}
     rows2 = connected_components(pairs, doubling_jumps=2).collect()
     assert {r.component for r in rows2} == {0}
+
+
+def test_default_driver_mem_is_machine_derived_and_clamped(monkeypatch):
+    # ADVICE r7: the library default must not hardcode 16g — on hosts
+    # with <16g the JVM launch fails out of the box. Half of
+    # MemAvailable, clamped to [2g, 16g]; env var wins outright.
+    import re
+
+    from xlearning_spark.engine import _default_driver_mem
+
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
+    got = _default_driver_mem()
+    m = re.fullmatch(r"(\d+)g", got)
+    assert m, got
+    assert 2 <= int(m.group(1)) <= 16
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "3g")
+    assert _default_driver_mem() == "3g"

@@ -24,6 +24,33 @@ from pyspark.sql import DataFrame, SparkSession
 from xlearning_spark.sources import TABLES, read_table  # noqa: F401  (re-export)
 from xlearning_spark.sources import load_tables as _load_tables
 
+
+def _default_driver_mem() -> str:
+    """Local-JVM heap default sized to the machine, not hardcoded
+    (ADVICE r7): half of MemAvailable, clamped to [2g, 16g]. A fixed
+    16g made every session — including CI containers and cgroup-capped
+    hosts with <16g — fail at JVM launch out of the box. 16g stays the
+    ceiling (the bench-certified size on this 128 GiB host); the floor
+    keeps tiny hosts functional rather than fast. Explicit override:
+    SPARK_GRAFT_DRIVER_MEM."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    avail_kb = None
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_kb = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    if avail_kb is None:
+        return "4g"
+    half_gb = avail_kb // (2 * 1024 * 1024)
+    return f"{max(2, min(16, half_gb))}g"
+
+
 _DEFAULT_CONF = {
     # Let Catalyst re-plan at runtime: coalesce small partitions, split
     # skewed ones, switch sort-merge -> broadcast when a side turns out
@@ -41,11 +68,13 @@ _DEFAULT_CONF = {
     # PySpark's 1g default: 32 concurrent tasks sharing one heap need
     # real headroom or the session accrues GC debt (GCLocker retry
     # warnings, multi-second full-GC pauses on the seconds-scale bench
-    # tail) and fact-fact sort-merge joins OOM at probe volumes. Takes
-    # effect at JVM launch (getOrCreate -> spark-submit); a no-op when
-    # attaching to an already-running gateway. On a real cluster this
-    # is per-executor sizing, not this knob.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    # tail) and fact-fact sort-merge joins OOM at probe volumes.
+    # Derived from MemAvailable with a [2g, 16g] clamp (see
+    # _default_driver_mem; 16g on this host). Takes effect at JVM
+    # launch (getOrCreate -> spark-submit); a no-op when attaching to
+    # an already-running gateway. On a real cluster this is
+    # per-executor sizing, not this knob.
+    "spark.driver.memory": _default_driver_mem(),
     "spark.sql.shuffle.partitions": "32",
     # Fixture events.parquet carries TIMESTAMP(NANOS); read as long and
     # normalize in sources.read_table (Spark has no nanos timestamp).

@@ -1098,7 +1098,12 @@ def ivf_sq8_topk(
         corpus, id_col, vec_col, n_cells=n_cells, seed=seed, cache=False
     )
     sq = build_sq8_index(corpus, id_col, vec_col, cache=False)
-    codes_cells = sq.codes.join(ivf.cells.select("cid", "cv", "cell"), "cid")
+    # ADC frame carries ONLY (cid, cell, codes) — the raw float64
+    # vectors must NOT ride along through the cell scan, or SQ8's
+    # memory-bounding point (int8 codes 8x smaller than the vectors)
+    # is negated; they are fetched by a shortlist-sized join for the
+    # exact rescore below, exactly as sq8_topk does (ADVICE r7).
+    codes_cells = sq.codes.join(ivf.cells.select("cid", "cell"), "cid")
 
     cent_df = queries.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(ivf.centroids)], ["cell", "centroid"]
@@ -1135,8 +1140,12 @@ def ivf_sq8_topk(
     short = (
         approx.withColumn("sr", F.row_number().over(ws))
         .filter(F.col("sr") <= shortlist)
+        .select("qid", "qv", "cid")
     )
-    scored = short.withColumn(
+    # Raw vectors enter only here: shortlist-sized equi join (<= q * s
+    # rows), never the full candidate scan.
+    cv = ivf.cells.select("cid", "cv")
+    scored = short.join(cv, "cid").withColumn(
         "cosine", _dot(F.col("cv"), F.col("qv")) / (_norm("cv") * _norm("qv"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))

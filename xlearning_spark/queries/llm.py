@@ -1370,9 +1370,10 @@ WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
     "actually runs: exact-Jaccard pairs (q42 semantics) -> connected "
     "components -> keep each group's min-id doc, anti-join the rest "
     "out of the corpus. Spark side composes jaccard pairs + "
-    "pointer-doubling components + LEFT ANTI join (corpus never "
-    "shuffles for the drop — the component table is the small side, "
-    "broadcast). The DuckDB oracle recomputes the same groups via a "
+    "pointer-doubling components + LEFT ANTI join (no broadcast hint: "
+    "AQE chooses broadcast when the loser set is small and a shuffled "
+    "anti-join when it is not — forced broadcast would OOM at 100 TB "
+    "dup rates). The DuckDB oracle recomputes the same groups via a "
     "RECURSIVE transitive-closure CTE + min-reachable-id labels, an "
     "independent formulation of connectivity, so the hash check "
     "certifies the component semantics too (q53's own oracle uses the "
@@ -1385,8 +1386,15 @@ def q80_neardup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q42_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
     comps = connected_components(pairs)
     losers = comps.filter(F.col("id") != F.col("component")).select("id")
+    # No broadcast hint: the loser set scales with the corpus dup rate
+    # (billions of ids at 100 TB with a 20-50 % dup rate), so a forced
+    # driver-side broadcast would OOM where an AQE-chosen shuffled
+    # left-anti just works. AQE still picks broadcast when the side is
+    # small (asserted at fixture scale in tests/test_plans.py) -- the
+    # reference likewise leaves broadcast-vs-split to the AM's runtime
+    # decision (AM/ApplicationMaster.java:1043-1076), never hardcoded.
     return docs.join(
-        F.broadcast(losers), docs.doc_id == losers.id, "left_anti"
+        losers, docs.doc_id == losers.id, "left_anti"
     ).select("doc_id", "source")
 
 
@@ -1416,7 +1424,7 @@ WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
 """,
     tags=("llm", "L1", "L2", "dedup", "pipeline"),
     doc="The SCALE-PATH near-dup sweep (r4 verdict item 5): identical "
-    "pipeline to q80 — pairs -> connected components -> broadcast "
+    "pipeline to q80 — pairs -> connected components -> AQE-sized "
     "anti-join — but with the pair generator swapped from q42's "
     "block-quadratic exact twin to the certified sub-quadratic "
     "prefix-filtered generator (operators/dedup.ngram_jaccard_pairs, "
@@ -1440,8 +1448,15 @@ def q83_neardup_sweep_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comps = connected_components(pairs)
     losers = comps.filter(F.col("id") != F.col("component")).select("id")
+    # No broadcast hint: the loser set scales with the corpus dup rate
+    # (billions of ids at 100 TB with a 20-50 % dup rate), so a forced
+    # driver-side broadcast would OOM where an AQE-chosen shuffled
+    # left-anti just works. AQE still picks broadcast when the side is
+    # small (asserted at fixture scale in tests/test_plans.py) -- the
+    # reference likewise leaves broadcast-vs-split to the AM's runtime
+    # decision (AM/ApplicationMaster.java:1043-1076), never hardcoded.
     return docs.join(
-        F.broadcast(losers), docs.doc_id == losers.id, "left_anti"
+        losers, docs.doc_id == losers.id, "left_anti"
     ).select("doc_id", "source")
 
 
@@ -2010,6 +2025,8 @@ def q115_quality_keeper_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     losers = ranked.filter(F.col("rn") > 1).select("id")
+    # No broadcast hint (see q80): loser-set size scales with dup rate;
+    # AQE picks broadcast at small scale, shuffled anti-join at 100 TB.
     return docs.join(
-        F.broadcast(losers), docs.doc_id == losers.id, "left_anti"
+        losers, docs.doc_id == losers.id, "left_anti"
     ).select("doc_id", "source", "n_tokens")
