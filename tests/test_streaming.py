@@ -1009,3 +1009,103 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_prune_refuses_mixed_run_markers_same_mtime(spark, tmp_path):
+    # ADVICE r7: the mtime guard is evadable on coarse-granularity
+    # filesystems (a reset-restart rewriting versions within the same
+    # tick). The _SKETCH_RUN marker is the primary guard now: two
+    # distinct run ids in the state dir refuse pruning even when every
+    # mtime is IDENTICAL.
+    import time
+
+    state = tmp_path / "state"
+    for i, run in enumerate(("runA", "runA", "runB", "runB")):
+        vdir = state / f"v{i:010d}"
+        spark.createDataFrame([(1,)], "x int").write.parquet(str(vdir))
+        (vdir / "_SKETCH_RUN").write_text(run)
+    now = time.time()
+    for p in state.iterdir():
+        os.utime(str(p), (now, now))  # same tick everywhere
+    with pytest.raises(RuntimeError, match="distinct run ids"):
+        st.prune_sketch_versions(spark, str(state), keep=2)
+    assert len(list(state.iterdir())) == 4
+    # Single-run markers override a spurious mtime inversion (e.g. a
+    # touched directory): pruning proceeds on version order.
+    for i in range(4):
+        (state / f"v{i:010d}" / "_SKETCH_RUN").write_text("runB")
+    os.utime(str(state / "v0000000000"), (now + 120, now + 120))
+    doomed = st.prune_sketch_versions(spark, str(state), keep=2)
+    assert len(doomed) == 2
+    assert sorted(p.name for p in state.iterdir()) == [
+        "v0000000002", "v0000000003",
+    ]
+
+
+def test_streaming_sketch_versions_carry_run_marker(spark, tmp_path):
+    # The CMS/HLL streaming writers stamp each committed version with
+    # the checkpoint's persisted query id; a SECOND run on the SAME
+    # checkpoint reuses the id (restart != reset), so pruning stays
+    # allowed across legitimate restarts.
+    src = tmp_path / "src"
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    spark.createDataFrame([("t0",)], "term string").coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    reader = (
+        spark.readStream.format("parquet")
+        .schema("term string")
+        .option("maxFilesPerTrigger", "1")
+    )
+    st.streaming_cms_counts(
+        reader.load(str(src) + "/*"), "term", state, ckpt, depth=4, width=64
+    )
+    spark.createDataFrame([("t1",)], "term string").coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    st.streaming_cms_counts(
+        reader.load(str(src) + "/*"), "term", state, ckpt, depth=4, width=64
+    )
+    markers = {
+        (tmp_path / "state" / v.name / "_SKETCH_RUN").read_text()
+        for v in (tmp_path / "state").iterdir()
+    }
+    assert len(markers) == 1  # same checkpoint -> same lineage id
+    # and pruning is allowed (single run id)
+    assert st.prune_sketch_versions(spark, state, keep=1)
+
+
+def test_compact_refuses_foreign_lease(spark, tmp_path):
+    # ADVICE r7: an ingest in ANOTHER process can't be seen via
+    # spark.streams.active — the lease file makes compaction at least
+    # detect it; ignore_lease is the documented stale-lease escape.
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    (tmp_path / "state" / "_INGEST_LEASE").write_text(
+        '{"query": "x", "host": "other", "pid": 1}'
+    )
+    with pytest.raises(RuntimeError, match="ingest lease"):
+        st.compact_excise_registry(spark, state)
+    assert st.compact_excise_registry(spark, state, ignore_lease=True) is None
+
+
+def test_excise_ingest_releases_lease(spark, tmp_path):
+    # The lease must not outlive the drain: excise_ingest holds it for
+    # the run and deletes it on exit, so offline compaction right after
+    # a drained ingest proceeds without manual steps.
+    src = tmp_path / "src"
+    os.makedirs(src)
+    schema = "doc_id bigint, text string"
+    spark.createDataFrame([(1, "a b c d e")], schema).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    st.excise_ingest(
+        spark.readStream.format("parquet").schema(schema).load(str(src)),
+        str(tmp_path / "out"), str(tmp_path / "state"),
+        str(tmp_path / "ckpt"), k=3, min_docs=2,
+    )
+    assert not (tmp_path / "state" / "_INGEST_LEASE").exists()
+    # drained -> nothing live -> compaction runs (one partition: None)
+    assert st.compact_excise_registry(spark, str(tmp_path / "state")) is None

@@ -604,9 +604,9 @@ def streaming_hll_distinct(
             )
         # Materialize before writing: the merged plan reads the previous
         # version; eager checkpoint severs that scan from the write.
-        regs.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            f"{state_dir}/v{batch_id:010d}"
-        )
+        vdir = f"{state_dir}/v{batch_id:010d}"
+        regs.localCheckpoint(eager=True).write.mode("overwrite").parquet(vdir)
+        _mark_sketch_version(spark, vdir, checkpoint_dir)
 
     q = (
         stream_df.writeStream.foreachBatch(update)
@@ -694,9 +694,12 @@ def _cms_update(
     depth: int,
     width: int,
     group_cols: list[str] | None,
+    checkpoint_dir: str | None = None,
 ):
     """The per-micro-batch commit for :func:`streaming_cms_counts`,
-    factored out so tests can drive a crash-replay directly."""
+    factored out so tests can drive a crash-replay directly (then with
+    no ``checkpoint_dir``, so no run marker — the pruner falls back to
+    its mtime guard for unmarked versions)."""
     from xlearning_spark.operators.sketch import cms_registers, merge_cms_registers
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
@@ -707,9 +710,10 @@ def _cms_update(
             regs = merge_cms_registers(
                 spark.read.parquet(prev), regs, group_cols
             )
-        regs.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            f"{state_dir}/v{batch_id:010d}"
-        )
+        vdir = f"{state_dir}/v{batch_id:010d}"
+        regs.localCheckpoint(eager=True).write.mode("overwrite").parquet(vdir)
+        if checkpoint_dir is not None:
+            _mark_sketch_version(spark, vdir, checkpoint_dir)
 
     return update
 
@@ -745,7 +749,7 @@ def streaming_cms_counts(
     """
     q = (
         stream_df.writeStream.foreachBatch(
-            _cms_update(col, state_dir, depth, width, group_cols)
+            _cms_update(col, state_dir, depth, width, group_cols, checkpoint_dir)
         )
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
@@ -900,18 +904,43 @@ def excise_ingest(
         rows.unpersist()
         processed.append(batch_id)
 
-    q = (
-        stream_df.writeStream.foreachBatch(step)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        # Named after the state dir so offline maintenance
-        # (compact_excise_registry) can detect — and refuse to run
-        # concurrently with — a live ingest on the same registry.
-        .queryName(_excise_query_name(state_dir))
-        .start()
+    # Best-effort cross-process lease (ADVICE r7): the same-session
+    # guard in compact_excise_registry cannot see an ingest running in
+    # another process; this file lets it at least DETECT one. Held for
+    # the drain, released on exit (crash leaves it behind — then
+    # compaction refuses until the ingest is re-run or the operator
+    # passes ignore_lease=True after confirming nothing is live).
+    import json
+    import socket
+
+    lease_path = os.path.join(state_dir, _INGEST_LEASE)
+    _write_small_file(
+        stream_df.sparkSession,
+        lease_path,
+        json.dumps(
+            {
+                "query": _excise_query_name(state_dir),
+                "host": socket.gethostname(),
+                "pid": os.getpid(),
+            }
+        ),
     )
-    q.awaitTermination()
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(step)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            # Named after the state dir so offline maintenance
+            # (compact_excise_registry) can detect — and refuse to run
+            # concurrently with — a live ingest on the same registry.
+            .queryName(_excise_query_name(state_dir))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        fs, jvm = _fs_for(stream_df.sparkSession, state_dir)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(lease_path), False)
     return processed
 
 
@@ -937,6 +966,69 @@ def _excise_query_name(state_dir: str) -> str:
     the handle :func:`compact_excise_registry` uses to refuse running
     concurrently with a live ingest on the same state."""
     return f"excise_ingest:{state_dir.rstrip('/')}"
+
+
+#: Lease file a live :func:`excise_ingest` holds in its ``state_dir``
+#: so offline maintenance in ANOTHER process/session can at least
+#: detect the concurrency (ADVICE r7) — the same-session check above
+#: cannot see it.
+_INGEST_LEASE = "_INGEST_LEASE"
+
+#: Per-version run marker for the CMS/HLL sketch state (ADVICE r7):
+#: carries the streaming query id persisted in the checkpoint metadata,
+#: which is stable across restarts of the SAME checkpoint but fresh
+#: after a checkpoint reset — exactly the lineage a version belongs to.
+#: Leading underscore: invisible to Spark's parquet reader.
+_SKETCH_RUN = "_SKETCH_RUN"
+
+
+def _write_small_file(spark, path: str, text: str) -> None:
+    fs, jvm = _fs_for(spark, path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    try:
+        out.write(text.encode())
+    finally:
+        out.close()
+
+
+def _read_small_file(spark, path: str) -> str | None:
+    fs, jvm = _fs_for(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return bytes(stream.readAllBytes()).decode()
+    finally:
+        stream.close()
+
+
+def _mark_sketch_version(spark, version_dir: str, checkpoint_dir: str) -> None:
+    """Stamp a committed sketch version with its run lineage (see
+    :data:`_SKETCH_RUN`); silently skipped when the checkpoint metadata
+    is not readable — the pruner's mtime guard covers unmarked dirs."""
+    import os
+
+    run = _checkpoint_lineage_id(spark, checkpoint_dir)
+    if run:
+        _write_small_file(
+            spark, os.path.join(version_dir, _SKETCH_RUN), run
+        )
+
+
+def _checkpoint_lineage_id(spark, checkpoint_dir: str) -> str | None:
+    """The query id Structured Streaming persists in
+    ``checkpoint_dir/metadata`` at stream start — the run lineage for
+    :data:`_SKETCH_RUN` markers. None if unreadable (e.g. tests driving
+    the update function directly, with no checkpoint)."""
+    import json
+    import os
+
+    try:
+        raw = _read_small_file(spark, os.path.join(checkpoint_dir, "metadata"))
+        return json.loads(raw).get("id") if raw else None
+    except Exception:
+        return None
 
 
 def _finish_compaction(spark, state_dir: str) -> bool:
@@ -1000,7 +1092,10 @@ def _finish_compaction(spark, state_dir: str) -> bool:
 
 
 def compact_excise_registry(
-    spark, state_dir: str, upto_batch: int | None = None
+    spark,
+    state_dir: str,
+    upto_batch: int | None = None,
+    ignore_lease: bool = False,
 ) -> int | None:
     """Fold :func:`excise_ingest`'s per-batch registry delta partitions
     into ONE base partition ``batch=-1`` — bounded registry read cost
@@ -1031,11 +1126,15 @@ def compact_excise_registry(
     this ``state_dir`` is live — a micro-batch that reads the registry
     between the swap's deletes and its rename would sum an incomplete
     registry and under-excise. The crash path is safe (marker +
-    :func:`_finish_compaction`); the concurrency path is not. Guarded:
-    this function raises if the session has an active streaming query
-    named for this registry (the name :func:`excise_ingest` registers);
-    an ingest running in a DIFFERENT SparkSession or process cannot be
-    detected — the offline-only contract is the caller's to keep there.
+    :func:`_finish_compaction`); the concurrency path is not. Guarded
+    twice: this function raises if the session has an active streaming
+    query named for this registry (the name :func:`excise_ingest`
+    registers), and — for ingests in a DIFFERENT SparkSession or
+    process — if the registry holds a live :data:`_INGEST_LEASE` file
+    (best-effort, ADVICE r7: detection, not a real lock — an ingest
+    starting mid-compaction still races). A crashed ingest leaves its
+    lease behind; pass ``ignore_lease=True`` after confirming nothing
+    is live (or just re-run the ingest, which releases it on exit).
 
     Returns the folded-through batch id, or None if there was nothing
     to compact.
@@ -1053,6 +1152,15 @@ def compact_excise_registry(
                 "compaction is offline-only (stop or drain the ingest "
                 "first)"
             )
+    lease = _read_small_file(spark, os.path.join(state_dir, _INGEST_LEASE))
+    if lease is not None and not ignore_lease:
+        raise RuntimeError(
+            f"compact_excise_registry({state_dir!r}) refused: the "
+            f"registry holds an ingest lease ({lease}) — an "
+            "excise_ingest in another process/session may be live, and "
+            "compaction is offline-only. If that ingest crashed (stale "
+            "lease), re-run it or pass ignore_lease=True."
+        )
     _finish_compaction(spark, state_dir)
     fs, jvm = _fs_for(spark, state_dir)
     glob = jvm.org.apache.hadoop.fs.Path(os.path.join(state_dir, "batch=*"))
@@ -1117,13 +1225,26 @@ def prune_sketch_versions(spark, state_dir: str, keep: int = 2) -> list[str]:
     the old run's, so "newest N by version number" would keep the DEAD
     run's versions and delete the live run's entire fresh chain,
     including the predecessor a crash-replayed batch rebuilds from.
-    Guarded: versions written by one run are modified in version order,
-    so a lower-numbered directory that is NEWER on disk than the
-    highest-numbered one means two runs share the state dir — this
-    function then refuses to prune. Recover by deleting the dead run's
-    ``v*`` directories manually (they are point-in-time snapshots; the
-    live run never reads them), then prune.
+    Guarded twice (ADVICE r7 hardened the first guard):
+
+    - PRIMARY: each version written by the streaming forms carries a
+      ``_SKETCH_RUN`` marker with the checkpoint's persisted query id
+      (stable across restarts of the same checkpoint, fresh after a
+      reset). More than one distinct run id in the state dir → refuse
+      — immune to mtime granularity.
+    - FALLBACK (marker-less versions only, e.g. state written before
+      the marker existed): versions written by one run are modified in
+      version order, so a lower-numbered directory that is NEWER on
+      disk than the highest-numbered one means two runs share the
+      state dir → refuse. Coarse-mtime filesystems can evade this one
+      (same-tick rewrites), which is why the marker is primary.
+
+    Recover by deleting the dead run's ``v*`` directories manually
+    (they are point-in-time snapshots; the live run never reads them),
+    then prune.
     """
+    import os
+
     if keep < 1:
         raise ValueError("keep must be >= 1")
     jvm = spark.sparkContext._jvm
@@ -1133,7 +1254,7 @@ def prune_sketch_versions(spark, state_dir: str, keep: int = 2) -> list[str]:
     statuses = fs.globStatus(path)
     if not statuses:
         return []
-    vers = []  # (version number, mtime, path string)
+    vers = []  # (version number, mtime, path string, run id | None)
     for st in statuses:
         if not st.isDirectory():
             continue
@@ -1142,22 +1263,38 @@ def prune_sketch_versions(spark, state_dir: str, keep: int = 2) -> list[str]:
             n = int(p.rsplit("/v", 1)[1])
         except ValueError:
             continue
-        vers.append((n, st.getModificationTime(), p))
+        run = _read_small_file(spark, os.path.join(p, _SKETCH_RUN))
+        vers.append((n, st.getModificationTime(), p, run))
     vers.sort()  # numeric version order, not lexical
     if not vers:
         return []
+    run_ids = {run for _, _, _, run in vers if run is not None}
+    if len(run_ids) > 1:
+        by_run = {
+            run: [n for n, _, _, r in vers if r == run] for run in run_ids
+        }
+        raise RuntimeError(
+            f"prune_sketch_versions({state_dir!r}) refused: versions "
+            f"carry {len(run_ids)} distinct run ids ({by_run}) — the "
+            "state dir mixes a dead run with a restarted "
+            "(checkpoint-reset) run, and number-order pruning would "
+            "delete the live run's chain. Delete the dead run's v* "
+            "directories manually, then prune."
+        )
+    unmarked = [n for n, _, _, run in vers if run is None]
     top_mtime = vers[-1][1]
-    stale = [n for n, mt, _ in vers[:-1] if mt > top_mtime]
-    if stale:
+    stale = [n for n, mt, _, _ in vers[:-1] if mt > top_mtime]
+    if unmarked and stale:
         raise RuntimeError(
             f"prune_sketch_versions({state_dir!r}) refused: versions "
             f"{stale} are newer on disk than the highest-numbered "
-            f"version v{vers[-1][0]} — the state dir mixes a dead run "
-            "with a restarted (checkpoint-reset) run, and number-order "
-            "pruning would delete the live run's chain. Delete the dead "
-            "run's v* directories manually, then prune."
+            f"version v{vers[-1][0]} (and versions {unmarked} carry no "
+            "run marker to disambiguate) — the state dir may mix a "
+            "dead run with a restarted (checkpoint-reset) run, and "
+            "number-order pruning would delete the live run's chain. "
+            "Delete the dead run's v* directories manually, then prune."
         )
-    doomed = [p for _, _, p in vers[:-keep]] if keep < len(vers) else []
+    doomed = [p for _, _, p, _ in vers[:-keep]] if keep < len(vers) else []
     for d in doomed:
         fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
     return doomed
