@@ -1109,3 +1109,67 @@ def test_excise_ingest_releases_lease(spark, tmp_path):
     assert not (tmp_path / "state" / "_INGEST_LEASE").exists()
     # drained -> nothing live -> compaction runs (one partition: None)
     assert st.compact_excise_registry(spark, str(tmp_path / "state")) is None
+
+
+def test_stream_stream_outer_interval_join_matches_batch(spark, tmp_path):
+    # r7 VERDICT item 4: LEFT OUTER interval join — un-converted
+    # clicks must emit exactly one null row once BOTH watermarks pass,
+    # and the full output (matches + null rows) must equal the batch
+    # left-outer join. Sentinel events on both sides push the
+    # watermarks far past every real row so the drain flushes the
+    # trailing null rows (in production they emit as the stream
+    # advances); sentinels are excluded from the comparison.
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)
+    schema = "event_id bigint, user_id bigint, ts timestamp, value double"
+    clicks = [
+        (101, 1, mins(0), 0.0),    # converts (purchase at +30min)
+        (102, 2, mins(5), 0.0),    # never converts -> null row
+        (103, 3, mins(10), 0.0),   # purchase outside horizon -> null row
+    ]
+    buys = [
+        (201, 1, mins(30), 9.5),   # inside [t, t+1h]
+        (202, 3, mins(130), 4.0),  # outside horizon for click 103
+    ]
+    sentinel_c = [(901, 999, mins(600), 0.0)]
+    sentinel_b = [(902, 999, mins(600), 1.0)]
+
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    spark.createDataFrame(clicks + sentinel_c, schema).write.parquet(cdir)
+    spark.createDataFrame(buys + sentinel_b, schema).write.parquet(bdir)
+    reader = lambda d: (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(d)
+    )
+    joined = st.attributed_conversions(
+        reader(cdir), reader(bdir), horizon="1 hour",
+        watermark="10 minutes", how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_outer_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM attrib_outer_test WHERE user_id != 999"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in st.attributed_conversions(
+            spark.createDataFrame(clicks, schema),
+            spark.createDataFrame(buys, schema),
+            horizon="1 hour", how="left_outer",
+        ).collect()
+    }
+    assert got == want
+    null_rows = {r for r in want if r[2] is None}
+    assert {r[1] for r in null_rows} == {102, 103}  # the two coverage rows
+    assert len(want) == 3

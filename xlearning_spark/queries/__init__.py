@@ -49,13 +49,23 @@ GRADING_WINDOW = [
     "q84_multimodal_gif",        # L5 real GIF/LZW decode (r6 rotation-2 in; J5 spare q09 driver-green r1-r6, as-of plan-asserted)
     "q72_domain_mixture",        # corpus domain mixture (r6 rotation in; J6 spare q10 driver-green r1-r5)
     "q11_rollup_order_stats",    # A7 rollup (r5 rotation; grouping-sets spare: q13, driver-green r1-r4)
-    "q69_multimodal_audio",      # L5 multimodal decode (real WAV decoder)
+    # r8 rotation IN (r7 VERDICT items 2+3): q55 — the ONE oracle-backed
+    # query never driver-graded (local-green since r4, judge-verified
+    # r5) — plus the stream-stream interval-join tier's first
+    # driver-gradeable rows (q116 inner / q117 left-outer coverage,
+    # running streaming.attributed_conversions itself on batch frames).
+    # Rotated out to make room: q69 WAV (driver-green r2-r7; L5 stays
+    # certified in-window by q84 GIF + q91 JPEG + q92 MJPEG), q82 PNG
+    # (driver-green r5-r7, same family mates), q86 portable MinHash
+    # (driver-green r6-r7; the banding machinery stays certified by
+    # in-window q87 SimHash + the L2 sweep tier + pytest/local-oracle).
+    "q55_embedding_neardup_lsh",     # L2 hyperplane-LSH cosine pairs (last never-driver-graded query)
+    "q116_conversion_attribution",   # T stream-stream interval join (inner)
+    "q117_attribution_coverage",     # T interval join, LEFT OUTER nulls
     "q88_portable_approx_percentile",    # A6 hash-certified sampled percentiles (r5 rotation; spare: q14, driver-green r1-r4 — its exact distinct+percentile twins live on inside q85/q88's outputs)
     "q73_token_chunking",        # corpus token chunking (r6 rotation in; A8 spare q15 driver-green r1-r5)
-    "q86_portable_minhash",      # L2 hash-certified portable MinHash-LSH machinery (r6 rotation-2 in; §2.7 spare q17 driver-green r1-r6)
     "q87_portable_simhash",      # L2 hash-certified portable SimHash (r6 rotation-2 in; §2.7 spare q18 driver-green r1-r6)
     "q91_multimodal_jpeg",       # L5 real baseline JPEG/DCT decode (r6 rotation-2 in; §2.7 spare q19 driver-green r1-r6)
-    "q82_multimodal_image",      # L5 real PNG decode (r5; §2.7 q28 rotates to spares — q17/q18/q19 keep the family certified)
     "q92_multimodal_video",      # L5 real MJPEG-in-AVI video decode (r6 rotation-2 in; subquery spare q39 driver-green r1-r6)
     "q74_decontamination",       # corpus decontamination (r6 rotation in; §2.9 spare q21 driver-green r1-r5)
     "q75_pii_redaction",         # corpus PII redaction (r6 rotation in; §2.6-string spare q22 driver-green r1-r5)
@@ -134,7 +144,12 @@ GRADED_SPARES = [
     "q14_distinct_and_percentiles",
     "q29_pivot_status_by_priority",
     "q45_quality_score",
-    "q55_embedding_neardup_lsh",  # L2 scale form (family certified by q42/q53/q54)
+    # r8 rotations OUT of the window (driver-green histories r2-r7 /
+    # r5-r7 / r6-r7; families stay certified by in-window mates — see
+    # the r8 rotation-in comment):
+    "q69_multimodal_audio",
+    "q82_multimodal_image",
+    "q86_portable_minhash",
     # r6 rotation-2 OUT of the window (driver-green r1-r6 in prior
     # CORRECTNESS records — six consecutive rounds; each family stays
     # certified by that history, by plan guards (broadcast/as-of/topk

