@@ -96,6 +96,14 @@ HEADLINE = [
     "q108_cheapest_supplier_per_part",
     "q113_heavy_hitters",
     "q114_sq8_ann_topk",
+    # r8 (r7 VERDICT item 7): the remaining r7-tier shapes — Q11's two
+    # global scalar aggregates (q106: both sides scan the replicated
+    # fact, the HAVING threshold is scale-invariant by construction)
+    # and the L2xL6 quality-keeper sweep (q115: q83's generator +
+    # components + a per-component argmax window + anti join; its
+    # organic-skew curve lives in the skew-probe section below).
+    "q106_important_part_share",
+    "q115_quality_keeper_dedup",
 ]
 
 #: Per-query extra factors beyond the CLI list: the queries probed
@@ -109,6 +117,15 @@ EXTRA_FACTORS = {
     "q74_decontamination": [16],
     "q80_neardup_sweep": [16],
     "q83_neardup_sweep_scaled": [16],
+    # r8 (r7 VERDICT item 7): 16x points for the r7 tier — the
+    # fact-fact SMJ pair, the two-global-scalars shape, MG candidates
+    # under the Caesar-multiplied (worst-case) vocabulary, the SQ8
+    # ADC scan, and the keeper sweep.
+    "q104_sole_blame_supplier": [16],
+    "q106_important_part_share": [16],
+    "q113_heavy_hitters": [16],
+    "q114_sq8_ann_topk": [16],
+    "q115_quality_keeper_dedup": [16],
 }
 
 #: 5-run medians everywhere: the shared local-mode JVM throws

@@ -223,6 +223,62 @@ def main() -> None:
     else:
         cells = [(f, p_main) for f in factors] + [(8, p) for p in psweep]
 
+    # ---- keeper-sweep probe (--keeper, r7 VERDICT item 7): the q115
+    # quality-keeper composition (pair generator -> components ->
+    # per-component keep-most-tokens argmax -> anti join) on the
+    # ORGANIC-skew corpus, hash order vs demoted generator, survivor
+    # sets asserted identical every cell (demotion is lossless -> same
+    # pairs -> same components -> same argmax keeper -> same corpus).
+    if "--keeper" in sys.argv:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from xlearning_spark.functions import tokens
+        from xlearning_spark.operators.dedup import connected_components
+
+        def keeper_survivors(docs, demote):
+            pairs = ngram_jaccard_pairs(
+                docs, "doc_id", "text", 0.5, demote_hot_df=demote
+            )
+            comps = connected_components(pairs.select("id_a", "id_b"))
+            d = docs.withColumn(
+                "n_tokens", F.size(tokens("text")).cast("bigint")
+            )
+            ranked = comps.join(
+                d.select(F.col("doc_id").alias("id"), "n_tokens"), "id"
+            ).withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("component").orderBy(
+                        F.desc("n_tokens"), F.asc("id")
+                    )
+                ),
+            )
+            losers = ranked.filter(F.col("rn") > 1).select("id")
+            return d.join(
+                losers, d.doc_id == losers.id, "left_anti"
+            ).select("doc_id")
+
+        for factor in factors:
+            d = build_skewed(spark, factor, p_main)
+            docs = read_table(spark, d, "documents")
+            cell = {}
+            t, ids_plain = timed(
+                lambda: {r.doc_id for r in keeper_survivors(docs, None).collect()}
+            )
+            cell["keeper_hash_order_sec"] = t
+            t, ids_dem = timed(
+                lambda: {r.doc_id for r in keeper_survivors(docs, 0.05).collect()}
+            )
+            cell["keeper_demoted_sec"] = t
+            assert ids_plain == ids_dem, (factor, len(ids_plain), len(ids_dem))
+            cell["survivors"] = len(ids_plain)
+            results[f"keeper_x{factor}_p{int(p_main * 100)}"] = cell
+            json.dump(results, open(sidecar, "w"), indent=1, sort_keys=True)
+            print(f"keeper_x{factor}", cell, flush=True)
+            spark.catalog.clearCache()
+        cells = []
+
     # ---- hot-BAND probe (--hotband): p of docs are EXACT duplicates of
     # one string — every band bucket for that text holds p*N docs, the
     # degenerate case max_bucket exists for. Measures banding under the
@@ -371,6 +427,25 @@ def main() -> None:
             "entirely (56/112 organic candidates left), which is why every",
             "sweep example runs exact dedup before MinHash.",
         ]
+    kp = {t: c for t, c in results.items() if t.startswith("keeper_")}
+    if kp:
+        lines += [
+            "",
+            "Quality-keeper sweep (q115's composition) on the SAME",
+            "organic-skew corpus (r7 VERDICT item 7): generator ->",
+            "components -> per-component keep-most-tokens argmax -> anti",
+            "join; survivor sets asserted identical between hash order and",
+            "the demoted generator every cell (lossless at volume).",
+            "",
+            "| cell | keeper hash-order s | keeper demoted s | survivors |",
+            "|---|---|---|---|",
+        ]
+        for t in sorted(kp, key=lambda x: int(x.split("_x")[1].split("_")[0])):
+            c = kp[t]
+            lines.append(
+                f"| {t} | {c['keeper_hash_order_sec']} |"
+                f" {c['keeper_demoted_sec']} | {c['survivors']} |"
+            )
     lines += [
         "",
         "Findings (round 6):",
