@@ -349,6 +349,25 @@ query side fixed) 1.06/1.26. All flat-to-sublinear; the decorrelated
 subqueries add one agg + one join on the correlation key each, exactly
 the shuffle footprint the hand-written two-pass forms would have.
 
+Round-8 r7-tier 16x extension (r7 VERDICT item 7; dedicated-session
+5-run medians, quiet canary): q104 (fact-fact EXISTS+NOT EXISTS SMJ
+pair) 1.46/2.32/1.40/2.46 s at 1/4/8/16x — 1.69x time at 16x volume,
+nonmonotone middle cells are session noise on a sub-3 s absolute
+scale, no superlinear term; q106 (two global scalar aggregates, both
+scanning the replicated fact) 1.65x at 16x — the scale-invariant
+HAVING threshold keeps output size constant while both scans grow
+linearly; q113 (MG heavy hitters, post-r8 leak-free two-stage merge
+form) 1.30x at 16x under the Caesar-multiplied worst-case vocabulary
+— the second MG merge bounds candidates at <= k globally, so the
+recount isin stays constant-size regardless of factor; q114 (SQ8 ADC
+scan, query side fixed) 1.53x; q115 (keeper sweep = q83 generator +
+components + per-component argmax + AQE anti join) 1.53x at 16x.
+Superlinear flags: none. q115's ORGANIC-skew behavior (hot boilerplate
+growing with volume — the case this probe's Caesar design cannot
+exercise) is measured in the skew-probe section below: hash-order
+grows 2.9x by 16x while the demoted generator holds 1.5x, survivor
+sets asserted identical every cell.
+
 IVF build/probe split (round 5, r4 verdict item 3): sf0.1 embeddings
 (2000 x 64d), local[32], 3-run medians — build_ivf_index (KMeans fit +
 cell assignment + cache materialize) 1.83 s ONCE; ivf_probe per query
