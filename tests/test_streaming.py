@@ -5,6 +5,7 @@ stream is drained (Trigger.AvailableNow over a file source)."""
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -1137,8 +1138,28 @@ def test_stream_stream_outer_interval_join_matches_batch(spark, tmp_path):
     sentinel_b = [(902, 999, mins(600), 1.0)]
 
     cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
-    spark.createDataFrame(clicks + sentinel_c, schema).write.parquet(cdir)
-    spark.createDataFrame(buys + sentinel_b, schema).write.parquet(bdir)
+    # The file source processes files oldest-mtime-first: the sentinel
+    # files MUST sort after the real rows, or the watermark jumps past
+    # every real event before it arrives and drops it as late (the
+    # exact hazard watermarks exist for — here it would just make the
+    # test order-dependent). Write real rows first, then sentinels,
+    # and pin the mtime order explicitly (parquet writes can land
+    # within one mtime tick).
+    now = time.time()
+    for d, real, sent in (
+        (cdir, clicks, sentinel_c),
+        (bdir, buys, sentinel_b),
+    ):
+        spark.createDataFrame(real, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        before = set(os.listdir(d))
+        spark.createDataFrame(sent, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        for fn in os.listdir(d):
+            ts = now if fn in before else now + 60
+            os.utime(os.path.join(d, fn), (ts, ts))
     reader = lambda d: (
         spark.readStream.format("parquet").schema(schema)
         .option("maxFilesPerTrigger", "1").load(d)
