@@ -66,7 +66,12 @@ GRADING_WINDOW = [
     "q73_token_chunking",        # corpus token chunking (r6 rotation in; A8 spare q15 driver-green r1-r5)
     "q87_portable_simhash",      # L2 hash-certified portable SimHash (r6 rotation-2 in; §2.7 spare q18 driver-green r1-r6)
     "q91_multimodal_jpeg",       # L5 real baseline JPEG/DCT decode (r6 rotation-2 in; §2.7 spare q19 driver-green r1-r6)
-    "q92_multimodal_video",      # L5 real MJPEG-in-AVI video decode (r6 rotation-2 in; subquery spare q39 driver-green r1-r6)
+    # r8 swap: q118 (stream-STATIC enrichment join — the stateless
+    # streaming-join shape, certifying streaming.enriched_tumbling_by_
+    # nation on batch frames) takes q92's slot; q92 (MJPEG video,
+    # driver-green r6-r7) rotates to spares — L5 stays certified
+    # in-window by q84 GIF + q91 JPEG.
+    "q118_stream_enrichment",    # T stream-static enrichment + rollup (r8)
     "q74_decontamination",       # corpus decontamination (r6 rotation in; §2.9 spare q21 driver-green r1-r5)
     "q75_pii_redaction",         # corpus PII redaction (r6 rotation in; §2.6-string spare q22 driver-green r1-r5)
     "q76_repetition_filter",     # corpus repetition filter (r6 rotation in; §2.6-datetime spare q23 driver-green r1-r5)
@@ -150,6 +155,7 @@ GRADED_SPARES = [
     "q69_multimodal_audio",
     "q82_multimodal_image",
     "q86_portable_minhash",
+    "q92_multimodal_video",
     # r6 rotation-2 OUT of the window (driver-green r1-r6 in prior
     # CORRECTNESS records — six consecutive rounds; each family stays
     # certified by that history, by plan guards (broadcast/as-of/topk

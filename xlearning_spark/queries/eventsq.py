@@ -424,3 +424,33 @@ def q116_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q117_attribution_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _attrib(spark, sf_dir, "left_outer")
+
+
+@query(
+    "q118_stream_enrichment",
+    oracle="""
+SELECT date_trunc('hour', e.ts) AS window_start, n.n_name,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+""",
+    tags=("streaming-batch", "T", "stream-static-join"),
+    doc="Stream-STATIC enrichment + tumbling rollup (r8): events join "
+    "the customer->nation dimension chain (broadcast — dims bounded "
+    "by construction), then tumble into per-nation hourly windows. "
+    "Runs streaming.enriched_tumbling_by_nation itself on batch "
+    "frames, certifying the stateless stream-static join shape the "
+    "way q116/q117 certify the stateful interval join; the streaming "
+    "form's stream==batch parity is tested in tests/test_streaming.py.",
+)
+def q118_stream_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.streaming import enriched_tumbling_by_nation
+
+    return enriched_tumbling_by_nation(
+        _events(spark, sf_dir),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )

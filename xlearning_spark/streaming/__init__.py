@@ -151,6 +151,52 @@ def attributed_conversions(
     )
 
 
+def enriched_tumbling_by_nation(
+    events: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    window_len: str = "1 hour",
+) -> DataFrame:
+    """Stream-STATIC dimension enrichment + windowed rollup (the other
+    production streaming-join shape beside the stream-stream interval
+    join): events join the customer->nation dimension chain, then
+    tumble into per-nation windows.
+
+    Stream-static joins are STATELESS in Structured Streaming — each
+    micro-batch joins against the static side with no join state kept,
+    so there is no watermark requirement and no eviction story: the
+    state bound is the aggregation's open windows only. The dimension
+    chain is broadcast by construction (dims are bounded — same
+    rationale as q05's nation/region broadcast; the fact side is never
+    hinted).
+
+    Works identically on batch frames (q118's oracle path). 100 TB:
+    map-side broadcast join per batch + one keyed shuffle into the
+    window aggregate.
+    """
+    dims = customer.join(
+        nation, customer["c_nationkey"] == nation["n_nationkey"]
+    ).select(F.col("c_custkey").alias("__ck"), "n_name")
+    e = events.join(
+        F.broadcast(dims), events["user_id"] == F.col("__ck"), "inner"
+    )
+    return (
+        e.groupBy(F.window("ts", window_len).alias("w"), "n_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_name",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     key_cols: list[str],
