@@ -27,6 +27,7 @@ EXAMPLES_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "example
         "run_job_lifecycle",
         "run_multimodal",
         "run_corpus_pipeline",
+        "run_attribution",
     ],
 )
 def test_example_runs(spark, mod_name, capsys):
