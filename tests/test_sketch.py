@@ -349,3 +349,23 @@ def test_heavy_hitters_releases_summary_persist(spark):
     assert after - before == set(), (
         f"heavy_hitters leaked persisted RDDs: {after - before}"
     )
+
+
+def test_heavy_hitters_tree_merge_at_high_partition_count(spark):
+    # The >256-partition tree-merge level must not change results:
+    # same exact heavy hitters as the flat merge (mergeability is
+    # associative), verified on a 300-partition input.
+    from collections import Counter
+
+    from xlearning_spark.operators.sketch import heavy_hitters
+
+    rows = [(f"hot{j}",) for j in range(2) for _ in range(3000)]
+    rows += [(f"tail{i}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, "v string").repartition(300)
+    k = 10
+    n = len(rows)
+    truth = {
+        (v, c) for v, c in Counter(r[0] for r in rows).items() if c * k > n
+    }
+    got = {(r.v, r.freq) for r in heavy_hitters(df, "v", k=k).collect()}
+    assert got == truth and len(truth) == 2

@@ -949,10 +949,16 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
             counters = _reduce(counters)
         yield _emit(counters, total)
 
+    summary = src.mapInPandas(mg, schema=schema)
+    # Tree merge: at extreme partition counts (100 TB scans run 10^5+
+    # tasks) the final single-task merge would stream (k+1)*P rows
+    # through one slot; an intermediate 32-way merge level bounds that
+    # at 33*(k+1) rows. Associativity (PODS'12 mergeability) makes the
+    # tree shape free of correctness consequences.
+    if src.rdd.getNumPartitions() > 256:
+        summary = summary.repartition(32).mapInPandas(mg_merge, schema=schema)
     merged = (
-        src.mapInPandas(mg, schema=schema)
-        .repartition(1)
-        .mapInPandas(mg_merge, schema=schema)
+        summary.repartition(1).mapInPandas(mg_merge, schema=schema)
     ).collect()  # <= k+1 rows
     n_total = sum(r["__n"] for r in merged if r["__cand"] is None)
     cands = [r["__cand"] for r in merged if r["__cand"] is not None]
