@@ -104,6 +104,11 @@ HEADLINE = [
     # organic-skew curve lives in the skew-probe section below).
     "q106_important_part_share",
     "q115_quality_keeper_dedup",
+    # r8: the interval join (q116 runs the streaming operator's exact
+    # plan on batch frames) over replicated events — user_id offsets
+    # keep per-user densities constant, so output and per-key join
+    # state grow linearly with volume.
+    "q116_conversion_attribution",
 ]
 
 #: Per-query extra factors beyond the CLI list: the queries probed
@@ -126,6 +131,7 @@ EXTRA_FACTORS = {
     "q113_heavy_hitters": [16],
     "q114_sq8_ann_topk": [16],
     "q115_quality_keeper_dedup": [16],
+    "q116_conversion_attribution": [16],
 }
 
 #: 5-run medians everywhere: the shared local-mode JVM throws
@@ -152,7 +158,7 @@ def build_scaled(spark, factor: int) -> str:
     from xlearning_spark.sources import TABLES, read_table
 
     out_dir = os.path.join(WORK, f"x{factor}")
-    marker = os.path.join(out_dir, "_READY_v2")  # v2: +documents/embeddings
+    marker = os.path.join(out_dir, "_READY_v3")  # v3: +events replicas
     if os.path.exists(marker):
         return out_dir
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -204,6 +210,25 @@ def build_scaled(spark, factor: int) -> str:
             voff = df.agg(F.max("vec_id")).collect()[0][0] + 1
             parts = [
                 df.withColumn("vec_id", F.col("vec_id") + F.lit(i * voff))
+                for i in range(factor)
+            ]
+            scaled = parts[0]
+            for p in parts[1:]:
+                scaled = scaled.union(p)
+            scaled.write.mode("overwrite").parquet(dst)
+        elif name == "events":
+            # r8 (+interval-join probe): replicate with BOTH event_id
+            # and user_id offsets — per-user event densities stay
+            # constant, so the interval join's output and per-key
+            # state grow linearly with volume, never quadratically
+            # (the user population grows with the corpus, as it does
+            # in production).
+            df = read_table(spark, BASE_SF, name)
+            eoff = df.agg(F.max("event_id")).collect()[0][0] + 1
+            uoff = df.agg(F.max("user_id")).collect()[0][0] + 1
+            parts = [
+                df.withColumn("event_id", F.col("event_id") + F.lit(i * eoff))
+                .withColumn("user_id", F.col("user_id") + F.lit(i * uoff))
                 for i in range(factor)
             ]
             scaled = parts[0]
@@ -361,7 +386,12 @@ form) 1.30x at 16x under the Caesar-multiplied worst-case vocabulary
 — the second MG merge bounds candidates at <= k globally, so the
 recount isin stays constant-size regardless of factor; q114 (SQ8 ADC
 scan, query side fixed) 1.53x; q115 (keeper sweep = q83 generator +
-components + per-component argmax + AQE anti join) 1.53x at 16x.
+components + per-component argmax + AQE anti join) 1.53x at 16x;
+q116 (stream-stream interval join's exact plan on batch frames, over
+events replicas whose user_id offsets keep per-user densities
+constant — so join output and per-key state grow linearly by
+construction) 0.95x/0.96x/1.17x at 4/8/16x — flat on idle-slot
+absorption, the curve a single keyed shuffle per side should show.
 Superlinear flags: none. q115's ORGANIC-skew behavior (hot boilerplate
 growing with volume — the case this probe's Caesar design cannot
 exercise) is measured in the skew-probe section below: hash-order
