@@ -160,3 +160,18 @@ def test_dedup_sweep_anti_join_is_aqe_broadcast_not_forced(spark):
             f"{name}: AQE did not choose broadcast at fixture scale: "
             f"{anti_lines}"
         )
+
+
+def test_q118_enrichment_broadcasts_dims_single_agg_shuffle(spark):
+    # Stream-static enrichment (r8): the dimension chain must be
+    # broadcast (the fact side never shuffles for the join — the only
+    # Exchange is the window aggregate's), and the fact scan must be
+    # pruned to the three columns the query reads.
+    plan = _plan(spark, "q118_stream_enrichment")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one shuffle: the keyed window aggregate
+    assert plan.count("+- Exchange (") + plan.count(":- Exchange (") == 1
+    read_schema = plan.split("ReadSchema:")[1][:200]
+    assert "ts" in read_schema and "user_id" in read_schema
+    assert "props" not in read_schema and "event_type" not in read_schema
