@@ -162,16 +162,52 @@ def test_dedup_sweep_anti_join_is_aqe_broadcast_not_forced(spark):
         )
 
 
-def test_q118_enrichment_broadcasts_dims_single_agg_shuffle(spark):
-    # Stream-static enrichment (r8): the dimension chain must be
-    # broadcast (the fact side never shuffles for the join — the only
-    # Exchange is the window aggregate's), and the fact scan must be
-    # pruned to the three columns the query reads.
-    plan = _plan(spark, "q118_stream_enrichment")
-    assert "BroadcastHashJoin" in plan
+def test_q81_term_df_join_no_forced_hint(spark):
+    # r8 VERDICT item 2: the term->df vocabulary aggregate is heaps-law
+    # unbounded at corpus scale (billions of distinct terms at 100 TB),
+    # so the tf<->df join must not force a broadcast. At fixture scale
+    # AQE still chooses broadcast from the runtime size, so the fast
+    # plan is preserved where it is safe; no dangling hints anywhere.
+    from xlearning_spark.queries import registry
+
+    df = registry.get("q81_term_salience").spark(spark, SF_SMOKE)
+    df.collect()  # materialize so AQE finalizes the join strategy
+    plan = plan_string(df)
+    assert "isFinalPlan=true" in plan
+    assert "ResolvedHint" not in plan
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Join" in ln and ("+-" in ln or ":-" in ln or ln.strip().startswith("*"))
+    ]
+    assert join_lines, "no join in final q81 plan"
+    assert any("Broadcast" in ln for ln in join_lines), (
+        f"AQE did not choose broadcast at fixture scale: {join_lines}"
+    )
+
+
+def test_q118_enrichment_no_forced_dim_hint_planner_broadcasts(spark):
+    # r8 VERDICT item 1: the customer->nation dimension chain is
+    # SF-proportional on its customer side, so the events<->dims join
+    # must NOT carry a forced F.broadcast hint (that hint OOMs every
+    # executor at the 100 TB target). Only the genuinely bounded side
+    # (nation, 25 rows at every SF) may be hinted. What we pin here is
+    # the intent, mirroring the dedup anti-join guard above: no
+    # dangling hint on the dims join, and at fixture scale the planner
+    # still CHOOSES broadcast on its own from the size estimate — so
+    # small corpora keep the map-side plan while big ones degrade
+    # gracefully to a shuffled join instead of an OOM.
+    from xlearning_spark.queries import registry
+
+    df = registry.get("q118_stream_enrichment").spark(spark, SF_SMOKE)
+    df.collect()  # materialize so AQE finalizes the join strategy
+    plan = plan_string(df)
+    assert "isFinalPlan=true" in plan
+    # both joins (customer x nation, events x dims) chosen as broadcast
+    # at fixture scale
+    assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
-    # exactly one shuffle: the keyed window aggregate
-    assert plan.count("+- Exchange (") + plan.count(":- Exchange (") == 1
+    # fact scan pruned to the three columns the query reads
     read_schema = plan.split("ReadSchema:")[1][:200]
     assert "ts" in read_schema and "user_id" in read_schema
     assert "props" not in read_schema and "event_type" not in read_schema

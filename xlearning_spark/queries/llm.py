@@ -1482,10 +1482,13 @@ FROM r WHERE rank <= 5
     "exactly-rounded IEEE division and the hash compare is bit-stable; "
     "same ranking family as TF-IDF keyword extraction). Shape: one "
     "token explode feeding two map-side-combining aggs (tf by (doc, "
-    "term), df by term), broadcast-joined back, one per-doc ranking "
-    "window — at 100 TB the df table is vocabulary-sized (small) and "
-    "broadcast, the corpus-sized tf stream shuffles once on its "
-    "natural key.",
+    "term), df by term), joined back on term with NO forced hint "
+    "(VERDICT r8 item 2: a web-corpus vocabulary is heaps-law "
+    "unbounded — URLs, numbers, typos push distinct terms into the "
+    "billions at 100 TB, so a forced broadcast of the df table is an "
+    "OOM cliff; the planner broadcasts it by itself while it fits "
+    "autoBroadcastJoinThreshold and shuffles on term when it does "
+    "not), then one per-doc ranking window.",
 )
 def q81_term_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1494,7 +1497,9 @@ def q81_term_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("term").isNotNull())
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df_), "term").select(
+    # No broadcast hint: df_ scales with the corpus vocabulary
+    # (heaps-law unbounded at 100 TB) — let the planner/AQE choose.
+    scored = tf.join(df_, "term").select(
         "doc_id",
         "term",
         "tf",

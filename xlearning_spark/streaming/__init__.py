@@ -165,21 +165,27 @@ def enriched_tumbling_by_nation(
     Stream-static joins are STATELESS in Structured Streaming — each
     micro-batch joins against the static side with no join state kept,
     so there is no watermark requirement and no eviction story: the
-    state bound is the aggregation's open windows only. The dimension
-    chain is broadcast by construction (dims are bounded — same
-    rationale as q05's nation/region broadcast; the fact side is never
-    hinted).
+    state bound is the aggregation's open windows only.
+
+    Broadcast discipline (VERDICT r8 item 1): only ``nation`` is
+    hinted — it is bounded by construction (25 rows at every SF, same
+    rationale as q05). ``customer`` is SF-PROPORTIONAL (billions of
+    rows at the 100 TB target), so the events⋈dims join carries NO
+    hint: the planner picks broadcast from the dims' size estimate at
+    small SF and falls back to a shuffled hash/sort-merge join when
+    the dimension outgrows ``autoBroadcastJoinThreshold``. A forced
+    ``F.broadcast(dims)`` here would OOM every executor at target
+    scale. (Reference analogue: broadcast-vs-split is the AM's runtime
+    decision, AM/ApplicationMaster.java:1043-1076.)
 
     Works identically on batch frames (q118's oracle path). 100 TB:
-    map-side broadcast join per batch + one keyed shuffle into the
+    planner-chosen dim join per batch + one keyed shuffle into the
     window aggregate.
     """
     dims = customer.join(
-        nation, customer["c_nationkey"] == nation["n_nationkey"]
+        F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
     ).select(F.col("c_custkey").alias("__ck"), "n_name")
-    e = events.join(
-        F.broadcast(dims), events["user_id"] == F.col("__ck"), "inner"
-    )
+    e = events.join(dims, events["user_id"] == F.col("__ck"), "inner")
     return (
         e.groupBy(F.window("ts", window_len).alias("w"), "n_name")
         .agg(
