@@ -356,6 +356,47 @@ def test_neardup_ingest_accumulates_novel_docs(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 3, 6, 8}
 
 
+def test_neardup_ingest_backfill_unhinted_path_same_corpus(spark, tmp_path):
+    # VERDICT r8 item 4: an AvailableNow BACKFILL can make one batch
+    # the entire backlog, so the per-batch verdict/loser broadcasts
+    # are gated on batch row count. broadcast_batch_limit=0 forces
+    # every batch down the un-hinted (planner-chosen) path; the landed
+    # corpus must be IDENTICAL to the hinted run's — the hint is a
+    # plan detail, never a semantic one.
+    import os
+
+    schema = "doc_id bigint, text string"
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),   # ~ d1 -> drops
+        (3, "one two three four five"),
+        (4, "red green blue cyan magenta"),
+        (5, "red green blue cyan yellow"),    # ~ d4 -> drops
+        (6, "totally novel words land here"),
+    ]
+    landed = {}
+    for mode, limit in (("hinted", 1_000_000), ("backfill", 0)):
+        src = str(tmp_path / mode / "src")
+        os.makedirs(src)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        w = st.neardup_ingest(
+            spark.readStream.format("parquet").schema(schema).load(src),
+            str(tmp_path / mode / "corpus"),
+            str(tmp_path / mode / "ckpt"),
+            threshold=0.5,
+            shingle_size=2,
+            broadcast_batch_limit=limit,
+        )
+        assert w
+        landed[mode] = {
+            r.doc_id
+            for r in spark.read.parquet(str(tmp_path / mode / "corpus")).collect()
+        }
+    assert landed["hinted"] == landed["backfill"] == {1, 3, 4, 6}
+
+
 def test_streaming_hll_equals_batch_exactly(spark, events_dir, tmp_path):
     # A6 x T: after draining, the incrementally-merged register state
     # must be EXACTLY the batch sketch of the full history (register

@@ -489,6 +489,7 @@ def neardup_ingest(
     threshold: float = 0.5,
     shingle_size: int = 5,
     demote_hot_df: float | None = None,
+    broadcast_batch_limit: int = 1_000_000,
 ) -> list[int]:
     """Streaming near-dup ingest (L2 x T, the last batch-only gap in
     the LLM tier): every landed micro-batch is near-dup checked against
@@ -521,6 +522,16 @@ def neardup_ingest(
     re-paired against itself — pair volume is ~|batch| * shared-key
     frequency, independent of corpus pair structure.
 
+    Broadcast discipline (VERDICT r8 item 4): the component-verdict and
+    loser frames are bounded by the BATCH's dup structure, which in
+    steady state is micro-batch-sized — but a ``Trigger.AvailableNow``
+    backfill makes one "batch" the entire backlog, at which point a
+    forced broadcast of them is the corpus-scaled hint r7 vetoed. The
+    hints are therefore gated on the batch row count
+    (``broadcast_batch_limit``, counted once per batch): under the
+    limit the per-batch joins keep the map-side plan, over it they run
+    un-hinted and the planner/AQE picks the strategy from actual sizes.
+
     Returns the batch ids that appended at least one document.
     """
     from xlearning_spark.operators.dedup import (
@@ -533,8 +544,14 @@ def neardup_ingest(
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
-        if batch.isEmpty():
+        n_batch = batch.count()
+        if n_batch == 0:
             return
+        # Verdict/loser frames are bounded by the batch's dup
+        # structure: hint them only while the batch itself is small
+        # (an AvailableNow backfill can make one batch the whole
+        # backlog — see docstring; VERDICT r8 item 4).
+        hint = F.broadcast if n_batch <= broadcast_batch_limit else (lambda d: d)
         corpus = _read_state_parquet(spark, corpus_dir)
         if corpus is not None:
             corpus = corpus.select(id_col, text_col)
@@ -564,22 +581,24 @@ def neardup_ingest(
         rank = pool.select(F.col(id_col).alias("id"), "__corpus")
         labeled = comps.join(rank, "id")
         # Component verdicts: corpus member present -> all batch
-        # members drop; else min batch id survives. Components are the
-        # small side (dup residue), broadcast both ways.
+        # members drop; else min batch id survives. Both frames are
+        # bounded by the batch's dup residue — map-side joinable in
+        # steady state, but only hinted under broadcast_batch_limit
+        # (backfill batches go un-hinted; the planner decides).
         verdict = labeled.groupBy("component").agg(
             F.max(F.col("__corpus").cast("int")).alias("__has_corpus"),
             F.min(F.when(~F.col("__corpus"), F.col("id"))).alias("__min_batch"),
         )
         losers = (
             labeled.filter(~F.col("__corpus"))
-            .join(F.broadcast(verdict), "component")
+            .join(hint(verdict), "component")
             .filter(
                 (F.col("__has_corpus") == 1) | (F.col("id") != F.col("__min_batch"))
             )
             .select("id")
         )
         survivors = batch.join(
-            F.broadcast(losers), batch[id_col] == losers.id, "left_anti"
+            hint(losers), batch[id_col] == losers.id, "left_anti"
         )
         # Materialize before writing: corpus_dir is both read above and
         # appended here, and a lazy plan would self-overlap.
