@@ -332,10 +332,11 @@ def test_heavy_hitters_exact_on_skewed_large_domain(spark):
 
 
 def test_heavy_hitters_releases_summary_persist(spark):
-    # r7 VERDICT #4: the Misra-Gries summary frame must not stay
-    # persisted after heavy_hitters returns — the candidate set is
-    # localCheckpoint'ed so the summary's persist is released eagerly,
-    # leaving no orphaned cached RDD for the LRU manager to babysit.
+    # r7 VERDICT #4: heavy_hitters must leave nothing persisted or
+    # checkpointed behind. The r8 implementation never caches at all —
+    # the merged summary (<= k+1 rows) is collected once and the exact
+    # recount filters with isin literals — so the persistent-RDD set
+    # must be unchanged after a full run.
     from xlearning_spark.operators.sketch import heavy_hitters
 
     jsc = spark.sparkContext._jsc

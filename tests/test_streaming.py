@@ -1131,6 +1131,10 @@ def test_compact_refuses_foreign_lease(spark, tmp_path):
     with pytest.raises(RuntimeError, match="ingest lease"):
         st.compact_excise_registry(spark, state)
     assert st.compact_excise_registry(spark, state, ignore_lease=True) is None
+    # ADVICE r8: one confirmed override CLEARS the stale lease, so
+    # subsequent compactions run normally without ignore_lease.
+    assert not (tmp_path / "state" / "_INGEST_LEASE").exists()
+    assert st.compact_excise_registry(spark, state) is None
 
 
 def test_excise_ingest_releases_lease(spark, tmp_path):

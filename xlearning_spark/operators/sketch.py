@@ -898,6 +898,11 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
     """
     import pandas as pd
 
+    # Partition count read once from the INPUT df (cheap: scan
+    # partitioning is known without executing anything) rather than
+    # converting the filtered/projected plan to an RDD per call
+    # (ADVICE r8); the filter/projection never changes partitioning.
+    n_parts = df.rdd.getNumPartitions()
     src = df.filter(F.col(col).isNotNull()).select(
         F.col(col).cast("string").alias("__v")
     )
@@ -942,7 +947,11 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
         total = 0
         for pdf in batches:
             for v, c in zip(pdf["__cand"], pdf["__n"]):
-                if v is None:
+                # pd.isna, not `is None`: Arrow-to-pandas can surface
+                # string nulls as NaN/pd.NA depending on pandas/Arrow
+                # config, and a misread total row would zero n_total
+                # (ADVICE r8).
+                if pd.isna(v):
                     total += int(c)
                 else:
                     counters[v] = counters.get(v, 0) + int(c)
@@ -955,7 +964,7 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
     # through one slot; an intermediate 32-way merge level bounds that
     # at 33*(k+1) rows. Associativity (PODS'12 mergeability) makes the
     # tree shape free of correctness consequences.
-    if src.rdd.getNumPartitions() > 256:
+    if n_parts > 256:
         summary = summary.repartition(32).mapInPandas(mg_merge, schema=schema)
     merged = (
         summary.repartition(1).mapInPandas(mg_merge, schema=schema)

@@ -1236,15 +1236,23 @@ def compact_excise_registry(
                 "compaction is offline-only (stop or drain the ingest "
                 "first)"
             )
-    lease = _read_small_file(spark, os.path.join(state_dir, _INGEST_LEASE))
-    if lease is not None and not ignore_lease:
-        raise RuntimeError(
-            f"compact_excise_registry({state_dir!r}) refused: the "
-            f"registry holds an ingest lease ({lease}) — an "
-            "excise_ingest in another process/session may be live, and "
-            "compaction is offline-only. If that ingest crashed (stale "
-            "lease), re-run it or pass ignore_lease=True."
-        )
+    lease_path = os.path.join(state_dir, _INGEST_LEASE)
+    lease = _read_small_file(spark, lease_path)
+    if lease is not None:
+        if not ignore_lease:
+            raise RuntimeError(
+                f"compact_excise_registry({state_dir!r}) refused: the "
+                f"registry holds an ingest lease ({lease}) — an "
+                "excise_ingest in another process/session may be live, and "
+                "compaction is offline-only. If that ingest crashed (stale "
+                "lease), re-run it or pass ignore_lease=True."
+            )
+        # The caller has confirmed the lease is dead: clear it so ONE
+        # confirmed override restores normal operation — otherwise
+        # every later compaction on this registry would need
+        # ignore_lease forever (ADVICE r8).
+        fs_l, jvm_l = _fs_for(spark, state_dir)
+        fs_l.delete(jvm_l.org.apache.hadoop.fs.Path(lease_path), False)
     _finish_compaction(spark, state_dir)
     fs, jvm = _fs_for(spark, state_dir)
     glob = jvm.org.apache.hadoop.fs.Path(os.path.join(state_dir, "batch=*"))
