@@ -89,30 +89,34 @@ GRADING_WINDOW = [
     "q101_demoted_jaccard",      # L2 frequency-demoted (organic-skew) prefix order, q70-oracle-certified (r6 rotation-2 in; A4 spare q37 driver-green r1-r6)
     "q102_salted_agg",           # explicit two-stage salted aggregation == plain GROUP BY (r6 rotation-2 in; L1 spare q40 driver-green r1-r6, exact dedup also inside q80/q83 sweeps)
     "q70_ngram_jaccard",         # L2 exact n-gram Jaccard, prefix-filtered (scale form)
-    "q85_portable_hll",          # A6 hash-certified portable HyperLogLog (r5 rotation; L4 spare: q44, driver-green r1-r4)
     "q50_lsh_ann_topk",          # L3 hyperplane LSH (ungraded in r2)
     "q51_bpe_token_counting",    # L4 BPE tokens (ungraded in r2)
     "q53_neardup_components",    # L2 connected components (ungraded in r2)
-    "q98_duplicate_spans",       # L2 exact substring-dedup spans, Lee et al. ACL'22 (r5 session 5; the portable-MinHash machinery twin q86 moves to spares — L2 stays certified by q70+q53+q98, and q86's banding algebra is pytest- plus local-oracle-certified)
-    # r7 rotation IN: the new subquery-decorrelation tier (TPC-H
-    # Q17/Q21/Q22/Q11/Q20/Q2/Q18/Q15/Q13 shapes — Catalyst's
-    # RewriteCorrelatedScalarSubquery / RewritePredicateSubquery paths,
-    # previously certified only by q39's single correlated-max shape)
-    # and the three new r7 operator families (portable Bloom, MG heavy
-    # hitters, SQ8 quantized ANN). Rotated out to make room (families
-    # stay certified by five-to-six consecutive driver-green rounds,
-    # pytest guards, and in-window family mates q81/q113 for L4, q50/
-    # q114 for L3, q94 for L6): q60-q68 (driver-green r2-r6), q43/q46
-    # (r1-r6), q89 (r5-r6).
-    "q103_small_quantity_revenue",   # TPC-H Q17: correlated scalar AVG
+    # r9 re-certification rotation (VERDICT r8 item 5): with zero
+    # never-driver-graded oracle queries left, the window now cycles
+    # the OLDEST driver-green families back in so no family's newest
+    # green row ages past ~3 rounds. IN: the pipe/UDF/sharding/
+    # sessionization tier last graded r6 (q60 pipe E1, q63 pandas-UDF
+    # U2, q64 UDAF U3, q35 sessionization T3, q66 round-robin P1, q67
+    # epoch-replay P6/T6) plus q89 (L6 bigram-LM, last r6) and q43
+    # (L4 text stats, last r6). OUT, all freshly double-graded r7+r8
+    # with in-window family mates: six of the nine subquery-tier
+    # shapes (q104 EXISTS+NOT-EXISTS, q106 scalar-agg HAVING and q108
+    # correlated-MIN stay in as the tier's certifiers), q85 portable
+    # HLL (A6 stays certified by in-window q88) and q98 duplicate
+    # spans (L2 keeps eight in-window mates incl. q99's excision
+    # composition of the same machinery).
+    "q60_pipe_wordcount",        # E1/U1 arbitrary-process pipe (last r6)
+    "q63_pandas_udf_tokens",     # U2 scalar pandas UDF (last r6)
+    "q64_apply_in_pandas_group_stats",  # U3 UDAF (last r6)
+    "q35_sessionization",        # T3 session windows (last r6)
+    "q66_round_robin_allocation",  # P1 round-robin split (last r6)
+    "q67_epoch_replay",          # P6/T6 epoch replay (last r6)
+    "q89_lm_quality",            # L6 bigram-LM perplexity (last r6)
+    "q43_text_stats",            # L4 text statistics (last r6)
     "q104_sole_blame_supplier",      # TPC-H Q21: EXISTS + NOT EXISTS
-    "q105_dormant_rich_customers",   # TPC-H Q22: scalar + NOT EXISTS
     "q106_important_part_share",     # TPC-H Q11: HAVING vs global scalar
-    "q107_red_part_volume_suppliers",  # TPC-H Q20: nested IN over HAVING
     "q108_cheapest_supplier_per_part", # TPC-H Q2: correlated MIN over join
-    "q109_large_volume_orders",      # TPC-H Q18: IN-over-HAVING semi join
-    "q110_top_revenue_supplier",     # TPC-H Q15: CTE + MAX scalar equality
-    "q111_order_count_distribution", # TPC-H Q13: outer-join count dist
     "q112_portable_bloom",           # 5th certified sketch family (live FPs)
     "q113_heavy_hitters",            # MG candidates + exact integer recount
     "q114_sq8_ann_topk",             # L3 quantized ANN, hash-certified ADC
@@ -156,6 +160,17 @@ GRADED_SPARES = [
     "q82_multimodal_image",
     "q86_portable_minhash",
     "q92_multimodal_video",
+    # r9 rotations OUT (all driver-green r7 AND r8 — the freshest
+    # possible history; see the r9 rotation-in comment for the
+    # in-window mates that keep each family certified):
+    "q103_small_quantity_revenue",
+    "q105_dormant_rich_customers",
+    "q107_red_part_volume_suppliers",
+    "q109_large_volume_orders",
+    "q110_top_revenue_supplier",
+    "q111_order_count_distribution",
+    "q85_portable_hll",
+    "q98_duplicate_spans",
     # r6 rotation-2 OUT of the window (driver-green r1-r6 in prior
     # CORRECTNESS records — six consecutive rounds; each family stays
     # certified by that history, by plan guards (broadcast/as-of/topk
@@ -191,20 +206,18 @@ GRADED_SPARES = [
     "q47_embedding_stats",
     # r7 rotations OUT of the window (driver-green r2-r6 / r1-r6 /
     # r5-r6 respectively; every family keeps an in-window certifier or
-    # a multi-round driver-green history — see the window comment):
-    "q35_sessionization",
-    "q60_pipe_wordcount",
+    # a multi-round driver-green history — see the window comment).
+    # r9 rotated q35/q60/q63/q64/q66/q67/q43/q89 back IN (oldest
+    # driver-green histories — VERDICT r8 item 5); these three stay
+    # spares with in-window tier mates (q61 file-list ~ q60's pipe
+    # tier, q62 map fns ~ the §2.6 family, q65 UDTF ~ q63/q64's UDF
+    # surface, q68 Hadoop records pytest- + r3-r7-certified, q46
+    # cosine ~ in-window q50/q114):
     "q61_input_file_list",
     "q62_map_functions",
-    "q63_pandas_udf_tokens",
-    "q64_apply_in_pandas_group_stats",
     "q65_tokens_udtf",
-    "q66_round_robin_allocation",
-    "q67_epoch_replay",
     "q68_hadoop_records",
-    "q43_text_stats",
     "q46_cosine_topk",
-    "q89_lm_quality",
 ]
 
 #: Rows-only (oracle=None) queries: can never hash-match, so they must
