@@ -850,8 +850,12 @@ def test_jpeg_progressive_and_malformed_fall_back_to_stub(spark):
         [("p.jpg", prog), ("t.jpg", trunc)], ["path", "content"]
     )
     got = {r.path: r for r in mm.decode_image(df).collect()}
-    assert len(got["p.jpg"].feature) == 8
-    assert len(got["t.jpg"].feature) == 8
+    if not mm.optional_codecs()["pillow"]:
+        # With Pillow installed the progressive payload may instead
+        # take the optional real-decode path (see the pillow-gated
+        # test at the bottom); the stub contract holds without it.
+        assert len(got["p.jpg"].feature) == 8
+    assert len(got["t.jpg"].feature) == 8  # truncated: stub either way
 
 
 # --------------------------------------------------------------------
@@ -1250,3 +1254,89 @@ def test_webm_metadata_ebml_walk(spark):
     df2 = spark.createDataFrame([("c2.webm", webm2)], ["path", "content"])
     r2 = mm.decode_video(df2, max_frames=1).collect()[0]
     assert r2.n_frames == 7
+
+
+# --------------------------------------------------------------------
+# Optional codec-library path (VERDICT r8 item 8): auto-detected
+# Pillow/PyAV decode for library-dependent formats; the declared stub
+# remains the no-library fallback and is tested above either way.
+# --------------------------------------------------------------------
+
+def test_optional_codecs_flag_shape():
+    # The decode-real flag: one boolean per optional library, computed
+    # by import-probe — flips to True wherever the library installs,
+    # with zero engine-code changes.
+    flags = mm.optional_codecs()
+    assert set(flags) == {"pillow", "pyav"}
+    assert all(isinstance(v, bool) for v in flags.values())
+
+
+def test_progressive_jpeg_without_pillow_stays_stub(spark):
+    # Container contract when Pillow is ABSENT: progressive JPEG takes
+    # the deterministic stub (covered generally above); with Pillow
+    # PRESENT the same payload must decode for real instead — that
+    # branch is the pillow-gated test below.
+    if mm.optional_codecs()["pillow"]:
+        import pytest
+
+        pytest.skip("Pillow installed: the real-decode test covers this")
+    prog = _make_jpeg(8, 8, [[{0: 10}]], sof_marker=0xC2)
+    df = spark.createDataFrame([("p.jpg", prog)], ["path", "content"])
+    row = mm.decode_image(df).collect()[0]
+    assert len(row.feature) == 8  # digest stub, not a 1-3 channel mean
+
+
+def test_pillow_decodes_progressive_jpeg_for_real(spark, tmp_path):
+    # Gated on the library: a REAL progressive JPEG (PIL-encoded)
+    # must come back with its true dimensions and a per-channel mean,
+    # not the stub digest.
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    arr = np.zeros((24, 32, 3), np.uint8)
+    arr[:, :, 0] = 200  # red-dominant so the mean is recognizable
+    buf = io.BytesIO()
+    PIL_Image.fromarray(arr).save(buf, format="JPEG", progressive=True)
+    payload = buf.getvalue()
+    df = spark.createDataFrame([("p.jpg", payload)], ["path", "content"])
+    row = mm.decode_image(df, keep_pixels=True).collect()[0]
+    assert (row.width, row.height, row.n_channels) == (32, 24, 3)
+    assert row.feature[0] > 0.6 and row.feature[1] < 0.3
+    assert row.pixels is not None and len(row.pixels) == 32 * 24 * 3
+
+
+def test_pyav_decodes_mp3_samples_for_real(spark, tmp_path):
+    # Gated on the library: encode a 440 Hz sine to MP3 with PyAV,
+    # then decode_audio must return the true rate and a duration
+    # within codec padding tolerance — and 16-bit samples, where the
+    # in-engine metadata walk can only report bit_depth 0.
+    import pytest
+
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    rate, secs = 44100, 1.0
+    t = np.arange(int(rate * secs)) / rate
+    pcm = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp3") as container:
+        stream = container.add_stream("mp3", rate=rate)
+        frame = av.AudioFrame.from_ndarray(pcm[None, :], format="s16", layout="mono")
+        frame.sample_rate = rate
+        for pkt in stream.encode(frame):
+            container.mux(pkt)
+        for pkt in stream.encode(None):
+            container.mux(pkt)
+    df = spark.createDataFrame([("a.mp3", buf.getvalue())], ["path", "content"])
+    row = mm.decode_audio(df).collect()[0]
+    assert row.media_type == "audio/mp3"
+    assert row.sample_rate == rate
+    assert row.bit_depth == 16  # real sample decode, not metadata-only
+    assert abs(row.duration_s - secs) < 0.2  # encoder padding tolerance
+    assert 0.2 < row.feature[0] < 0.5  # RMS of a 0.5-amplitude sine ~0.35

@@ -22,12 +22,17 @@ rates and a numpy-computed feature (per-channel pixel mean;
 per-channel RMS).
 Video: MJPEG-in-AVI is decoded FOR REAL too (decode_video — RIFF
 container walk + the same baseline JPEG decoder per sampled frame).
-Formats that do need codec libraries (progressive JPEG, MP3,
-non-MJPEG video codecs — not in this environment) fall back to a
-clearly marked STUB: the Spark-side plumbing (schema, batching,
-partitioning) is real and tested; the stub body is a deterministic
-fake keyed on the content hash. Swap ``_fake_decode`` for a
-PIL/libav call in production.
+Formats that do need codec libraries (progressive JPEG, MP3 samples,
+non-MJPEG video codecs) use an OPTIONAL auto-detected library path
+(VERDICT r8 item 8): if Pillow / PyAV import on the executors, the
+decode stages use them for exactly the payloads the in-engine
+decoders return None for — progressive/arithmetic JPEG via PIL,
+MP3/compressed-audio sample decode and VP8/VP9/AV1 frame sampling
+via PyAV. Neither library is required: without them those payloads
+fall back to the clearly marked STUB (deterministic fake keyed on
+the content hash; Spark-side plumbing — schema, batching,
+partitioning — identical and tested either way).
+:func:`optional_codecs` reports what the current interpreter sees.
 """
 
 from __future__ import annotations
@@ -86,6 +91,22 @@ DECODED_SCHEMA = (
     "path string, media_type string, width int, height int, "
     "n_channels int, feature array<double>"
 )
+
+
+def optional_codecs() -> dict[str, bool]:
+    """Which optional codec libraries THIS interpreter can import —
+    the decode-real flag for the library-dependent formats. The
+    executors make the same probe independently inside the decode
+    closures (a local import-try), so a heterogeneous cluster degrades
+    per-worker to the stub rather than failing the stage."""
+    out = {}
+    for key, mod in (("pillow", "PIL.Image"), ("pyav", "av")):
+        try:
+            __import__(mod)
+            out[key] = True
+        except Exception:
+            out[key] = False
+    return out
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, int, list[float]]:
@@ -702,6 +723,39 @@ def decode_image(
                 )
             return None
 
+        def decode_pil(content: bytes):
+            # OPTIONAL library path (auto-detected per executor): used
+            # only for payloads the in-engine decoders return None for
+            # (progressive/arithmetic JPEG, interlaced/16-bit PNG...).
+            # Same output contract as the in-engine decoders; absent
+            # library or failed parse -> None -> deterministic stub.
+            if not content:
+                return None
+            try:
+                import io
+
+                from PIL import Image
+            except Exception:
+                return None
+            try:
+                img = Image.open(io.BytesIO(content))
+                img.load()
+                if img.mode not in ("L", "RGB", "RGBA"):
+                    img = img.convert("RGB")
+                arr = np.asarray(img)
+            except Exception:
+                return None
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            means = arr.astype(np.float64).mean(axis=(0, 1)) / 255.0
+            return (
+                int(img.width),
+                int(img.height),
+                int(arr.shape[2]),
+                [float(x) for x in means],
+                np.ascontiguousarray(arr.astype(np.uint8)).tobytes(),
+            )
+
         real = {
             "image/bmp": decode_bmp,
             "image/png": decode_png,
@@ -729,6 +783,8 @@ def decode_image(
                 ):
                     decoder = real.get(mtype)
                     decoded = decoder(content) if decoder else None
+                    if decoded is None and mtype.startswith("image/"):
+                        decoded = decode_pil(content)  # optional library path
                     if decoded:
                         w, h, c, feat = decoded[:4]
                         px = decoded[4] if len(decoded) > 4 else None
@@ -848,6 +904,56 @@ def decode_audio(
                 return None
             return rate, channels, 0, total_samples, total_samples / rate, []
 
+        def decode_av_audio(content: bytes):
+            # OPTIONAL library path (auto-detected per executor): PyAV
+            # decodes the compressed stream to real samples — rate,
+            # channel count, exact sample count and a per-channel RMS
+            # feature, same contract as decode_wav. Absent library or
+            # failed parse -> None -> in-engine metadata walk / stub.
+            if not content:
+                return None
+            try:
+                import io
+
+                import av
+            except Exception:
+                return None
+            try:
+                with av.open(io.BytesIO(content)) as container:
+                    stream = container.streams.audio[0]
+                    rate = int(stream.rate or 0)
+                    chunks = []
+                    was_int = False
+                    for frame in container.decode(stream):
+                        arr = frame.to_ndarray()  # (channels, n) float/int
+                        if arr.ndim == 1:
+                            arr = arr[None, :]
+                        was_int = np.issubdtype(arr.dtype, np.integer)
+                        chunks.append(arr.astype(np.float64))
+                    if not chunks or rate <= 0:
+                        return None
+                    pcm = np.concatenate(chunks, axis=1)
+                    if was_int:
+                        pcm = pcm / 32768.0
+                    ch, n = pcm.shape
+                    rms = np.sqrt((pcm**2).mean(axis=1))
+                    smp = (
+                        np.clip(pcm.T * 32767.0, -32768, 32767)
+                        .astype("<i2")
+                        .tobytes()
+                    )
+                    return (
+                        rate,
+                        ch,
+                        16,
+                        int(n),
+                        n / rate,
+                        [float(x) for x in rms],
+                        smp,
+                    )
+            except Exception:
+                return None
+
         def decode_wav(content: bytes):
             # REAL decoder. Returns None for anything not uncompressed
             # RIFF/WAVE -> caller falls back to the stub.
@@ -944,7 +1050,12 @@ def decode_audio(
                     if mtype == "audio/wav":
                         decoded = decode_wav(content)
                     elif mtype == "audio/mp3":
-                        decoded = decode_mp3_meta(content)
+                        # Optional library path first (true sample
+                        # decode beats metadata-only), then the
+                        # in-engine frame-header walk, then the stub.
+                        decoded = decode_av_audio(content) or decode_mp3_meta(
+                            content
+                        )
                     else:
                         decoded = None
                     if decoded:
@@ -1252,6 +1363,48 @@ def decode_video(
                 )
             return rows
 
+        def av_frames(content: bytes):
+            # OPTIONAL library path (auto-detected per executor): PyAV
+            # decodes the codec stream (VP8/VP9/AV1/H.26x...) and this
+            # samples frames with the same arithmetic as the MJPEG
+            # path — per-frame true dimensions + channel-mean feature.
+            # Absent library or failed parse -> None -> metadata/stub.
+            if not content:
+                return None
+            try:
+                import io
+
+                import av
+                import numpy as np
+            except Exception:
+                return None
+            try:
+                with av.open(io.BytesIO(content)) as container:
+                    stream = container.streams.video[0]
+                    fps = float(stream.average_rate or 0.0)
+                    decoded = []
+                    for i, frame in enumerate(container.decode(stream)):
+                        if i % every_n_frames == 0 and len(decoded) < max_frames:
+                            arr = frame.to_ndarray(format="rgb24")
+                            means = arr.astype(np.float64).mean(axis=(0, 1)) / 255.0
+                            decoded.append(
+                                (
+                                    int(frame.width),
+                                    int(frame.height),
+                                    i,
+                                    [float(x) for x in means],
+                                )
+                            )
+                        n_total = i + 1
+                    if not decoded:
+                        return None
+                    return [
+                        (w, h, fps, n_total, f, feat)
+                        for w, h, f, feat in decoded
+                    ]
+            except Exception:
+                return None
+
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
@@ -1284,15 +1437,21 @@ def decode_video(
                                 w, h, _ch, feat = dec[:4]
                                 rows.append((w, h, fps, len(frames), f, feat))
                     elif mtype == "video/webm":
-                        meta = parse_webm(content)
-                        if meta is not None:
-                            w, h, fps, n = meta
-                            rows = [
-                                (w, h, fps, n, f, [])
-                                for f in range(0, max(n, 1), every_n_frames)[
-                                    :max_frames
+                        # Optional real frame decode first; else the
+                        # in-engine EBML metadata walk (no features).
+                        rows = av_frames(content)
+                        if rows is None:
+                            meta = parse_webm(content)
+                            if meta is not None:
+                                w, h, fps, n = meta
+                                rows = [
+                                    (w, h, fps, n, f, [])
+                                    for f in range(0, max(n, 1), every_n_frames)[
+                                        :max_frames
+                                    ]
                                 ]
-                            ]
+                    if rows is None and mtype.startswith("video/"):
+                        rows = av_frames(content)  # non-MJPEG AVI etc.
                     if rows is None:
                         rows = fake_frames(content)
                     for w, h, fps, n, f, feat in rows:
