@@ -464,10 +464,23 @@ def main() -> None:
             q: {int(f): v for f, v in cells.items()}
             for q, cells in json.load(open(sidecar)).items()
         }
+    # Envelope sidecar (VERDICT r8 item 7): per cell, the [min, max]
+    # across the 5 runs of THIS session — so a SCALE row whose cells
+    # spread across sessions (the iterative q53/q80 class) carries its
+    # own within-session dispersion bound instead of needing the
+    # variance narrative to defend it.
+    env_sidecar = os.path.join(WORK, "envelopes.json")
+    envelopes: dict[str, dict[int, list[float]]] = {}
+    if os.path.exists(env_sidecar):
+        envelopes = {
+            q: {int(f): v for f, v in cells.items()}
+            for q, cells in json.load(open(env_sidecar)).items()
+        }
     for name in HEADLINE:
         if only is not None and name not in only:
             continue
         results[name] = {}
+        envelopes[name] = {}
         q_factors = sorted({1, *factors, *EXTRA_FACTORS.get(name, [])})
         for f in q_factors:
             # Session-order hygiene: earlier queries leave cached
@@ -479,14 +492,31 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
             runs = []
             for _ in range(RUNS):
+                # Per-RUN hygiene (r9, the q53 variance fix): the
+                # iterative queries leave one localCheckpoint block set
+                # per round behind; the ContextCleaner releases them
+                # ASYNCHRONOUSLY, so without a drain here run N's timed
+                # window absorbs run N-1's cleanup + the GC pauses it
+                # triggers (observed: q53 cells spread 3x within one
+                # session, nonmonotone across factors). Python gc drops
+                # the DataFrame refs, System.gc lets the cleaner's
+                # weak-reference queue fire, and the pause lets it
+                # drain before the clock starts.
+                import gc as _gc
+
+                _gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(1.0)
                 t0 = time.time()
                 specs[name].spark(spark, dirs[f]).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 runs.append(time.time() - t0)
             results[name][f] = round(statistics.median(runs), 3)
+            envelopes[name][f] = [round(min(runs), 3), round(max(runs), 3)]
 
     json.dump(results, open(sidecar, "w"), indent=1)
+    json.dump(envelopes, open(env_sidecar, "w"), indent=1)
 
     fs = sorted({f for r in results.values() for f in r})
     lines = [
