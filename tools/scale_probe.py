@@ -248,13 +248,38 @@ def build_scaled(spark, factor: int) -> str:
 #: Narrative findings appended to SCALE.md on every regeneration —
 #: update alongside new probe rounds so the analysis survives rewrites.
 NOTES = """
-q53 deep-probe note (r4, re-measured r5): the row above is the FINAL
-operator config — pointer doubling with one jump per round and the
-convergence probe as a filter on the checkpointed frame (no new-vs-old
-join). Growth is sublinear at every factor (r5 session-5 dedicated-
-session 5-run medians: 1.6x / 3.1x / 4.0x time at 4/8/16x volume;
-8x -> 16x doubles the data for 1.3x the time), which settles the r3
-"mildly superlinear" flag: the
+Variance fix + per-cell envelopes (r9, VERDICT r8 item 7): the
+historical 2-3x cross-session spread of the iterative cells (q53,
+q80) was ContextCleaner lag — each round leaves a localCheckpoint
+block set that is released ASYNCHRONOUSLY, so run N's timed window
+absorbed run N-1's cleanup and the full-GC pauses it triggers
+(observed within one dedicated session: q53@8x median 29.6 s ABOVE
+q53@16x 20.0 s, envelope [15.6, 45.3]). The probe now drains before
+every timed run (gc.collect + System.gc + 1 s pause) and records a
+within-session [min, max] envelope per cell to
+.scale_probe/envelopes.json, so every row is self-defending.
+Post-fix dedicated-session rows (the table above):
+ - q53: 6.46 / 9.45 / 10.35 / 19.00 s — MONOTONE, sublinear ratios
+   1.46 / 1.60 / 2.94; envelopes [5.7, 9.9] / [9.1, 11.1] /
+   [10.1, 11.8] / [16.1, 28.6] — mid cells reproduce within ~15%.
+ - q80: 6.91 / 10.74 / 12.48 / 28.99 s; envelopes [6.7, 10.6] /
+   [10.6, 11.5] / [11.7, 14.9] / [15.3, 69.8] — the 16x cell keeps
+   one full-GC outlier run (69.8 s vs the 15-17 s cluster); the
+   median is robust to it and the envelope EXPOSES it instead of a
+   bare point claiming stability.
+ - q83: 2.61 / 2.43 / 7.55 / 7.09 s; envelopes [1.9, 3.4] /
+   [2.1, 3.0] / [3.7, 11.8] / [6.6, 7.5].
+The engine operators are unchanged — this was measurement hygiene;
+stage counts and shuffle volumes were identical across runs all
+along.
+
+q53 deep-probe note (r4, re-measured r5 and r9): the row above is the
+FINAL operator config — pointer doubling with one jump per round and
+the convergence probe as a filter on the checkpointed frame (no
+new-vs-old join). Growth is sublinear at every factor (r9 hygiene-
+fixed dedicated-session 5-run medians: 1.46x / 1.60x / 2.94x time at
+4/8/16x volume; 8x -> 16x doubles the data for 1.8x the time), which
+settles the r3 "mildly superlinear" flag: the
 trend is per-round fixed cost + linear join volume, not round-count
 growth (the Caesar-replica construction keeps component structure
 constant, so rounds stay constant by design). A 2-jump variant was
@@ -279,10 +304,10 @@ distinction that matters is analytic: at 100 TB with organic (unsalted,
 unbounded-block) data, q80's generator degrades toward the block
 square while q83's candidate volume stays ~(1-t)*m keys per doc.
 Pipelines at scale should copy q83 end-to-end; q80 remains the
-oracle-certified exact twin. Measured (r5 session-5 dedicated-session
-5-run medians): q83 beats q80 2.9x at 1x (2.7 s vs 8.0 s) and 7.2x at
-16x (6.2 s vs 44.3 s; q80's 16x cell is the noisiest in the corpus —
-see the variance note),
+oracle-certified exact twin. Measured (r9 hygiene-fixed
+dedicated-session 5-run medians): q83 beats q80 2.6x at 1x (2.6 s vs
+6.9 s) and 4.1x at 16x (7.1 s vs 29.0 s; q80's 16x cell keeps one
+exposed full-GC outlier — see the envelope note),
 with both curves sublinear on this constant-block-size probe design;
 on organic (unsalted, unbounded-block) corpora q80's generator cost
 becomes the block square while q83's stays ~(1-t)*m prefix keys per
@@ -332,7 +357,12 @@ while the q83 curve reproduced within ~25% every time (~2.6 / ~2.9 /
 noise is local-mode JVM artifact (checkpoint blocks awaiting
 ContextCleaner + full-heap GC pauses on a 24 g driver), not plan
 instability: stage counts and shuffle volumes are identical across
-runs. Probed with 5-run medians (all queries) + an inter-query GC nudge
+runs. CONFIRMED AND LARGELY FIXED in r9 — see the variance-fix +
+envelope note at the top: a per-RUN cleaner drain collapsed q53's
+mid-cell spread from ~3x to ~15% and restored monotone cells; the
+residual 16x dispersion is now exposed per cell in
+.scale_probe/envelopes.json rather than hidden behind a bare median.
+Probed with 5-run medians (all queries) + an inter-query GC nudge
 since r5; the stable headline is the RATIO between generators, not
 any single cell.
 
@@ -408,6 +438,64 @@ refit by poisoning KMeans.fit after build).
 """
 
 
+def _write_scale_md(results) -> None:
+    fs = sorted({f for r in results.values() for f in r})
+    lines = [
+        "# SCALE — data-volume linearity probe (tools/scale_probe.py)",
+        "",
+        "Headline queries run unchanged against sf0.1 and key-offset",
+        f"replicated copies at {' and '.join(f'{f}x' for f in fs[1:])}"
+        " fact-table volume (lineitem/orders",
+        "replicated with per-replica order-key offsets; dims fixed, as in",
+        "TPC-H). Ratio columns divide out the 1x time; a ratio well below",
+        "the factor means constant per-query overhead and idle executor",
+        "slots absorb the extra volume (expected on local[32] at this",
+        "size), one near the factor means linear scaling, and one above",
+        "it would flag a superlinear term (none observed).",
+        "",
+        "LLM-tier scaling design: documents replicas are Caesar-ciphered",
+        "per replica (intra-replica similarity structure preserved",
+        "exactly, cross-replica token overlap ~0) and source-salted",
+        "(q42/q53 block sizes constant, block count grows) — so the",
+        "probe measures engine linearity, not a quadratically harder",
+        "dup workload. embeddings replicas offset vec_id only: the q50",
+        "query side stays the original bounded set, candidate volume",
+        "grows linearly with the corpus.",
+        "",
+        "| query | " + " | ".join(f"{f}x sec" for f in fs)
+        + " | " + " | ".join(f"{f}x/1x" for f in fs[1:]) + " |",
+        "|---|" + "---|" * (2 * len(fs) - 1),
+    ]
+    for name in HEADLINE:
+        r = results.get(name)
+        if not r:
+            continue
+        ratios = [f"{r[f] / r[1]:.2f}" if f in r else "—" for f in fs[1:]]
+        lines.append(
+            f"| {name} | "
+            + " | ".join(f"{r[f]:.3f}" if f in r else "—" for f in fs)
+            + " | " + " | ".join(ratios) + " |"
+        )
+    lines.append("")
+    lines.append(NOTES.strip())
+    lines.append("")
+    # Fold in sections written by the sibling probes (organic-skew,
+    # ANN recall sweep) so a SCALE.md regeneration never drops them.
+    for extra in (
+        os.path.join(REPO, ".skew_probe", "section.md"),
+        os.path.join(REPO, ".ann_sweep", "section.md"),
+    ):
+        if os.path.exists(extra):
+            lines.append(open(extra).read().strip())
+            lines.append("")
+    out = os.path.join(REPO, "SCALE.md")
+    open(out, "w").write("\n".join(lines))
+    print(f"wrote {out}")
+    for name in HEADLINE:
+        if name in results:
+            print(name, results[name])
+
+
 def main() -> None:
     # --only q53_...,q80_... re-measures just those queries in THIS
     # session and merges their cells into the persisted sidecar — the
@@ -419,10 +507,29 @@ def main() -> None:
     # dedicated-session re-measure with the identical methodology.
     args = sys.argv[1:]
     only: set[str] | None = None
+    render_only = False
+    if args and args[0] == "--render":
+        # Re-write SCALE.md from the persisted sidecars without
+        # measuring anything — for narrative (NOTES) updates that
+        # should not cost a probe session.
+        render_only = True
+        only = set()
+        args = args[1:]
     if args and args[0] == "--only":
         only = set(args[1].split(","))
         args = args[2:]
     factors = [int(a) for a in args] or [4, 8]
+
+    if render_only:
+        import json
+
+        sidecar = os.path.join(WORK, "results.json")
+        results = {
+            q: {int(f): v for f, v in cells.items()}
+            for q, cells in json.load(open(sidecar)).items()
+        }
+        _write_scale_md(results)
+        return
 
     from xlearning_spark.engine import build_session
     from xlearning_spark.queries import registry
@@ -518,61 +625,7 @@ def main() -> None:
     json.dump(results, open(sidecar, "w"), indent=1)
     json.dump(envelopes, open(env_sidecar, "w"), indent=1)
 
-    fs = sorted({f for r in results.values() for f in r})
-    lines = [
-        "# SCALE — data-volume linearity probe (tools/scale_probe.py)",
-        "",
-        "Headline queries run unchanged against sf0.1 and key-offset",
-        f"replicated copies at {' and '.join(f'{f}x' for f in fs[1:])}"
-        " fact-table volume (lineitem/orders",
-        "replicated with per-replica order-key offsets; dims fixed, as in",
-        "TPC-H). Ratio columns divide out the 1x time; a ratio well below",
-        "the factor means constant per-query overhead and idle executor",
-        "slots absorb the extra volume (expected on local[32] at this",
-        "size), one near the factor means linear scaling, and one above",
-        "it would flag a superlinear term (none observed).",
-        "",
-        "LLM-tier scaling design: documents replicas are Caesar-ciphered",
-        "per replica (intra-replica similarity structure preserved",
-        "exactly, cross-replica token overlap ~0) and source-salted",
-        "(q42/q53 block sizes constant, block count grows) — so the",
-        "probe measures engine linearity, not a quadratically harder",
-        "dup workload. embeddings replicas offset vec_id only: the q50",
-        "query side stays the original bounded set, candidate volume",
-        "grows linearly with the corpus.",
-        "",
-        "| query | " + " | ".join(f"{f}x sec" for f in fs)
-        + " | " + " | ".join(f"{f}x/1x" for f in fs[1:]) + " |",
-        "|---|" + "---|" * (2 * len(fs) - 1),
-    ]
-    for name in HEADLINE:
-        r = results.get(name)
-        if not r:
-            continue
-        ratios = [f"{r[f] / r[1]:.2f}" if f in r else "—" for f in fs[1:]]
-        lines.append(
-            f"| {name} | "
-            + " | ".join(f"{r[f]:.3f}" if f in r else "—" for f in fs)
-            + " | " + " | ".join(ratios) + " |"
-        )
-    lines.append("")
-    lines.append(NOTES.strip())
-    lines.append("")
-    # Fold in sections written by the sibling probes (organic-skew,
-    # ANN recall sweep) so a SCALE.md regeneration never drops them.
-    for extra in (
-        os.path.join(REPO, ".skew_probe", "section.md"),
-        os.path.join(REPO, ".ann_sweep", "section.md"),
-    ):
-        if os.path.exists(extra):
-            lines.append(open(extra).read().strip())
-            lines.append("")
-    out = os.path.join(REPO, "SCALE.md")
-    open(out, "w").write("\n".join(lines))
-    print(f"wrote {out}")
-    for name in HEADLINE:
-        if name in results:
-            print(name, results[name])
+    _write_scale_md(results)
 
 
 if __name__ == "__main__":
