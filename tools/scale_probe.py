@@ -262,6 +262,10 @@ Post-fix dedicated-session rows (the table above):
  - q53: 6.46 / 9.45 / 10.35 / 19.00 s — MONOTONE, sublinear ratios
    1.46 / 1.60 / 2.94; envelopes [5.7, 9.9] / [9.1, 11.1] /
    [10.1, 11.8] / [16.1, 28.6] — mid cells reproduce within ~15%.
+   CROSS-SESSION check (the r8 finding was a ~2x spread across
+   sessions): an independent second dedicated session measured
+   6.45 / 9.24 / 11.15 / 17.68 s — every cell within 8% of the
+   first; the table keeps session 1's row.
  - q80: 6.91 / 10.74 / 12.48 / 28.99 s; envelopes [6.7, 10.6] /
    [10.6, 11.5] / [11.7, 14.9] / [15.3, 69.8] — the 16x cell keeps
    one full-GC outlier run (69.8 s vs the 15-17 s cluster); the
