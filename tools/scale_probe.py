@@ -271,8 +271,15 @@ Post-fix dedicated-session rows (the table above):
    one full-GC outlier run (69.8 s vs the 15-17 s cluster); the
    median is robust to it and the envelope EXPOSES it instead of a
    bare point claiming stability.
- - q83: 2.61 / 2.43 / 7.55 / 7.09 s; envelopes [1.9, 3.4] /
-   [2.1, 3.0] / [3.7, 11.8] / [6.6, 7.5].
+ - q83: first measured in a SHARED session directly after q80's 20
+   heavy runs and came out nonmonotone (8x 7.55 s above 16x 7.09 s,
+   8x envelope [3.7, 11.8]) — residual cross-QUERY contamination,
+   the same mechanism at one remove. Its own dedicated session gives
+   the table row: 3.21 / 3.24 / 6.53 / 7.79 s — monotone, sublinear
+   ratios 1.01 / 2.04 / 2.43; envelopes [3.0, 7.8] / [3.0, 4.3] /
+   [4.8, 7.4] / [6.0, 8.4]. Dedicated-session discipline therefore
+   now means one QUERY per session for the iterative sweeps, not
+   just one probe run.
 The engine operators are unchanged — this was measurement hygiene;
 stage counts and shuffle volumes were identical across runs all
 along.
@@ -309,8 +316,8 @@ unbounded-block) data, q80's generator degrades toward the block
 square while q83's candidate volume stays ~(1-t)*m keys per doc.
 Pipelines at scale should copy q83 end-to-end; q80 remains the
 oracle-certified exact twin. Measured (r9 hygiene-fixed
-dedicated-session 5-run medians): q83 beats q80 2.6x at 1x (2.6 s vs
-6.9 s) and 4.1x at 16x (7.1 s vs 29.0 s; q80's 16x cell keeps one
+dedicated-session 5-run medians): q83 beats q80 2.2x at 1x (3.2 s vs
+6.9 s) and 3.7x at 16x (7.8 s vs 29.0 s; q80's 16x cell keeps one
 exposed full-GC outlier — see the envelope note),
 with both curves sublinear on this constant-block-size probe design;
 on organic (unsalted, unbounded-block) corpora q80's generator cost
