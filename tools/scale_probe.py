@@ -271,6 +271,16 @@ Post-fix dedicated-session rows (the table above):
    one full-GC outlier run (69.8 s vs the 15-17 s cluster); the
    median is robust to it and the envelope EXPOSES it instead of a
    bare point claiming stability.
+ - q115: dedicated-session row 3.24 / 3.92 / 7.87 / 7.81 s — ratios
+   1.21 / 2.43 / 2.41 at 4/8/16x, flat 8x -> 16x; envelopes
+   [3.0, 7.1] / [3.3, 4.3] / [5.6, 8.4] / [6.7, 8.4].
+ - q116 (sub-second, NOT checkpoint-heavy) was re-probed dedicated as
+   a control and shows the OPPOSITE artifact: its first-measured
+   cells carry interval-join codegen warm-up the q01 warm-up query
+   cannot absorb (4x read 1.85 s before the JIT settled, 8x/16x then
+   0.52 s). The full-session row is the representative environment
+   for this class and the table keeps it — dedicated sessions are
+   for the iterative/checkpoint-heavy queries only.
  - q83: first measured in a SHARED session directly after q80's 20
    heavy runs and came out nonmonotone (8x 7.55 s above 16x 7.09 s,
    8x envelope [3.7, 11.8]) — residual cross-QUERY contamination,
