@@ -148,3 +148,146 @@ def test_stream_multi_input_unions_all_aliases(spark, tmp_path):
     spark.createDataFrame([("c",)], ["value"]).coalesce(1).write.text(p2)
     res = submit(spark, JobSpec(inputs={"one": p1, "two": p2}))
     assert res.n_records_out == 3  # both aliases delivered, not just the first
+
+
+# --------------------------------------------------------------------
+# Attempt-level memory autoscale (r9 VERDICT item 2): the reference
+# retries a failed app with worker memory scaled per attempt
+# (AM/ApplicationMaster.java:289-318, hbox.worker.mem.autoscale
+# doc/configure.md:81). The child below is the injected
+# memory-conf-sensitive guard: it refuses to run under 1536 MB, so
+# attempt 1 (base 1024) fails and attempt 2 (1024 + ceil(1024*0.5) =
+# 1536) succeeds.
+# --------------------------------------------------------------------
+
+_MEM_GUARDED = [
+    sys.executable,
+    "-c",
+    "import os, sys\n"
+    "mem = int(os.environ['WORKER_MEMORY_MB'])\n"
+    "if mem < 1536:\n"
+    "    sys.stderr.write(f'OOM: {mem}MB insufficient\\n')\n"
+    "    sys.exit(137)\n"
+    "for line in sys.stdin:\n"
+    "    sys.stdout.write(line.upper())",
+]
+
+
+def test_retry_policy_reference_arithmetic():
+    from xlearning_spark.job import RetryPolicy
+
+    pol = RetryPolicy(base_memory_mb=1024, autoscale=0.5, max_memory_mb=2048)
+    # base + (k-1)*ceil(base*scale), capped at maxContainerMem (AM:290)
+    assert [pol.memory_for_attempt(k) for k in (1, 2, 3, 4)] == [
+        1024,
+        1536,
+        2048,  # 2560 capped
+        2048,
+    ]
+    with pytest.raises(ValueError, match="1-based"):
+        pol.memory_for_attempt(0)
+
+
+def test_retry_scales_memory_until_guard_passes(spark, text_input, tmp_path):
+    from xlearning_spark.job import RetryPolicy
+
+    out = str(tmp_path / "out")
+    res = submit(
+        spark,
+        JobSpec(
+            inputs={"t": text_input},
+            command=_MEM_GUARDED,
+            output=out,
+            retry=RetryPolicy(max_attempts=3),
+        ),
+    )
+    assert res.attempts == 2
+    assert res.worker_memory_mb == 1536
+    assert res.committed
+    got = {r.value for r in spark.read.text(out).collect()}
+    assert got == {"ALPHA", "BETA", "GAMMA"}
+
+
+def test_retry_exhausted_raises_and_scale_conf_restored(spark, text_input, tmp_path):
+    from xlearning_spark.job import RetryPolicy
+
+    # A guard no attempt can satisfy: bounded attempts exhaust and the
+    # last execution error propagates; a scale_conf is scaled additively
+    # from its ORIGINAL base each attempt (never compounding).
+    key = "spark.xlearning.test.worker.mem"
+    spark.conf.set(key, "100")
+    never = [
+        sys.executable,
+        "-c",
+        "import sys; sys.exit(1)",
+    ]
+    with pytest.raises(Exception):
+        submit(
+            spark,
+            JobSpec(
+                inputs={"t": text_input},
+                command=never,
+                output=str(tmp_path / "out"),
+                retry=RetryPolicy(max_attempts=3, scale_confs=(key,)),
+            ),
+        )
+    # attempt 3 ran at 100 + 2*ceil(100*0.5) = 200 — additive, not
+    # 100*1.5^2=225 compounded
+    assert spark.conf.get(key) == "200"
+
+
+def test_retry_does_not_mask_validation_refusals(spark, tmp_path):
+    from xlearning_spark.job import RetryPolicy
+
+    # Deterministic client-side refusal: no retry, the error surfaces
+    # unchanged on attempt 1 (Client.java:298-374 fails before any
+    # attempt in the reference).
+    with pytest.raises(FileNotFoundError, match="matches no files"):
+        submit(
+            spark,
+            JobSpec(
+                inputs={"x": "/nonexistent/nowhere*"},
+                retry=RetryPolicy(max_attempts=5),
+            ),
+        )
+
+
+def test_retry_cleans_uncommitted_output_between_attempts(
+    spark, tmp_path
+):
+    from xlearning_spark.job import RetryPolicy
+
+    # A child that fails only on attempt 1 AFTER emitting some lines:
+    # the partial, uncommitted output (no _SUCCESS) must be removed so
+    # attempt 2's no-clobber validation passes and the final output
+    # holds ONLY attempt 2's rows (exactly-once at the job level — the
+    # reference's staging->rename protocol gives the same guarantee).
+    p = str(tmp_path / "in")
+    spark.createDataFrame([(f"row{i}",) for i in range(8)], ["value"]).coalesce(
+        1
+    ).write.text(p)
+    child = [
+        sys.executable,
+        "-c",
+        "import os, sys\n"
+        "n = 0\n"
+        "for line in sys.stdin:\n"
+        "    sys.stdout.write(line.lower())\n"
+        "    sys.stdout.flush()\n"
+        "    n += 1\n"
+        "if os.environ['APP_ATTEMPT_ID'] == '1':\n"
+        "    sys.exit(143)\n",
+    ]
+    out = str(tmp_path / "out")
+    res = submit(
+        spark,
+        JobSpec(
+            inputs={"t": p},
+            command=child,
+            output=out,
+            retry=RetryPolicy(max_attempts=2),
+        ),
+    )
+    assert res.attempts == 2
+    assert res.committed
+    assert res.n_records_out == 8  # attempt 1's partial rows are gone

@@ -1172,7 +1172,15 @@ def _mp3_frame(version: int, brx: int, srx: int, mode: int, kbps: int, rate: int
 def test_mp3_metadata_frame_walk(spark):
     # 5 CBR MPEG-1 Layer III frames @128kbps/44100 stereo behind an
     # ID3v2 tag: exact frame count -> exact duration, bit_depth 0,
-    # honestly-empty feature.
+    # honestly-empty feature. These zero-padded frames are VALID MP3
+    # that FFmpeg decodes to silence, so with PyAV installed the
+    # real-decode path (tried first) takes over and the metadata-walk
+    # assertions no longer apply (ADVICE r9) — mirror the
+    # progressive-JPEG gate.
+    if mm.optional_codecs()["pyav"]:
+        import pytest
+
+        pytest.skip("PyAV installed: real decode supersedes the walk")
     frames = b"".join(_mp3_frame(3, 9, 0, 1, 128, 44100) for _ in range(5))
     tagbody = b"\x00" * 40
     id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, len(tagbody)]) + tagbody
@@ -1188,6 +1196,12 @@ def test_mp3_metadata_frame_walk(spark):
 def test_mp3_bare_sync_mpeg2_mono(spark):
     # MPEG-2 mono without ID3: the raw-sync magic must type it and the
     # version-2 tables (576 samples/frame, v2 bitrates) must apply.
+    # Valid-but-silent CBR frames: PyAV-installed environments take the
+    # real-decode path first, so gate like the frame-walk test above.
+    if mm.optional_codecs()["pyav"]:
+        import pytest
+
+        pytest.skip("PyAV installed: real decode supersedes the walk")
     frames = b"".join(_mp3_frame(2, 4, 0, 3, 32, 22050) for _ in range(3))
     df = spark.createDataFrame([("b.mp3", frames)], ["path", "content"])
     typed = mm.with_media_type(df).collect()[0]
@@ -1220,6 +1234,10 @@ def test_webm_metadata_ebml_walk(spark):
     # type=video, DefaultDuration, Video{w,h}}}, Cluster{7 SimpleBlocks
     # for the video track}} -> true dims, fps from ns/frame, true
     # frame count; features honestly empty (VP8/VP9 needs a codec).
+    # PyAV audit (ADVICE r9): unlike the silent-but-valid MP3 frames,
+    # the block payloads here (b"vp8data") are NOT decodable VP8 —
+    # av_frames yields zero frames and returns None, so the EBML-walk
+    # assertions hold with or without PyAV installed; no gate needed.
     track_entry = _ebml(
         0xAE,
         _ebml(0xD7, b"\x01")

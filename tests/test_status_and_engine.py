@@ -279,6 +279,17 @@ def test_default_shuffle_partitions_contract(monkeypatch, spark):
     monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "3000")
     assert _default_shuffle_partitions() == "3000"  # cluster override
 
+    # ADVICE r9: a typo'd override must fail loudly at derivation time
+    # with a message naming the env var — not as an opaque Spark conf
+    # error at session build.
+    import pytest
+
+    for bad in ("3,000", "abc", "0", "-8"):
+        monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", bad)
+        with pytest.raises(ValueError, match="SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+            _default_shuffle_partitions()
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "3000")
+
     # Live-session posture: the derived value is what the session
     # actually runs with, and AQE coalescing is on so a cluster-sized
     # override coalesces down per-stage instead of fragmenting.

@@ -1324,6 +1324,88 @@ def test_stream_stream_outer_interval_join_matches_batch(spark, tmp_path):
     assert len(want) == 3
 
 
+def test_stream_stream_full_outer_interval_join_matches_batch(spark, tmp_path):
+    # r9 VERDICT item 5: FULL OUTER interval join — un-converted
+    # clicks AND organic purchases (no same-user click within the
+    # preceding hour) each emit exactly one null-sided row once the
+    # other side's watermark passes; the drained output must equal the
+    # batch full-outer twin. Sentinels flush the trailing null rows as
+    # in the left-outer test.
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)
+    schema = "event_id bigint, user_id bigint, ts timestamp, value double"
+    clicks = [
+        (101, 1, mins(0), 0.0),    # converts (purchase at +30min)
+        (102, 2, mins(5), 0.0),    # never converts -> click-null row
+        (103, 3, mins(10), 0.0),   # purchase outside horizon -> both null rows
+    ]
+    buys = [
+        (201, 1, mins(30), 9.5),   # inside [t, t+1h]
+        (202, 3, mins(130), 4.0),  # outside click 103's horizon -> purchase-null row
+        (203, 4, mins(20), 2.5),   # organic: user 4 never clicked -> purchase-null row
+    ]
+    sentinel_c = [(901, 999, mins(600), 0.0)]
+    sentinel_b = [(902, 999, mins(600), 1.0)]
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    now = time.time()
+    for d, real, sent in (
+        (cdir, clicks, sentinel_c),
+        (bdir, buys, sentinel_b),
+    ):
+        spark.createDataFrame(real, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        before = set(os.listdir(d))
+        spark.createDataFrame(sent, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        for fn in os.listdir(d):
+            ts = now if fn in before else now + 60
+            os.utime(os.path.join(d, fn), (ts, ts))
+    reader = lambda d: (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(d)
+    )
+    joined = st.attributed_conversions(
+        reader(cdir), reader(bdir), horizon="1 hour",
+        watermark="10 minutes", how="full_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_full_outer_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM attrib_full_outer_test WHERE user_id != 999"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in st.attributed_conversions(
+            spark.createDataFrame(clicks, schema),
+            spark.createDataFrame(buys, schema),
+            horizon="1 hour", how="full_outer",
+        ).collect()
+    }
+    assert got == want
+    # coverage rows on BOTH sides: clicks 102/103 unmatched,
+    # purchases 202 (late) and 203 (organic, never-clicked user)
+    # unmatched — user_id is never null thanks to the coalesce.
+    click_nulls = {r for r in want if r[2] is None}
+    purchase_nulls = {r for r in want if r[1] is None}
+    assert {r[0] for r in click_nulls} == {2, 3}
+    assert {r[0] for r in purchase_nulls} == {3, 4}
+    assert all(r[0] is not None for r in want)
+    assert len(want) == 5  # 1 match + 2 click-nulls + 2 purchase-nulls
+
+
 def test_stream_static_enrichment_matches_batch(spark, events_dir, tmp_path):
     # Stream-STATIC join (r8): stateless per-batch join against the
     # dimension chain — drained stream must equal the batch twin

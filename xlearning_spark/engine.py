@@ -67,10 +67,31 @@ def _default_shuffle_partitions() -> str:
 
     (The reference's analogue is the AM's per-job worker count,
     Client.java job-spec parsing — a per-deployment input, not a
-    constant.)"""
+    constant.)
+
+    Note: the module-level ``_DEFAULT_CONF`` captures this value at
+    import time — changing the env var after ``xlearning_spark`` is
+    imported does not affect an already-built conf dict; set it before
+    import (or pass ``spark.sql.shuffle.partitions`` explicitly to
+    ``get_spark``)."""
     env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     if env:
-        return env
+        # Validate here so a typo ('3,000') fails with a clear message
+        # naming the env var instead of an opaque Spark conf error at
+        # session build (ADVICE r9).
+        try:
+            n = int(env)
+        except ValueError:
+            raise ValueError(
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS must be an integer, "
+                f"got {env!r}"
+            ) from None
+        if n <= 0:
+            raise ValueError(
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS must be positive, "
+                f"got {env!r}"
+            )
+        return str(n)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
     try:
         n = int(cpus)

@@ -24,8 +24,9 @@ only the lifecycle, no new data-plane code.
 
 from __future__ import annotations
 
+import math
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,6 +39,46 @@ from xlearning_spark.sources.sinks import is_committed, write_gzip_text, write_p
 
 _STRATEGIES = ("DOWNLOAD", "PLACEHOLDER", "STREAM")
 _FORMATS = ("text.gz", "parquet")
+
+
+@dataclass
+class RetryPolicy:
+    """Attempt-level memory autoscale — the reference's app-retry
+    behavior (AM/ApplicationMaster.java:289-318): when YARN restarts
+    the AM as attempt k > 1 (and hbox.app.max.attempts > 1), worker
+    memory becomes ``base + (k-1) * ceil(base * autoscale)`` capped at
+    the cluster's max container memory; the autoscale ratio is
+    ``hbox.worker.mem.autoscale`` (default 0.5, doc/configure.md:81 —
+    so attempt 2 runs at 1.5x base).
+
+    Spark analogue: executor memory is immutable for a live session,
+    so the scaled value is delivered where this engine's worker
+    actually runs — (a) exported to the piped child process's env as
+    ``mem_env`` (the reference's container-launch env carrying worker
+    memory, HboxContainer launch context) and (b) applied to any
+    RUNTIME-SETTABLE session confs named in ``scale_confs`` (each is
+    read as an integer at first submit and rewritten scaled on every
+    retry). Deterministic client-side refusals (validation errors)
+    never retry — only execution failures do, matching the reference
+    where Client.java validation kills the app before attempt 1.
+    """
+
+    max_attempts: int = 2
+    autoscale: float = 0.5  # hbox.worker.mem.autoscale default
+    base_memory_mb: int = 1024  # hbox.worker.memory analogue
+    max_memory_mb: int = 16 * 1024  # maxContainerMem analogue
+    mem_env: str = "WORKER_MEMORY_MB"  # child env carrying the value
+    scale_confs: tuple[str, ...] = ()  # session confs scaled in lockstep
+
+    def memory_for_attempt(self, attempt: int) -> int:
+        """The reference's exact arithmetic, AM:290 — additive from the
+        BASE per attempt (not compounding), then the container cap."""
+        if attempt < 1:
+            raise ValueError("attempt is 1-based")
+        mem = self.base_memory_mb + (attempt - 1) * math.ceil(
+            self.base_memory_mb * self.autoscale
+        )
+        return min(mem, self.max_memory_mb)
 
 
 @dataclass
@@ -54,6 +95,9 @@ class JobSpec:
     #: PLACEHOLDER worker count (the reference's --worker-num); None ->
     #: one worker per default-parallelism slot, capped by file count.
     workers: int | None = None
+    #: Opt-in attempt retry with memory autoscale (None = single shot,
+    #: the reference's hbox.app.max.attempts=1 default).
+    retry: RetryPolicy | None = None
 
 
 @dataclass
@@ -62,6 +106,10 @@ class JobResult:
     n_records_out: int
     committed: bool
     input_files: dict[str, list[str]]
+    #: 1-based attempt that succeeded (always 1 without a RetryPolicy).
+    attempts: int = 1
+    #: Worker memory (MB) of the successful attempt, if retry was set.
+    worker_memory_mb: int | None = None
 
 
 def _validate(spark: SparkSession, spec: JobSpec) -> dict[str, list[str]]:
@@ -88,8 +136,70 @@ def _validate(spark: SparkSession, spec: JobSpec) -> dict[str, list[str]]:
     return files
 
 
+def _remove_uncommitted_output(spark: SparkSession, path: str | None) -> None:
+    """Delete a partially-written output (no ``_SUCCESS``) so the next
+    attempt's no-clobber validation passes — the reference's retried AM
+    likewise starts against a clean staging dir (its failed attempt
+    never renamed into place, ApplicationMaster.java:3106-3172). A
+    COMMITTED output is never touched: if ``_SUCCESS`` exists the job
+    cannot have failed after commit for lack of output, and clobbering
+    user data on a retry would be worse than failing."""
+    if path is None:
+        return
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(p) and not is_committed(path, spark):
+        fs.delete(p, True)
+
+
 def submit(spark: SparkSession, spec: JobSpec) -> JobResult:
-    """Run the full job lifecycle; returns counts + commit status."""
+    """Run the full job lifecycle; returns counts + commit status.
+
+    With ``spec.retry`` set, execution failures re-run the lifecycle at
+    reference-scaled worker memory (RetryPolicy docstring); validation
+    refusals (bad spec, missing input, existing output) raise
+    immediately on attempt 1 with no retry."""
+    if spec.retry is None:
+        return _submit_once(spark, spec)
+    pol = spec.retry
+    if pol.max_attempts < 1:
+        raise ValueError("retry.max_attempts must be >= 1")
+    last_err: Exception | None = None
+    # Bases are captured ONCE: the reference scales additively from the
+    # original hbox.worker.memory each attempt, never compounding.
+    conf_bases = {k: int(spark.conf.get(k)) for k in pol.scale_confs}
+    for attempt in range(1, pol.max_attempts + 1):
+        mem = pol.memory_for_attempt(attempt)
+        env = dict(spec.env)
+        env[pol.mem_env] = str(mem)
+        env["APP_ATTEMPT_ID"] = str(attempt)  # container env analogue
+        for key, base in conf_bases.items():
+            scaled = min(
+                base + (attempt - 1) * math.ceil(base * pol.autoscale),
+                # cap in proportion to the memory cap
+                math.ceil(base * pol.max_memory_mb / pol.base_memory_mb),
+            )
+            spark.conf.set(key, str(scaled))
+        try:
+            result = _submit_once(spark, replace(spec, env=env, retry=None))
+            return replace(result, attempts=attempt, worker_memory_mb=mem)
+        except (ValueError, FileNotFoundError, FileExistsError):
+            # Deterministic client-side refusal (Client.java:298-374
+            # analogue): retrying cannot change the verdict. NOTE: these
+            # can only originate from _validate on attempt 1 — attempt
+            # 2+ reuses the identical spec, and the uncommitted-output
+            # cleanup below keeps the no-clobber check passable.
+            raise
+        except Exception as e:  # execution failure -> scaled retry
+            last_err = e
+            if attempt == pol.max_attempts:
+                raise
+            _remove_uncommitted_output(spark, spec.output)
+    raise last_err  # unreachable; keeps type-checkers honest
+
+
+def _submit_once(spark: SparkSession, spec: JobSpec) -> JobResult:
     files = _validate(spark, spec)
 
     def _union_all(parts: list[DataFrame]) -> DataFrame:

@@ -923,18 +923,31 @@ def decode_audio(
                     stream = container.streams.audio[0]
                     rate = int(stream.rate or 0)
                     chunks = []
-                    was_int = False
                     for frame in container.decode(stream):
                         arr = frame.to_ndarray()  # (channels, n) float/int
                         if arr.ndim == 1:
                             arr = arr[None, :]
-                        was_int = np.issubdtype(arr.dtype, np.integer)
-                        chunks.append(arr.astype(np.float64))
+                        # Normalize PER FRAME by the source dtype's own
+                        # range (s16 ±2^15, s32 ±2^31, u8 unsigned with
+                        # a 128 offset) — a fixed /32768 would be wrong
+                        # by orders of magnitude for non-s16 integer
+                        # formats and misses mixed-format streams
+                        # (ADVICE r9).
+                        if np.issubdtype(arr.dtype, np.integer):
+                            info = np.iinfo(arr.dtype)
+                            if info.min == 0:  # unsigned (u8/u16...)
+                                mid = (info.max + 1) / 2.0
+                                arr = (arr.astype(np.float64) - mid) / mid
+                            else:
+                                arr = arr.astype(np.float64) / (
+                                    float(info.max) + 1.0
+                                )
+                        else:
+                            arr = arr.astype(np.float64)
+                        chunks.append(arr)
                     if not chunks or rate <= 0:
                         return None
                     pcm = np.concatenate(chunks, axis=1)
-                    if was_int:
-                        pcm = pcm / 32768.0
                     ch, n = pcm.shape
                     rms = np.sqrt((pcm**2).mean(axis=1))
                     smp = (
@@ -1383,8 +1396,10 @@ def decode_video(
                     stream = container.streams.video[0]
                     fps = float(stream.average_rate or 0.0)
                     decoded = []
+                    n_total = 0
                     for i, frame in enumerate(container.decode(stream)):
-                        if i % every_n_frames == 0 and len(decoded) < max_frames:
+                        n_total = i + 1
+                        if i % every_n_frames == 0:
                             arr = frame.to_ndarray(format="rgb24")
                             means = arr.astype(np.float64).mean(axis=(0, 1)) / 255.0
                             decoded.append(
@@ -1395,9 +1410,16 @@ def decode_video(
                                     [float(x) for x in means],
                                 )
                             )
-                        n_total = i + 1
+                        # Stop decoding once the sample is full: a long
+                        # video must not be decoded end-to-end just to
+                        # count frames (ADVICE r9). Total frame count
+                        # comes from container metadata when available.
+                        if len(decoded) >= max_frames:
+                            break
                     if not decoded:
                         return None
+                    if stream.frames:
+                        n_total = max(n_total, int(stream.frames))
                     return [
                         (w, h, fps, n_total, f, feat)
                         for w, h, f, feat in decoded
@@ -1426,16 +1448,27 @@ def decode_video(
                         parsed = parse_avi(content)
                         if parsed is not None:
                             fps, frames = parsed
-                            rows = []
-                            for f in range(0, len(frames), every_n_frames)[
-                                :max_frames
-                            ]:
-                                dec = decode_jpeg(frames[f])
-                                if dec is None:
-                                    rows = None  # non-MJPEG codec
-                                    break
-                                w, h, _ch, feat = dec[:4]
-                                rows.append((w, h, fps, len(frames), f, feat))
+                            # SOI magic probe: a non-MJPEG AVI skips the
+                            # JPEG loop outright instead of part-decoding
+                            # frames it will discard before handing the
+                            # whole container to av_frames (ADVICE r9).
+                            if frames and not frames[0].startswith(
+                                b"\xff\xd8"
+                            ):
+                                rows = None
+                            else:
+                                rows = []
+                                for f in range(
+                                    0, len(frames), every_n_frames
+                                )[:max_frames]:
+                                    dec = decode_jpeg(frames[f])
+                                    if dec is None:
+                                        rows = None  # non-MJPEG codec
+                                        break
+                                    w, h, _ch, feat = dec[:4]
+                                    rows.append(
+                                        (w, h, fps, len(frames), f, feat)
+                                    )
                     elif mtype == "video/webm":
                         # Optional real frame decode first; else the
                         # in-engine EBML metadata walk (no features).

@@ -49,23 +49,16 @@ GRADING_WINDOW = [
     "q84_multimodal_gif",        # L5 real GIF/LZW decode (r6 rotation-2 in; J5 spare q09 driver-green r1-r6, as-of plan-asserted)
     "q72_domain_mixture",        # corpus domain mixture (r6 rotation in; J6 spare q10 driver-green r1-r5)
     "q11_rollup_order_stats",    # A7 rollup (r5 rotation; grouping-sets spare: q13, driver-green r1-r4)
-    # r8 rotation IN (r7 VERDICT items 2+3): q55 — the ONE oracle-backed
-    # query never driver-graded (local-green since r4, judge-verified
-    # r5) — plus the stream-stream interval-join tier's first
-    # driver-gradeable rows (q116 inner / q117 left-outer coverage,
-    # running streaming.attributed_conversions itself on batch frames).
-    # Rotated out to make room: q69 WAV (driver-green r2-r7; L5 stays
-    # certified in-window by q84 GIF + q91 JPEG + q92 MJPEG), q82 PNG
-    # (driver-green r5-r7, same family mates), q86 portable MinHash
-    # (driver-green r6-r7; the banding machinery stays certified by
-    # in-window q87 SimHash + the L2 sweep tier + pytest/local-oracle).
-    "q55_embedding_neardup_lsh",     # L2 hyperplane-LSH cosine pairs (last never-driver-graded query)
+    # Stream-stream interval-join tier (r8 in; runs streaming.
+    # attributed_conversions itself on batch frames): q116 inner stays
+    # as the tier anchor; r10 swaps the freshly double-graded q117
+    # left-outer for the NEW q119 full-outer audit form.
     "q116_conversion_attribution",   # T stream-stream interval join (inner)
-    "q117_attribution_coverage",     # T interval join, LEFT OUTER nulls
+    "q119_attribution_audit",        # T interval join, FULL OUTER (NEW r10 — VERDICT r9 item 5; q117 left-outer rests as a spare, tier keeps two in-window certifiers)
     "q88_portable_approx_percentile",    # A6 hash-certified sampled percentiles (r5 rotation; spare: q14, driver-green r1-r4 — its exact distinct+percentile twins live on inside q85/q88's outputs)
     "q73_token_chunking",        # corpus token chunking (r6 rotation in; A8 spare q15 driver-green r1-r5)
-    "q87_portable_simhash",      # L2 hash-certified portable SimHash (r6 rotation-2 in; §2.7 spare q18 driver-green r1-r6)
-    "q91_multimodal_jpeg",       # L5 real baseline JPEG/DCT decode (r6 rotation-2 in; §2.7 spare q19 driver-green r1-r6)
+    "q17_topk_orders_per_customer",  # §2.8 top-k window (r10 re-cert rotation in, last graded r6; q87 portable SimHash rests — sketch tier keeps q88/q96/q112/q113 in-window)
+    "q30_tumbling_hourly_counts",    # T7 tumbling windows (r10 re-cert in, last r6; q91 JPEG rests — L5 keeps q84 GIF in-window)
     # r8 swap: q118 (stream-STATIC enrichment join — the stateless
     # streaming-join shape, certifying streaming.enriched_tumbling_by_
     # nation on batch frames) takes q92's slot; q92 (MJPEG video,
@@ -92,29 +85,32 @@ GRADING_WINDOW = [
     "q50_lsh_ann_topk",          # L3 hyperplane LSH (ungraded in r2)
     "q51_bpe_token_counting",    # L4 BPE tokens (ungraded in r2)
     "q53_neardup_components",    # L2 connected components (ungraded in r2)
-    # r9 re-certification rotation (VERDICT r8 item 5): with zero
-    # never-driver-graded oracle queries left, the window now cycles
-    # the OLDEST driver-green families back in so no family's newest
-    # green row ages past ~3 rounds. IN: the pipe/UDF/sharding/
-    # sessionization tier last graded r6 (q60 pipe E1, q63 pandas-UDF
-    # U2, q64 UDAF U3, q35 sessionization T3, q66 round-robin P1, q67
-    # epoch-replay P6/T6) plus q89 (L6 bigram-LM, last r6) and q43
-    # (L4 text stats, last r6). OUT, all freshly double-graded r7+r8
-    # with in-window family mates: six of the nine subquery-tier
-    # shapes (q104 EXISTS+NOT-EXISTS, q106 scalar-agg HAVING and q108
-    # correlated-MIN stay in as the tier's certifiers), q85 portable
-    # HLL (A6 stays certified by in-window q88) and q98 duplicate
-    # spans (L2 keeps eight in-window mates incl. q99's excision
-    # composition of the same machinery).
-    "q60_pipe_wordcount",        # E1/U1 arbitrary-process pipe (last r6)
-    "q63_pandas_udf_tokens",     # U2 scalar pandas UDF (last r6)
-    "q64_apply_in_pandas_group_stats",  # U3 UDAF (last r6)
-    "q35_sessionization",        # T3 session windows (last r6)
-    "q66_round_robin_allocation",  # P1 round-robin split (last r6)
-    "q67_epoch_replay",          # P6/T6 epoch replay (last r6)
-    "q89_lm_quality",            # L6 bigram-LM perplexity (last r6)
-    "q43_text_stats",            # L4 text statistics (last r6)
-    "q104_sole_blame_supplier",      # TPC-H Q21: EXISTS + NOT EXISTS
+    # r10 re-certification rotation (VERDICT r9 item 1): cycle the
+    # OLDEST driver-green families back in so no family's newest green
+    # row ages past ~3 rounds. IN, all last graded r6: q61 (S5 file
+    # list), q62 (§2.6 map fns), q65 (U4 UDTF), q68 (S3 InputFormat
+    # scan), q46 (L3 cosine top-k), q05 (J1/J2 regional revenue,
+    # broadcast-shape certifier), q08 (J4 range join), q09 (J5 as-of),
+    # q17 (§2.8 top-k window), q30 (T7 tumbling), q32 (A1 running
+    # avg/max), q33 (A2 last-N) — plus the NEW q119 full-outer
+    # interval join. OUT, all freshly re-graded r9 with in-window
+    # family mates per the judge's rotation notes: q60 pipe (q61 is
+    # the pipe tier's file-list row), q63/q64 (q65 certifies the UDF
+    # surface), q35/q66/q67/q89/q43 (fresh r9 greens; L6 keeps
+    # q90/q94/q115, L4 keeps q51/q78/q79/q81), q55 (L2 keeps eight
+    # mates), q91 (L5 keeps q84), q104 (q106/q108 stay as the
+    # subquery tier's certifiers), q87 (sketch tier keeps
+    # q88/q96/q112/q113), q117 (interval tier keeps q116 + new q119).
+    "q61_input_file_list",       # S5 PLACEHOLDER file list (last r6)
+    "q62_map_functions",         # §2.6 map functions (last r6)
+    "q65_tokens_udtf",           # U4 UDTF (last r6)
+    "q68_hadoop_records",        # S3 InputFormat record scan (last r6)
+    "q46_cosine_topk",           # L3 brute-force cosine top-k (last r6)
+    "q05_regional_revenue",      # J1/J2 dims-broadcast join (last r6)
+    "q08_range_join_price_bands",  # J4 theta/range join (last r6)
+    "q09_asof_join_purchase_signup",  # J5 as-of join (last r6)
+    "q32_running_avg_max",       # A1 running avg/max window (last r6)
+    "q33_last_n_per_key",        # A2 bounded last-N window (last r6)
     "q106_important_part_share",     # TPC-H Q11: HAVING vs global scalar
     "q108_cheapest_supplier_per_part", # TPC-H Q2: correlated MIN over join
     "q112_portable_bloom",           # 5th certified sketch family (live FPs)
@@ -171,6 +167,22 @@ GRADED_SPARES = [
     "q111_order_count_distribution",
     "q85_portable_hll",
     "q98_duplicate_spans",
+    # r10 rotations OUT (all freshly driver-green r9 — see the r10
+    # rotation-in comment for the in-window mates that keep each
+    # family certified):
+    "q60_pipe_wordcount",
+    "q63_pandas_udf_tokens",
+    "q64_apply_in_pandas_group_stats",
+    "q35_sessionization",
+    "q66_round_robin_allocation",
+    "q67_epoch_replay",
+    "q89_lm_quality",
+    "q43_text_stats",
+    "q55_embedding_neardup_lsh",
+    "q91_multimodal_jpeg",
+    "q104_sole_blame_supplier",
+    "q87_portable_simhash",
+    "q117_attribution_coverage",
     # r6 rotation-2 OUT of the window (driver-green r1-r6 in prior
     # CORRECTNESS records — six consecutive rounds; each family stays
     # certified by that history, by plan guards (broadcast/as-of/topk
@@ -179,16 +191,11 @@ GRADED_SPARES = [
     # window now holds EVERY remaining never-driver-graded oracle query
     # (q79/q81/q84/q86/q87/q91/q92/q94-q97/q99 + the new q101/q102), so
     # one green round leaves no oracle-backed query ungraded-by-driver.
-    "q05_regional_revenue",
-    "q08_range_join_price_bands",
-    "q09_asof_join_purchase_signup",
-    "q17_topk_orders_per_customer",
+    # (q05/q08/q09/q17/q30/q32/q33 rotated back INTO the window in r10
+    # — the re-certification rotation, VERDICT r9 item 1.)
     "q18_running_customer_spend",
     "q19_lead_lag_event_gaps",
-    "q30_tumbling_hourly_counts",
     "q31_sliding_2h_windows",
-    "q32_running_avg_max",
-    "q33_last_n_per_key",
     "q36_failure_rate",
     "q37_earliest_event",
     "q39_correlated_max_order",
@@ -204,20 +211,9 @@ GRADED_SPARES = [
     "q38_trailing_hour_range_frame",
     "q41_fingerprint_neardup",
     "q47_embedding_stats",
-    # r7 rotations OUT of the window (driver-green r2-r6 / r1-r6 /
-    # r5-r6 respectively; every family keeps an in-window certifier or
-    # a multi-round driver-green history — see the window comment).
-    # r9 rotated q35/q60/q63/q64/q66/q67/q43/q89 back IN (oldest
-    # driver-green histories — VERDICT r8 item 5); these three stay
-    # spares with in-window tier mates (q61 file-list ~ q60's pipe
-    # tier, q62 map fns ~ the §2.6 family, q65 UDTF ~ q63/q64's UDF
-    # surface, q68 Hadoop records pytest- + r3-r7-certified, q46
-    # cosine ~ in-window q50/q114):
-    "q61_input_file_list",
-    "q62_map_functions",
-    "q65_tokens_udtf",
-    "q68_hadoop_records",
-    "q46_cosine_topk",
+    # (q61/q62/q65/q68/q46 — r7 rotations out, last graded r6 —
+    # rotated back INTO the window in r10: they were the oldest
+    # driver-green rows left, VERDICT r9 item 1.)
 ]
 
 #: Rows-only (oracle=None) queries: can never hash-match, so they must

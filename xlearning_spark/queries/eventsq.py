@@ -427,6 +427,29 @@ def q117_attribution_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q119_attribution_audit",
+    oracle="""
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS click_ts, p.ts AS purchase_ts, p.value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+    tags=("streaming-batch", "T", "interval-join", "outer"),
+    doc="Attribution AUDIT (full-outer interval join, r9 VERDICT item "
+    "5): un-converted clicks AND organic purchases (no same-user "
+    "click within the preceding hour) each emit exactly once with "
+    "nulls on the missing side. Runs streaming.attributed_conversions "
+    "itself on batch frames; the streaming form's parity, state bound "
+    "and exactly-once recovery are tested in tests/test_streaming.py.",
+)
+def q119_attribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _attrib(spark, sf_dir, "full_outer")
+
+
+@query(
     "q118_stream_enrichment",
     oracle="""
 SELECT date_trunc('hour', e.ts) AS window_start, n.n_name,

@@ -119,6 +119,16 @@ def attributed_conversions(
     state bound; the null rows are the report real pipelines need to
     measure conversion rate.
 
+    ``how="full_outer"`` (r9 VERDICT item 5) completes the audit form:
+    un-converted clicks AND unattributed purchases (organic buys with
+    no preceding click in-horizon) each emit exactly once with nulls
+    on the missing side. Structured Streaming supports full-outer
+    interval joins under the same two conditions already satisfied
+    here — watermarks on BOTH sides and a time-interval join
+    condition — and the eviction proof is symmetric: a buffered row on
+    either side emits its null form once the OTHER side's watermark
+    passes its horizon. State bound unchanged.
+
     Works identically on batch frames (the parity test's and q116's
     oracle): the watermark is a no-op in batch, the interval condition
     is just a range predicate, and batch LEFT OUTER emits the same
@@ -128,8 +138,10 @@ def attributed_conversions(
     above; the output is append-mode (rows emit once both sides'
     watermarks pass).
     """
-    if how not in ("inner", "left_outer"):
-        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
+    if how not in ("inner", "left_outer", "full_outer"):
+        raise ValueError(
+            f"how must be 'inner', 'left_outer' or 'full_outer', got {how!r}"
+        )
     l = clicks.select(
         "user_id",
         F.col("event_id").alias("click_id"),
@@ -146,8 +158,15 @@ def attributed_conversions(
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
     )
+    # full_outer: purchase-only rows carry the id on the buyer side;
+    # coalesce is a no-op for inner/left_outer (click side present).
     return l.join(r, cond, how).select(
-        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "value"
+        F.coalesce("user_id", "__buyer").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "value",
     )
 
 
