@@ -1121,3 +1121,30 @@ def test_ivf_sq8_recall_and_exhaustive_exactness(spark):
         ).collect()
     }
     assert full == truth
+
+
+def test_connected_components_releases_round_checkpoints(spark):
+    # VERDICT r9 item 4: every round's localCheckpoint blocks must be
+    # freed eagerly once the next round is materialized — not left to
+    # the async ContextCleaner, whose backlog showed up as full-GC
+    # debt in the 16x scale envelopes. After the run, only the
+    # RETURNED frame's final-round blocks may remain cached.
+    jsc_sc = spark.sparkContext._jsc.sc()
+
+    def cached_ids():
+        return {
+            info.id()
+            for info in jsc_sc.getRDDStorageInfo()
+            if info.numCachedPartitions() > 0
+        }
+
+    before = cached_ids()
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["id_a", "id_b"]
+    )
+    res = connected_components(chain, max_iter=12)
+    assert res.count() == 201  # the ~8 rounds all ran
+    leftover = cached_ids() - before
+    assert len(leftover) <= 1, (
+        f"{len(leftover)} round checkpoints still cached: {leftover}"
+    )

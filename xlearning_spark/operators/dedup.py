@@ -452,6 +452,32 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    def _release(ck: DataFrame) -> None:
+        # Free a round's checkpoint blocks EAGERLY once the next round
+        # is materialized (VERDICT r9 item 4): without this, every
+        # round's blocks linger until the async ContextCleaner catches
+        # up with driver GC — measured as multi-second full-GC debt in
+        # the 16x scale envelopes. The new round is checkpoint-
+        # truncated, so it never re-reads the old blocks. Release is an
+        # optimization only: any reflection failure must never poison a
+        # correct run, so it degrades to the old leave-it-to-GC path.
+        try:
+            plan = ck._jdf.queryExecution().analyzed()
+            rdd = plan.rdd()  # LogicalRDD's materialized RDD
+            if checkpoint_dir is None:
+                rdd.unpersist(False)
+            else:
+                f = rdd.getCheckpointFile()
+                if f.isDefined():
+                    jvm = spark.sparkContext._jvm
+                    p = jvm.org.apache.hadoop.fs.Path(f.get())
+                    fs = p.getFileSystem(
+                        spark.sparkContext._jsc.hadoopConfiguration()
+                    )
+                    fs.delete(p, True)
+        except Exception:
+            return  # degraded: ContextCleaner frees it eventually
+
     edges = _materialize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -463,6 +489,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
+    prev_ck: DataFrame | None = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -516,7 +543,14 @@ def connected_components(
         changed = (
             new_ck.filter(F.col("component") != F.col("__old")).limit(1).count()
         )
+        # The previous round's blocks are dead the moment new_ck is
+        # materialized — release them now, round by round.
+        if prev_ck is not None:
+            _release(prev_ck)
+        prev_ck = new_ck
         if not changed:
+            # edges are dead too: the result is checkpoint-truncated.
+            _release(edges)
             return new_ck.select("id", "component")
         labels = new_ck.select("id", "component")
     raise RuntimeError(
