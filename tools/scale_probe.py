@@ -109,7 +109,25 @@ HEADLINE = [
     # keep per-user densities constant, so output and per-key join
     # state grow linearly with volume.
     "q116_conversion_attribution",
+    # r10 (VERDICT r9 item 6): the as-of join (J5) — the single-shuffle
+    # union+window form over replicated events; per-user purchase and
+    # signup densities stay constant under the user_id offsets, so
+    # window state per key is constant and volume grows linearly. The
+    # PLAN_GUARDS entry below asserts the single-Exchange shape at the
+    # top factor on every probe run.
+    "q09_asof_join_purchase_signup",
 ]
+
+#: Plan-shape guards re-asserted per probe run at each query's TOP
+#: factor (a scale claim is a plan claim): query -> (max Exchange
+#: count, rationale). Violation raises — a probe run must not record
+#: a cell for a plan that silently grew a shuffle.
+PLAN_GUARDS = {
+    # union + one window over user_id + filter = exactly one shuffle;
+    # a second Exchange would mean the as-of lost its single-shuffle
+    # design (e.g. a separate sort or a join sneaking in).
+    "q09_asof_join_purchase_signup": (1, "as-of union+window single shuffle"),
+}
 
 #: Per-query extra factors beyond the CLI list: the queries probed
 #: deeper. q53 got a 16x point in r4 to settle its r3 superlinearity
@@ -132,6 +150,7 @@ EXTRA_FACTORS = {
     "q114_sq8_ann_topk": [16],
     "q115_quality_keeper_dedup": [16],
     "q116_conversion_attribution": [16],
+    "q09_asof_join_purchase_signup": [16],
 }
 
 #: 5-run medians everywhere: the shared local-mode JVM throws
@@ -449,6 +468,20 @@ exercise) is measured in the skew-probe section below: hash-order
 grows 2.9x by 16x while the demoted generator holds 1.5x, survivor
 sets asserted identical every cell.
 
+q09 as-of join note (r10, VERDICT r9 item 6 — J5's first probe row):
+0.694 / 0.696 / 0.709 / 0.949 s at 1/4/8/16x (dedicated session,
+ratios 1.00 / 1.02 / 1.37; envelopes [0.57, 1.48] / [0.61, 0.75] /
+[0.67, 1.08] / [0.93, 0.96]) — flat-then-mildly-linear on idle-slot
+absorption. The single-shuffle union+window design claim is now a
+per-run PLAN_GUARDS assertion: at the top factor the executed plan
+must contain exactly one Exchange (hashpartitioning(user_id) for the
+window; the union and both event-type filters are shuffle-free), and
+a probe run raises rather than record a cell for a plan that grew a
+second shuffle. Verified this round: 1 Exchange at 16x. Per-user
+event densities are constant under the user_id-offset replicas, so
+window state per key is constant and only key count grows — the same
+linear story a sort-merge join would tell, minus its second sort.
+
 IVF build/probe split (round 5, r4 verdict item 3): sf0.1 embeddings
 (2000 x 64d), local[32], 3-run medians — build_ivf_index (KMeans fit +
 cell assignment + cache materialize) 1.83 s ONCE; ivf_probe per query
@@ -642,6 +675,23 @@ def main() -> None:
                 runs.append(time.time() - t0)
             results[name][f] = round(statistics.median(runs), 3)
             envelopes[name][f] = [round(min(runs), 3), round(max(runs), 3)]
+        if name in PLAN_GUARDS:
+            max_ex, why = PLAN_GUARDS[name]
+            top = max(q_factors)
+            plan = (
+                specs[name]
+                .spark(spark, dirs[top])
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            n_ex = plan.count("Exchange ")
+            if n_ex > max_ex:
+                raise AssertionError(
+                    f"{name}@{top}x plan guard violated ({why}): "
+                    f"{n_ex} Exchanges > {max_ex}\n{plan}"
+                )
+            print(f"plan guard ok: {name}@{top}x {n_ex} Exchange(s) ({why})")
 
     json.dump(results, open(sidecar, "w"), indent=1)
     json.dump(envelopes, open(env_sidecar, "w"), indent=1)
