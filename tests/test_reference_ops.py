@@ -48,6 +48,38 @@ def test_progress_protocol_parse():
     assert pipe_progress_parse("something else") is None
 
 
+def test_make_input_file_list_metadata_walk(spark, tmp_path):
+    # S5: the PLACEHOLDER payload must equal the file set a scan would
+    # read — data files only, no _SUCCESS / hidden entries — and be
+    # discovered by a pure metadata listing (no footer reads), so a
+    # 10^6-file catalog costs list calls, not parquet opens.
+    from xlearning_spark.operators.pipe import make_input_file_list
+
+    out_dir = str(tmp_path / "t")
+    spark.range(100).repartition(3).write.parquet(out_dir)
+    (tmp_path / "t" / ".hidden.crc").write_text("x")
+
+    listed = make_input_file_list(spark, {"t": out_dir})
+    names = [f.rsplit("/", 1)[-1] for f in listed["t"]]
+    assert names == sorted(names)
+    assert all(n.endswith(".parquet") for n in names)
+    assert not any(n.startswith(("_", ".")) for n in names)
+
+    # Equals the set the scan actually reads (input_file_name basenames).
+    scanned = {
+        r.f.rsplit("/", 1)[-1]
+        for r in spark.read.parquet(out_dir)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert set(names) == scanned
+
+    # A single concrete file path works too (pre-dir-layout callers).
+    one = make_input_file_list(spark, {"f": listed["t"][0]})
+    assert [p.rsplit("/", 1)[-1] for p in one["f"]] == [names[0]]
+
+
 # --------------------------------------------------------------- P1-P5
 
 def test_round_robin_balance():

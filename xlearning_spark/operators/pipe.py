@@ -165,22 +165,30 @@ def pipe_progress_parse(stderr_line: str) -> float | None:
 
 def make_input_file_list(spark: SparkSession, alias_paths: dict[str, str]) -> dict[str, list[str]]:
     """PLACEHOLDER-mode file list (S5): alias -> concrete file paths,
-    discovered the Spark way (input_file_name over a scan), matching
-    the reference's env JSON (HboxContainer.java:352-398).
+    discovered by a FileSystem metadata walk (the same ``globStatus``
+    listing the reference AM performs, ApplicationMaster.java:853),
+    matching the reference's env JSON (HboxContainer.java:352-398).
 
-    Driver-side bound: the distinct file list is collected to the
-    driver, exactly like the reference AM holding the full split map
-    (it spills the env JSON to a file past 100 KB). Size is O(number of
-    files), not data volume — fine up to ~10^5-10^6 paths; a larger
-    catalog should stay a DataFrame and use metadata-level pruning
-    instead of env delivery."""
+    Pure metadata: no file CONTENT is opened — enumerating 10^6 parquet
+    files costs 10^6 namenode list entries, not 10^6 footer reads (a
+    ``spark.read.parquet(...).select(input_file_name())`` scan would pay
+    the footer read per file just to learn the names). Hidden entries
+    (``_SUCCESS``, ``.crc`` — names starting with ``_`` or ``.``) are
+    excluded, the same convention Spark's own file index applies, so
+    the list equals what a scan of the directory would actually read.
+
+    Driver-side bound: the file list lives on the driver, exactly like
+    the reference AM holding the full split map (it spills the env JSON
+    to a file past 100 KB). Size is O(number of files), not data volume
+    — fine up to ~10^5-10^6 paths; a larger catalog should stay a
+    DataFrame and use metadata-level pruning instead of env delivery."""
+    from xlearning_spark.sources.delivery import glob_files
+
     out: dict[str, list[str]] = {}
     for alias, path in alias_paths.items():
-        files = (
-            spark.read.parquet(path)
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
+        files = glob_files(spark, path)
+        out[alias] = sorted(
+            f for f in files
+            if not f.rsplit("/", 1)[-1].startswith(("_", "."))
         )
-        out[alias] = sorted(r.f for r in files)
     return out
