@@ -640,8 +640,12 @@ def main() -> None:
     for name in HEADLINE:
         if only is not None and name not in only:
             continue
-        results[name] = {}
-        envelopes[name] = {}
+        # Merge per FACTOR, never reset the query's row: a focused
+        # `--only q 8` run must update the 8x cell in place and leave
+        # the other cells' last measurements standing (resetting here
+        # silently dropped cells the current factor list didn't cover).
+        results.setdefault(name, {})
+        envelopes.setdefault(name, {})
         q_factors = sorted({1, *factors, *EXTRA_FACTORS.get(name, [])})
         for f in q_factors:
             # Session-order hygiene: earlier queries leave cached
