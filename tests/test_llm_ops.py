@@ -1148,3 +1148,30 @@ def test_connected_components_releases_round_checkpoints(spark):
     assert len(leftover) <= 1, (
         f"{len(leftover)} round checkpoints still cached: {leftover}"
     )
+
+
+def test_learn_bpe_merges_releases_vocab_checkpoints(spark):
+    # Same cleaner-lag discipline as connected_components: each BPE
+    # round's superseded vocab checkpoint is freed eagerly, and since
+    # only the merges LIST leaves the function, the final round's
+    # blocks are dead too — zero leftover cached blocks.
+    from xlearning_spark.operators.text import learn_bpe_merges
+
+    jsc_sc = spark.sparkContext._jsc.sc()
+
+    def cached_ids():
+        return {
+            info.id()
+            for info in jsc_sc.getRDDStorageInfo()
+            if info.numCachedPartitions() > 0
+        }
+
+    before = cached_ids()
+    df = spark.createDataFrame(
+        [("low lower lowest newer newest wide wider widest",)] * 20,
+        ["text"],
+    )
+    merges = learn_bpe_merges(df, n_merges=10, min_freq=2)
+    assert len(merges) > 0
+    leftover = cached_ids() - before
+    assert not leftover, f"vocab checkpoints still cached: {leftover}"

@@ -28,6 +28,38 @@ from xlearning_spark.functions import tokens, with_shingle_hashes
 _P = (1 << 31) - 1
 
 
+def release_checkpoint(ck: DataFrame, reliable: bool = False) -> None:
+    """Free a checkpointed frame's storage EAGERLY — blocks for
+    ``localCheckpoint``, the checkpoint directory for a reliable
+    ``checkpoint`` (``reliable=True``) — instead of waiting for the
+    async ContextCleaner to catch up with driver GC (VERDICT r9 item
+    4: the cleaner lag showed up as multi-second full-GC debt in the
+    16x scale envelopes of every iterative operator). Callers use this
+    the moment a superseding round is materialized: the new round is
+    checkpoint-truncated, so it never re-reads the old storage.
+
+    Release is an optimization only — any failure must never poison a
+    correct run, so it degrades to the old leave-it-to-GC path.
+    """
+    try:
+        plan = ck._jdf.queryExecution().analyzed()
+        rdd = plan.rdd()  # LogicalRDD's materialized RDD
+        if not reliable:
+            rdd.unpersist(False)
+        else:
+            f = rdd.getCheckpointFile()
+            if f.isDefined():
+                spark = ck.sparkSession
+                jvm = spark.sparkContext._jvm
+                p = jvm.org.apache.hadoop.fs.Path(f.get())
+                fs = p.getFileSystem(
+                    spark.sparkContext._jsc.hadoopConfiguration()
+                )
+                fs.delete(p, True)
+    except Exception:
+        return  # degraded: ContextCleaner frees it eventually
+
+
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Keep the lowest-id row per duplicate group of ``cols``.
 
@@ -453,30 +485,9 @@ def connected_components(
         return df.localCheckpoint(eager=True)
 
     def _release(ck: DataFrame) -> None:
-        # Free a round's checkpoint blocks EAGERLY once the next round
-        # is materialized (VERDICT r9 item 4): without this, every
-        # round's blocks linger until the async ContextCleaner catches
-        # up with driver GC — measured as multi-second full-GC debt in
-        # the 16x scale envelopes. The new round is checkpoint-
-        # truncated, so it never re-reads the old blocks. Release is an
-        # optimization only: any reflection failure must never poison a
-        # correct run, so it degrades to the old leave-it-to-GC path.
-        try:
-            plan = ck._jdf.queryExecution().analyzed()
-            rdd = plan.rdd()  # LogicalRDD's materialized RDD
-            if checkpoint_dir is None:
-                rdd.unpersist(False)
-            else:
-                f = rdd.getCheckpointFile()
-                if f.isDefined():
-                    jvm = spark.sparkContext._jvm
-                    p = jvm.org.apache.hadoop.fs.Path(f.get())
-                    fs = p.getFileSystem(
-                        spark.sparkContext._jsc.hadoopConfiguration()
-                    )
-                    fs.delete(p, True)
-        except Exception:
-            return  # degraded: ContextCleaner frees it eventually
+        # module-level release_checkpoint, bound to this run's
+        # checkpoint mode (see its docstring for the rationale).
+        release_checkpoint(ck, reliable=checkpoint_dir is not None)
 
     edges = _materialize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

@@ -453,6 +453,8 @@ def learn_bpe_merges(
     Stops early when the best pair's frequency drops below
     ``min_freq``; returns possibly fewer than ``n_merges`` rules.
     """
+    from xlearning_spark.operators.dedup import release_checkpoint
+
     words = (
         df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
         .filter(F.col("w") != "")
@@ -466,6 +468,7 @@ def learn_bpe_merges(
         ).alias("syms"),
         "cnt",
     ).localCheckpoint()
+    prev_ck = vocab
 
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
@@ -508,6 +511,14 @@ def learn_bpe_merges(
         )
         if (i + 1) % checkpoint_every == 0:
             vocab = vocab.localCheckpoint()
+            # The superseded round's vocab blocks are dead the moment
+            # the new checkpoint materializes — free them eagerly
+            # (same cleaner-lag discipline as connected_components).
+            release_checkpoint(prev_ck)
+            prev_ck = vocab
+    # Only the merges list leaves this function: the last round's
+    # vocab blocks are dead too.
+    release_checkpoint(prev_ck)
     return merges
 
 
