@@ -291,3 +291,45 @@ def test_retry_cleans_uncommitted_output_between_attempts(
     assert res.attempts == 2
     assert res.committed
     assert res.n_records_out == 8  # attempt 1's partial rows are gone
+
+
+# ----------------------------------------------------- RetryPolicy math
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    base=st.integers(min_value=1, max_value=64 * 1024),
+    autoscale=st.floats(min_value=0.0, max_value=4.0,
+                        allow_nan=False, allow_infinity=False),
+    cap=st.integers(min_value=1, max_value=256 * 1024),
+    attempt=st.integers(min_value=1, max_value=20),
+)
+def test_retry_memory_autoscale_properties(base, autoscale, cap, attempt):
+    # The reference's arithmetic (AM:290): additive from the BASE per
+    # attempt — base + (k-1)*ceil(base*autoscale) — then the container
+    # cap. Property-checked: attempt 1 is the (capped) base, memory is
+    # nondecreasing in the attempt number, never exceeds the cap, and
+    # each uncapped step adds exactly ceil(base*autoscale) (additive,
+    # never compounding).
+    import math
+
+    from xlearning_spark.job import RetryPolicy
+
+    pol = RetryPolicy(
+        max_attempts=attempt,
+        autoscale=autoscale,
+        base_memory_mb=base,
+        max_memory_mb=cap,
+    )
+    step = math.ceil(base * autoscale)
+    mems = [pol.memory_for_attempt(k) for k in range(1, attempt + 1)]
+    assert mems[0] == min(base, cap)
+    assert all(m <= cap for m in mems)
+    assert all(b >= a for a, b in zip(mems, mems[1:]))
+    for k, (a, b) in enumerate(zip(mems, mems[1:]), start=2):
+        if b < cap:  # uncapped step: exact additive increment
+            assert b - a == step
+    with pytest.raises(ValueError, match="1-based"):
+        pol.memory_for_attempt(0)
