@@ -35,6 +35,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from xlearning_spark.operators.dedup import release_checkpoint
+
 #: Schema of the events stream (fixture parity; ts as micro timestamp).
 EVENTS_SCHEMA = StructType(
     [
@@ -408,6 +410,7 @@ def incremental_partition_save(
         # in snapshot mode.
         merge = parts if key_cols is not None else parts & touched
         out = batch_df
+        carried: DataFrame | None = None
         if merge:
             existing = _read_state_parquet(batch_df.sparkSession, out_dir)
             if existing is not None:
@@ -437,14 +440,20 @@ def incremental_partition_save(
                 # Materialize the carried-over rows BEFORE the write:
                 # the sink overwrites the very files they come from, and
                 # Spark (rightly) refuses a lazy self-overwrite plan.
-                old = old.localCheckpoint(eager=True)
-                out = batch_df.unionByName(old)
+                carried = old.localCheckpoint(eager=True)
+                out = batch_df.unionByName(carried)
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_by)
             .parquet(out_dir)
         )
+        if carried is not None:
+            # The carried-over blocks are dead once the write lands; on
+            # a long stream, leaving one block set per micro-batch to
+            # the async ContextCleaner accumulates exactly the full-GC
+            # debt the iterative operators release eagerly.
+            release_checkpoint(carried)
         touched.update(parts)
         written.append(batch_id)
 
@@ -622,10 +631,15 @@ def neardup_ingest(
         # Materialize before writing: corpus_dir is both read above and
         # appended here, and a lazy plan would self-overlap.
         survivors = survivors.localCheckpoint(eager=True)
-        if survivors.isEmpty():
-            return
-        survivors.write.mode("append").parquet(corpus_dir)
-        written.append(batch_id)
+        try:
+            if survivors.isEmpty():
+                return
+            survivors.write.mode("append").parquet(corpus_dir)
+            written.append(batch_id)
+        finally:
+            # Per-micro-batch blocks released eagerly (cleaner-lag
+            # discipline — see incremental_save).
+            release_checkpoint(survivors)
 
     q = (
         stream_df.writeStream.foreachBatch(ingest)
@@ -708,7 +722,9 @@ def streaming_hll_distinct(
         # Materialize before writing: the merged plan reads the previous
         # version; eager checkpoint severs that scan from the write.
         vdir = f"{state_dir}/v{batch_id:010d}"
-        regs.localCheckpoint(eager=True).write.mode("overwrite").parquet(vdir)
+        ck = regs.localCheckpoint(eager=True)
+        ck.write.mode("overwrite").parquet(vdir)
+        release_checkpoint(ck)  # per-batch blocks, dead after the write
         _mark_sketch_version(spark, vdir, checkpoint_dir)
 
     q = (
@@ -814,7 +830,9 @@ def _cms_update(
                 spark.read.parquet(prev), regs, group_cols
             )
         vdir = f"{state_dir}/v{batch_id:010d}"
-        regs.localCheckpoint(eager=True).write.mode("overwrite").parquet(vdir)
+        ck = regs.localCheckpoint(eager=True)
+        ck.write.mode("overwrite").parquet(vdir)
+        release_checkpoint(ck)  # per-batch blocks, dead after the write
         if checkpoint_dir is not None:
             _mark_sketch_version(spark, vdir, checkpoint_dir)
 
@@ -1003,6 +1021,10 @@ def excise_ingest(
         delta.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"batch={batch_id}")
         )
+        # Per-micro-batch checkpoint blocks are dead once both writes
+        # land — release eagerly (cleaner-lag discipline).
+        release_checkpoint(cleaned)
+        release_checkpoint(delta)
         scored.unpersist()
         rows.unpersist()
         processed.append(batch_id)
