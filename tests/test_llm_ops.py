@@ -1175,3 +1175,76 @@ def test_learn_bpe_merges_releases_vocab_checkpoints(spark):
     assert len(merges) > 0
     leftover = cached_ids() - before
     assert not leftover, f"vocab checkpoints still cached: {leftover}"
+
+
+# ------------------------------------------- L6 learned quality filter
+
+def _lr_fixture(spark):
+    # Separable synthetic corpus: "good" docs draw from a clean
+    # lexicon, "bad" docs from a spam one, with one shared filler
+    # token so the classes overlap in feature space but stay separable.
+    good = ["clean prose article reads well today", "article prose well"]
+    bad = ["zz9 buy spam click zz9 now", "spam click zz9"]
+    rows = []
+    for i in range(40):
+        rows.append((i, good[i % 2] + " filler", 1))
+    for i in range(40, 80):
+        rows.append((i, bad[i % 2] + " filler", 0))
+    return spark.createDataFrame(rows, ["doc_id", "text", "label"])
+
+
+def test_hashed_bow_counts_and_range(spark):
+    from xlearning_spark.operators.text import hashed_bow
+
+    df = spark.createDataFrame([(1, "a b a  c")], ["doc_id", "text"])
+    rows = hashed_bow(df, dim=16).collect()
+    assert sum(r.cnt for r in rows) == 4  # empty split token dropped
+    assert all(0 <= r.idx < 16 for r in rows)
+    # 'a' appears twice -> one idx row carries cnt 2 (or collides)
+    assert max(r.cnt for r in rows) >= 2
+
+
+def test_train_text_lr_learns_and_matches_numpy(spark):
+    import math
+
+    import numpy as np
+
+    from xlearning_spark.operators.text import (
+        hashed_bow,
+        score_text_lr,
+        train_text_lr,
+    )
+
+    df = _lr_fixture(spark)
+    dim, iters, lr = 64, 25, 0.5
+    w, b = train_text_lr(
+        df, "label", dim=dim, iters=iters, lr=lr
+    )
+
+    # 1. The learned filter separates the classes.
+    scored = score_text_lr(hashed_bow(df, dim=dim), w, b).join(
+        df.select("doc_id", "label"), "doc_id"
+    )
+    acc = scored.selectExpr(
+        "avg(CAST((score >= 0.5) = (label = 1) AS DOUBLE)) AS acc"
+    ).collect()[0].acc
+    assert acc >= 0.95, f"accuracy {acc}"
+
+    # 2. Exact parity with an independent NumPy reference running the
+    # identical full-batch GD on the identical hashed features.
+    feats = hashed_bow(df, dim=dim).collect()
+    labels = {r.doc_id: r.label for r in df.collect()}
+    X = np.zeros((80, dim))
+    y = np.zeros(80)
+    for r in feats:
+        X[r.doc_id, r.idx] += r.cnt
+        y[r.doc_id] = labels[r.doc_id]
+    wr = np.zeros(dim)
+    br = 0.0
+    for _ in range(iters):
+        m = X @ wr + br
+        resid = 1.0 / (1.0 + np.exp(-m)) - y
+        wr -= lr * (X.T @ resid) / 80
+        br -= lr * resid.sum() / 80
+    assert np.allclose(np.array(w), wr, rtol=1e-9, atol=1e-12)
+    assert math.isclose(b, br, rel_tol=1e-9, abs_tol=1e-12)

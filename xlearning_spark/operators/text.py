@@ -679,3 +679,167 @@ def gopher_flags(
         )
         .drop("__w", "__top_n")
     )
+
+
+# --------------------------------------------------------------------
+# L6 (learned): hashed-bag-of-words logistic-regression quality filter
+# --------------------------------------------------------------------
+
+#: Prime used by the portable (md5) token hash — same device as the
+#: portable sketch family (operators/sketch.py), so a DuckDB oracle
+#: can replay feature indexes bit-for-bit.
+_LR_P = (1 << 60) - 1
+
+
+def hashed_bow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+    portable: bool = False,
+) -> DataFrame:
+    """Hashed bag-of-words features: ``(id, idx, cnt)`` with
+    ``idx = hash(token) % dim`` — the fastText/Vowpal hashing trick,
+    which is what makes a learned text filter 100 TB-safe: the feature
+    space is a FIXED ``dim`` regardless of vocabulary, so the weight
+    vector is broadcastable by construction and no vocabulary shuffle
+    ever happens. One hash-aggregate shuffle, fully JVM-side.
+
+    ``portable=True`` swaps xxhash64 for the md5-low-60-bit device the
+    portable sketches use, so an external oracle (DuckDB) reproduces
+    the same indexes.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    if portable:
+        h = F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10).cast("bigint")
+    else:
+        h = F.xxhash64("__tok")
+    return (
+        tok.select(id_col, F.pmod(h, F.lit(dim)).cast("int").alias("idx"))
+        .groupBy(id_col, "idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def lcg_weights(dim: int, seed: int = 11) -> list[float]:
+    """Deterministic LCG weight draw in [-1, 1) — same generator
+    discipline as similarity.hyperplane_planes, exposed so an external
+    oracle can embed the identical literals."""
+    state = seed
+    out = []
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        out.append((state / float(1 << 63)) * 2.0 - 1.0)
+    return out
+
+
+def score_text_lr(
+    feats: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score ``hashed_bow`` features with a fixed weight vector:
+    ``(id, margin, score)`` with ``score = sigmoid(bias + Σ cnt·w)``.
+
+    The weight table is ``dim`` rows — bounded by construction (the
+    hashing trick), so the join is broadcast the way ``nation`` is:
+    hinting it is safe at ANY corpus size, unlike a corpus-scaled
+    side. One aggregation shuffle on the doc key.
+    """
+    spark = feats.sparkSession
+    wdf = spark.createDataFrame(
+        list(enumerate(weights)), "idx int, wt double"
+    )
+    return (
+        feats.join(F.broadcast(wdf), "idx")
+        .groupBy(id_col)
+        .agg((F.lit(bias) + F.sum(F.col("cnt") * F.col("wt"))).alias("margin"))
+        .select(
+            id_col,
+            "margin",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))).alias("score"),
+        )
+    )
+
+
+def train_text_lr(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+    iters: int = 30,
+    lr: float = 0.5,
+    portable: bool = False,
+) -> tuple[list[float], float]:
+    """Train the quality filter: full-batch logistic regression by
+    gradient descent over ``hashed_bow`` features. Returns
+    ``(weights, bias)`` for :func:`score_text_lr`.
+
+    100 TB shape (the reference-free part of the LLM tier): per
+    iteration exactly two keyed shuffles — margins by doc, gradient by
+    feature index — and driver traffic bounded at ``dim + 1`` rows
+    (the gradient collect), never row- or vocabulary-scaled; the
+    weight table re-broadcast each round is ``dim`` rows. The feature
+    frame is computed once and persisted; labels ride along from the
+    first join. This is the classic parameter-averaging full-batch
+    layout (one "parameter server" round-trip per iteration, with the
+    driver as the PS — bounded because the hashing trick fixes dim).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    feats = hashed_bow(df, id_col, text_col, dim, portable).join(
+        df.select(id_col, F.col(label_col).cast("double").alias("__y")),
+        id_col,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = feats.select(id_col).distinct().count()
+    if n_docs == 0:
+        feats.unpersist()
+        raise ValueError("train_text_lr: no documents with tokens")
+
+    w = [0.0] * dim
+    b = 0.0
+    try:
+        for _ in range(iters):
+            wdf = spark.createDataFrame(
+                list(enumerate(w)), "idx int, wt double"
+            )
+            resid = (
+                feats.join(F.broadcast(wdf), "idx")
+                .groupBy(id_col, "__y")
+                .agg(F.sum(F.col("cnt") * F.col("wt")).alias("__m"))
+                .select(
+                    id_col,
+                    (
+                        F.lit(1.0)
+                        / (F.lit(1.0) + F.exp(-(F.lit(b) + F.col("__m"))))
+                        - F.col("__y")
+                    ).alias("__r"),
+                )
+            )
+            # Gradient by feature index + the bias row (idx = -1):
+            # ≤ dim + 1 rows to the driver, the documented PS bound.
+            grad_rows = (
+                feats.join(resid, id_col)
+                .groupBy("idx")
+                .agg(F.sum(F.col("cnt") * F.col("__r")).alias("g"))
+                .unionByName(
+                    resid.agg(
+                        F.lit(-1).alias("idx"), F.sum("__r").alias("g")
+                    )
+                )
+                .collect()
+            )
+            for row in grad_rows:
+                if row["idx"] < 0:
+                    b -= lr * row["g"] / n_docs
+                else:
+                    w[row["idx"]] -= lr * row["g"] / n_docs
+    finally:
+        feats.unpersist()
+    return w, b

@@ -222,6 +222,13 @@ GRADED_SPARES = [
 #: MinHash-LSH, q87 for q49's SimHash, q50 already certifying the LSH
 #: ANN family beside q52's KMeans-based IVF) — these four stay
 #: registered as the fast engine-native/xxhash64 production forms.
+GRADED_SPARES += [
+    # r10 addition, registered as a spare (the 50-query window was
+    # already rotated this round): the learned quality filter's
+    # hash-certified scoring stage — candidate for the r11 rotation.
+    "q120_learned_quality_lr",
+]
+
 ROWS_ONLY = [
     "q16_approx_distinct",
     "q93_bpe_tokenizer",  # iterative argmax merge learning (certified vs an independent reference impl in tests, like q52's recall gate)

@@ -2035,3 +2035,73 @@ def q115_quality_keeper_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         losers, docs.doc_id == losers.id, "left_anti"
     ).select("doc_id", "source", "n_tokens")
+
+
+# --------------------------------------------------------------------
+# L6 (learned): hashed-BOW logistic-regression quality filter — the
+# scoring stage, hash-certified via the replayed-literals device
+# (q50's pattern): deterministic LCG weights + the md5-portable
+# feature hash, both reproduced bit-for-bit in the DuckDB twin.
+# --------------------------------------------------------------------
+
+_LR_DIM = 256
+
+
+def _lr_oracle_sql(dim: int = _LR_DIM, seed: int = 11) -> str:
+    """DuckDB twin of q120: embeds the SAME LCG weight literals and
+    replays the md5 feature hash, the dim-bounded weight join, the
+    margin sum and the sigmoid — fully deterministic, hence
+    hash-checkable (the trainer itself is certified against an
+    independent NumPy implementation in tests/test_llm_ops.py)."""
+    from xlearning_spark.operators.text import lcg_weights
+
+    values = ", ".join(
+        f"({i}, {w!r})" for i, w in enumerate(lcg_weights(dim, seed))
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+tok AS (SELECT doc_id, u.tok AS tok FROM t, unnest(w) AS u(tok) WHERE u.tok <> ''),
+f AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT % {dim} AS INT) AS idx,
+             COUNT(*) AS cnt
+      FROM tok GROUP BY 1, 2),
+wt AS (SELECT * FROM (VALUES {values}) AS v(idx, wt)),
+m AS (SELECT doc_id, SUM(cnt * wt) AS margin FROM f JOIN wt USING (idx) GROUP BY doc_id)
+SELECT doc_id, ROUND(margin, 6) AS margin,
+       ROUND(1.0 / (1.0 + exp(-margin)), 8) AS score
+FROM m
+"""
+
+
+@query(
+    "q120_learned_quality_lr",
+    oracle=_lr_oracle_sql(),
+    tags=("llm", "L6", "learned-filter"),
+    doc="Learned quality filter (hashing-trick logistic regression — "
+    "the fastText-style device industrial quality classifiers use), "
+    "scoring stage fully hash-certified: hashed bag-of-words over the "
+    "md5-portable token hash scored against a fixed LCG weight vector "
+    "the oracle replays literally (operators/text.hashed_bow / "
+    "score_text_lr). The weight table is dim=256 rows — broadcastable "
+    "at ANY corpus size by the hashing trick, the property that makes "
+    "a learned filter 100 TB-safe. The distributed trainer "
+    "(train_text_lr: two keyed shuffles + a <= dim+1-row driver "
+    "collect per iteration) is certified against an independent NumPy "
+    "reference to 1e-9 in tests/test_llm_ops.py, like q93's BPE "
+    "trainer.",
+)
+def q120_learned_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.text import (
+        hashed_bow,
+        lcg_weights,
+        score_text_lr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = hashed_bow(docs, dim=_LR_DIM, portable=True)
+    scored = score_text_lr(feats, lcg_weights(_LR_DIM))
+    return scored.select(
+        "doc_id",
+        F.round("margin", 6).alias("margin"),
+        F.round("score", 8).alias("score"),
+    )
