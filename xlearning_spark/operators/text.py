@@ -453,6 +453,30 @@ def learn_bpe_merges(
     Stops early when the best pair's frequency drops below
     ``min_freq``; returns possibly fewer than ``n_merges`` rules.
     """
+    return [
+        (left, right)
+        for left, right, _ in learn_bpe_merge_table(
+            df, text_col, n_merges, min_freq, end_of_word, checkpoint_every
+        )
+    ]
+
+
+def learn_bpe_merge_table(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    min_freq: int = 2,
+    end_of_word: str = "</w>",
+    checkpoint_every: int = 1,
+) -> list[tuple[str, str, int]]:
+    """:func:`learn_bpe_merges` with the argmax frequency kept per rule:
+    ``[(left, right, corpus_pair_count), ...]`` in rank order. The
+    counts are what q121's hash-certified oracle replays (a DuckDB
+    query re-runs the same argmax-merge loop on a delimiter-wrapped
+    string encoding of the vocab), so the TRAINER itself — not just
+    the applied tokenization — is externally certified. Same plan,
+    same driver traffic (one argmax row per merge) as
+    :func:`learn_bpe_merges`."""
     from xlearning_spark.operators.dedup import release_checkpoint
 
     words = (
@@ -470,7 +494,7 @@ def learn_bpe_merges(
     ).localCheckpoint()
     prev_ck = vocab
 
-    merges: list[tuple[str, str]] = []
+    merges: list[tuple[str, str, int]] = []
     for i in range(n_merges):
         pairs = (
             vocab.filter(F.size("syms") >= 2)
@@ -489,7 +513,7 @@ def learn_bpe_merges(
         if not best or best[0]["n"] < min_freq:
             break
         left, right = best[0]["left"], best[0]["right"]
-        merges.append((left, right))
+        merges.append((left, right, int(best[0]["n"])))
         joined = left + right
         # Greedy left-to-right fold: append each symbol, or fuse it
         # with the accumulator tail when (tail, symbol) == the pair.

@@ -57,8 +57,8 @@ GRADING_WINDOW = [
     "q119_attribution_audit",        # T interval join, FULL OUTER (NEW r10 — VERDICT r9 item 5; q117 left-outer rests as a spare, tier keeps two in-window certifiers)
     "q88_portable_approx_percentile",    # A6 hash-certified sampled percentiles (r5 rotation; spare: q14, driver-green r1-r4 — its exact distinct+percentile twins live on inside q85/q88's outputs)
     "q73_token_chunking",        # corpus token chunking (r6 rotation in; A8 spare q15 driver-green r1-r5)
-    "q17_topk_orders_per_customer",  # §2.8 top-k window (r10 re-cert rotation in, last graded r6; q87 portable SimHash rests — sketch tier keeps q88/q96/q112/q113 in-window)
-    "q30_tumbling_hourly_counts",    # T7 tumbling windows (r10 re-cert in, last r6; q91 JPEG rests — L5 keeps q84 GIF in-window)
+    "q36_failure_rate",          # A3 failure-rate agg (r11 re-cert in, last r6 — single-member family, VERDICT r10 item 1 lead)
+    "q37_earliest_event",        # A4 earliest-start agg (r11 re-cert in, last r6 — single-member family)
     # r8 swap: q118 (stream-STATIC enrichment join — the stateless
     # streaming-join shape, certifying streaming.enriched_tumbling_by_
     # nation on batch frames) takes q92's slot; q92 (MJPEG video,
@@ -75,8 +75,8 @@ GRADING_WINDOW = [
     "q90_mixture_temperature",   # corpus tier's first driver slot (r5 rotation; pivot spare: q29, driver-green r1-r4)
     "q94_gopher_rules",          # L6 per-rule Gopher curation audit (r6 rotation-2 in; T7 spare q30 driver-green r1-r6 + stream-parity test)
     "q95_token_budget_mixture",  # corpus token-budget mixture cap (r6 rotation-2 in; T2 spare q31 driver-green r1-r6 + stream-parity test)
-    "q96_portable_cms",          # L4 hash-certified Count-Min sketch (r6 rotation-2 in; A1 spare q32 driver-green r1-r6)
-    "q97_delta_neardup_pairs",   # L2 incremental near-dup generator (r6 rotation-2 in; A2 spare q33 driver-green r1-r6)
+    "q96_portable_cms",          # L4 hash-certified Count-Min sketch (r6 rotation-2 in; A1 spare q32 driver-green r1-r6 + r10)
+    "q10_cross_join_region_nation",  # J6 cross join (r11 re-cert in, last r5 — single-member family; rests q97, L2 keeps q80/q83/q99/q101/q115/q70/q53 in-window)
     "q115_quality_keeper_dedup", # L2xL6 quality-aware keeper sweep (r7; swaps in for q35_sessionization — T3 six-round driver-green, stream==batch + applyInPandasWithState-certified, spare q34 local-green)
     "q99_excise_spans",          # L2 substring-dedup excision (r6 rotation-2 in; A3 spare q36 driver-green r1-r6)
     "q101_demoted_jaccard",      # L2 frequency-demoted (organic-skew) prefix order, q70-oracle-certified (r6 rotation-2 in; A4 spare q37 driver-green r1-r6)
@@ -85,33 +85,32 @@ GRADING_WINDOW = [
     "q50_lsh_ann_topk",          # L3 hyperplane LSH (ungraded in r2)
     "q51_bpe_token_counting",    # L4 BPE tokens (ungraded in r2)
     "q53_neardup_components",    # L2 connected components (ungraded in r2)
-    # r10 re-certification rotation (VERDICT r9 item 1): cycle the
-    # OLDEST driver-green families back in so no family's newest green
-    # row ages past ~3 rounds. IN, all last graded r6: q61 (S5 file
-    # list), q62 (§2.6 map fns), q65 (U4 UDTF), q68 (S3 InputFormat
-    # scan), q46 (L3 cosine top-k), q05 (J1/J2 regional revenue,
-    # broadcast-shape certifier), q08 (J4 range join), q09 (J5 as-of),
-    # q17 (§2.8 top-k window), q30 (T7 tumbling), q32 (A1 running
-    # avg/max), q33 (A2 last-N) — plus the NEW q119 full-outer
-    # interval join. OUT, all freshly re-graded r9 with in-window
-    # family mates per the judge's rotation notes: q60 pipe (q61 is
-    # the pipe tier's file-list row), q63/q64 (q65 certifies the UDF
-    # surface), q35/q66/q67/q89/q43 (fresh r9 greens; L6 keeps
-    # q90/q94/q115, L4 keeps q51/q78/q79/q81), q55 (L2 keeps eight
-    # mates), q91 (L5 keeps q84), q104 (q106/q108 stay as the
-    # subquery tier's certifiers), q87 (sketch tier keeps
-    # q88/q96/q112/q113), q117 (interval tier keeps q116 + new q119).
-    "q61_input_file_list",       # S5 PLACEHOLDER file list (last r6)
-    "q62_map_functions",         # §2.6 map functions (last r6)
-    "q65_tokens_udtf",           # U4 UDTF (last r6)
-    "q68_hadoop_records",        # S3 InputFormat record scan (last r6)
-    "q46_cosine_topk",           # L3 brute-force cosine top-k (last r6)
-    "q05_regional_revenue",      # J1/J2 dims-broadcast join (last r6)
-    "q08_range_join_price_bands",  # J4 theta/range join (last r6)
-    "q09_asof_join_purchase_signup",  # J5 as-of join (last r6)
-    "q32_running_avg_max",       # A1 running avg/max window (last r6)
-    "q33_last_n_per_key",        # A2 bounded last-N window (last r6)
-    "q106_important_part_share",     # TPC-H Q11: HAVING vs global scalar
+    # r11 re-certification rotation (VERDICT r10 items 1-3): cycle the
+    # genuinely-oldest driver-green rows back in, led by the
+    # single-member families q36/q37 (A3/A4, last r6 — the rows the
+    # r10 STATUS note misstated as rotated) and q10 (J6, last r5),
+    # plus the never-driver-graded q120 (learned filter, registered as
+    # a spare in r10 by design) and the NEW q121 BPE merge-table twin.
+    # IN, all last graded r6: q18/q19 (window analytics), q31
+    # (sliding windows), q39 (correlated subquery), q40 (L1 exact
+    # dedup), q42 (L2 exact all-pairs oracle twin), q02 (pushdown
+    # scan), q04 (outer-join agg), q12 (cube). OUT, all freshly
+    # re-graded r10 with their families certified by that fresh row +
+    # in-window mates/plan guards: q61/q62/q65/q68/q46/q05/q08/q09/
+    # q17/q30/q32/q33 (the r10 re-cert tranche), q106 (q108 stays as
+    # the subquery tier's certifier), q97 (L2 keeps seven mates
+    # in-window).
+    "q18_running_customer_spend",    # §2.7 running-total frame (last r6)
+    "q19_lead_lag_event_gaps",       # §2.7 lead/lag analytics (last r6)
+    "q31_sliding_2h_windows",        # T2 sliding windows (last r6)
+    "q39_correlated_max_order",      # correlated scalar subquery (last r6)
+    "q40_exact_dedup",               # L1 exact dedup certifier (last r6)
+    "q42_jaccard_pairs",             # L2 exact all-pairs oracle twin (last r6)
+    "q02_filter_project_pushdown",   # S10 pushdown scan shape (last r6)
+    "q04_customer_order_counts",     # J1 left-outer agg (last r6)
+    "q12_cube_lineitem",             # A7 cube (last r6)
+    "q120_learned_quality_lr",       # L6 learned filter scoring (never driver-graded; VERDICT r10 item 2)
+    "q121_bpe_merge_table",          # L4 BPE trainer hash-certified twin (NEW r11; VERDICT r10 item 3)
     "q108_cheapest_supplier_per_part", # TPC-H Q2: correlated MIN over join
     "q112_portable_bloom",           # 5th certified sketch family (live FPs)
     "q113_heavy_hitters",            # MG candidates + exact integer recount
@@ -126,7 +125,6 @@ GRADED_SPARES = [
     # VERDICT r5 item 1 explicitly endorsed rotating this class out so
     # the never-driver-graded corpus-tier queries earn driver slots):
     "q03_shipping_priority",
-    "q10_cross_join_region_nation",
     "q15_collect_sorted",
     "q21_set_operations",
     "q22_string_functions",
@@ -193,27 +191,33 @@ GRADED_SPARES = [
     # one green round leaves no oracle-backed query ungraded-by-driver.
     # (q05/q08/q09/q17/q30/q32/q33 rotated back INTO the window in r10
     # — the re-certification rotation, VERDICT r9 item 1.)
-    "q18_running_customer_spend",
-    "q19_lead_lag_event_gaps",
-    "q31_sliding_2h_windows",
-    "q36_failure_rate",
-    "q37_earliest_event",
-    "q39_correlated_max_order",
-    "q40_exact_dedup",
-    "q42_jaccard_pairs",          # L2 exact all-pairs twin of q70 (oracle spare)
-    # (Training-corpus pipeline tier q71-q77 rotated INTO the window in
-    # r6 — VERDICT r5 item 1.)
-    "q02_filter_project_pushdown",
-    "q04_customer_order_counts",
-    "q12_cube_lineitem",
+    # (q18/q19/q31/q36/q37/q39/q40/q42/q02/q04/q12 rotated back INTO
+    # the window in r11 — the re-certification rotation, VERDICT r10
+    # item 1; training-corpus pipeline tier q71-q77 rotated INTO the
+    # window in r6 — VERDICT r5 item 1.)
     "q20_ntile_dense_rank",
     "q34_timeout_gap_detection",
     "q38_trailing_hour_range_frame",
     "q41_fingerprint_neardup",
     "q47_embedding_stats",
-    # (q61/q62/q65/q68/q46 — r7 rotations out, last graded r6 —
-    # rotated back INTO the window in r10: they were the oldest
-    # driver-green rows left, VERDICT r9 item 1.)
+    # r11 rotations OUT (all freshly driver-green r10 — the r10
+    # re-certification tranche plus q106/q97; see the r11 rotation-in
+    # comment for the in-window mates/plan guards that keep each
+    # family certified):
+    "q61_input_file_list",
+    "q62_map_functions",
+    "q65_tokens_udtf",
+    "q68_hadoop_records",
+    "q46_cosine_topk",
+    "q05_regional_revenue",
+    "q08_range_join_price_bands",
+    "q09_asof_join_purchase_signup",
+    "q17_topk_orders_per_customer",
+    "q30_tumbling_hourly_counts",
+    "q32_running_avg_max",
+    "q33_last_n_per_key",
+    "q106_important_part_share",
+    "q97_delta_neardup_pairs",
 ]
 
 #: Rows-only (oracle=None) queries: can never hash-match, so they must
@@ -222,12 +226,8 @@ GRADED_SPARES = [
 #: MinHash-LSH, q87 for q49's SimHash, q50 already certifying the LSH
 #: ANN family beside q52's KMeans-based IVF) — these four stay
 #: registered as the fast engine-native/xxhash64 production forms.
-GRADED_SPARES += [
-    # r10 addition, registered as a spare (the 50-query window was
-    # already rotated this round): the learned quality filter's
-    # hash-certified scoring stage — candidate for the r11 rotation.
-    "q120_learned_quality_lr",
-]
+# (q120_learned_quality_lr, registered as a spare in r10, rotated INTO
+# the window in r11 alongside the new q121 — VERDICT r10 items 2-3.)
 
 ROWS_ONLY = [
     "q16_approx_distinct",

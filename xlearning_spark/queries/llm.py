@@ -2105,3 +2105,109 @@ def q120_learned_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("margin", 6).alias("margin"),
         F.round("score", 8).alias("score"),
     )
+
+
+# --------------------------------------------------------------------
+# L4 (learned tokenizer): hash-certified BPE merge-table twin of q93.
+# q93 certifies apply_bpe end-to-end but is rows-only (16 merges, not
+# SQL-replayable at that depth); q121 certifies the TRAINER itself —
+# the DuckDB oracle re-runs the argmax-merge loop for a bounded 4
+# rounds on a delimiter-wrapped string encoding of the vocab, with
+# the identical (count DESC, left, right) lexicographic tie-break.
+# --------------------------------------------------------------------
+
+
+def _bpe_oracle_layer(k: int) -> str:
+    """One merge round of the q121 oracle: count adjacent symbol pairs
+    of vocab ``v{k-1}``, pick the argmax with the trainer's exact
+    tie-break, fold the merge back in with a single ``replace``.
+
+    The string device: each symbol is wrapped in chr(31) (absent from
+    the corpus — both engines filter any doc containing it), so a word
+    is ``D s1 D D s2 D ... D sn D``. Replacing
+    ``D left D D right D -> D leftright D`` is a non-overlapping
+    left-to-right scan — exactly the greedy fold semantics of
+    learn_bpe_merges' F.aggregate (the fused token can re-fuse only as
+    the LEFT of a later occurrence: "aaaa" + (a,a) -> [aa, aa]), and
+    the full wrapping makes a partial-token match impossible."""
+    return f"""
+p{k} AS (
+  SELECT pr[1] AS lft, pr[2] AS rgt, SUM(cnt) AS n FROM (
+    SELECT unnest(list_zip(syms, syms[2:])) AS pr, cnt FROM (
+      SELECT string_split(trim(rep, chr(31)), chr(31)||chr(31)) AS syms, cnt
+      FROM v{k - 1}
+    )
+  ) WHERE pr[2] IS NOT NULL GROUP BY 1, 2
+),
+b{k} AS (SELECT lft, rgt, n FROM p{k} ORDER BY n DESC, lft, rgt LIMIT 1),
+v{k} AS (
+  SELECT replace(rep,
+                 chr(31)||(SELECT lft FROM b{k})||chr(31)||chr(31)||(SELECT rgt FROM b{k})||chr(31),
+                 chr(31)||(SELECT lft||rgt FROM b{k})||chr(31)) AS rep, cnt
+  FROM v{k - 1}
+)"""
+
+
+_BPE_TWIN_MERGES = 4
+
+
+def _bpe_oracle_sql(n_merges: int = _BPE_TWIN_MERGES) -> str:
+    layers = ",".join(_bpe_oracle_layer(k) for k in range(1, n_merges + 1))
+    ranks = "\n  UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, lft, rgt, CAST(n AS BIGINT) AS freq FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"""
+WITH words AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(text, '\\s+')) AS w
+    FROM documents
+    WHERE text IS NOT NULL AND NOT contains(text, chr(31))
+  ) WHERE w <> '' GROUP BY w
+),
+v0 AS (
+  SELECT array_to_string(list_transform(string_split(w, ''), c -> chr(31)||c||chr(31)), '')
+         || chr(31)||'</w>'||chr(31) AS rep, cnt
+  FROM words
+),
+{layers}
+SELECT * FROM (
+  {ranks}
+) ORDER BY merge_rank
+"""
+
+
+@query(
+    "q121_bpe_merge_table",
+    oracle=_bpe_oracle_sql(),
+    tags=("llm", "L4", "bpe"),
+    doc="L4 BPE trainer, hash-certified (VERDICT r10 item 3 — the "
+    "portable twin q93's family lacked): learn_bpe_merge_table runs "
+    "the SAME distributed trainer as q93 (one corpus word-count "
+    "shuffle, then vocab-bounded JVM pair-count + F.aggregate greedy "
+    "merge rounds, one argmax row to the driver per merge) for a "
+    "bounded 4 merges, emitting (merge_rank, lft, rgt, freq). The "
+    "DuckDB oracle independently re-runs the argmax-merge loop on a "
+    "chr(31)-wrapped string encoding of the vocab — replace() is a "
+    "non-overlapping left-to-right scan, which IS the greedy-fold "
+    "merge semantics — with the identical (freq DESC, lft, rgt) "
+    "tie-break, so the learned rules AND their corpus frequencies are "
+    "externally certified at every SF. Both engines drop docs "
+    "containing the chr(31) delimiter (none exist in the corpus; the "
+    "guard keeps the twin sound under any data). Extends the E1/U1 "
+    "arbitrary-process tier (HboxContainer.java:1145-1208) into the "
+    "certified-query surface.",
+)
+def q121_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.text import learn_bpe_merge_table
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & ~F.col("text").contains("\x1f")
+    )
+    table = learn_bpe_merge_table(docs, n_merges=_BPE_TWIN_MERGES, min_freq=1)
+    # 4 driver-side rows — the trainer's argmax collects, re-exposed as
+    # the result frame (same driver-traffic bound q93 documents).
+    return spark.createDataFrame(
+        [(k + 1, lft, rgt, n) for k, (lft, rgt, n) in enumerate(table)],
+        "merge_rank int, lft string, rgt string, freq bigint",
+    )
