@@ -79,6 +79,27 @@ def test_make_input_file_list_metadata_walk(spark, tmp_path):
     one = make_input_file_list(spark, {"f": listed["t"][0]})
     assert [p.rsplit("/", 1)[-1] for p in one["f"]] == [names[0]]
 
+    # Hidden DIRECTORY segments are pruned too (ADVICE r10): a crashed
+    # write's _temporary/.../part-* files look like data by basename
+    # but Spark's file index would never read them.
+    tmp_stage = tmp_path / "t" / "_temporary" / "0"
+    tmp_stage.mkdir(parents=True)
+    (tmp_stage / "part-00000.parquet").write_bytes(b"junk")
+    again = make_input_file_list(spark, {"t": out_dir})
+    assert [f.rsplit("/", 1)[-1] for f in again["t"]] == names
+
+    # ...but the ROOT's own ancestry is exempt: pointing the alias AT a
+    # dotted/underscored directory is the caller's explicit choice.
+    inside = make_input_file_list(spark, {"s": str(tmp_stage)})
+    assert [f.rsplit("/", 1)[-1] for f in inside["s"]] == [
+        "part-00000.parquet"
+    ]
+
+    # A typo'd path fails fast instead of yielding an empty input list
+    # (ADVICE r10 — the old input_file_name scan raised too).
+    with pytest.raises(FileNotFoundError):
+        make_input_file_list(spark, {"x": str(tmp_path / "nope" / "*")})
+
 
 # --------------------------------------------------------------- P1-P5
 

@@ -40,6 +40,13 @@ def release_checkpoint(ck: DataFrame, reliable: bool = False) -> None:
 
     Release is an optimization only — any failure must never poison a
     correct run, so it degrades to the old leave-it-to-GC path.
+
+    Note (ADVICE r10): the ``reliable=True`` path deletes the
+    checkpoint directory outside Spark's ContextCleaner, which will
+    later attempt its own delete of the same path — a harmless no-op
+    under Hadoop's idempotent ``FileSystem.delete``, though some
+    filesystems may log a spurious warning; the broad except guard
+    above covers either order.
     """
     try:
         plan = ck._jdf.queryExecution().analyzed()

@@ -173,9 +173,15 @@ def make_input_file_list(spark: SparkSession, alias_paths: dict[str, str]) -> di
     files costs 10^6 namenode list entries, not 10^6 footer reads (a
     ``spark.read.parquet(...).select(input_file_name())`` scan would pay
     the footer read per file just to learn the names). Hidden entries
-    (``_SUCCESS``, ``.crc`` — names starting with ``_`` or ``.``) are
-    excluded, the same convention Spark's own file index applies, so
-    the list equals what a scan of the directory would actually read.
+    (``_SUCCESS``, ``.crc`` — ANY path segment below the glob root
+    starting with ``_`` or ``.``, so files under a crashed write's
+    ``_temporary/.../part-*`` are excluded too, not just hidden
+    basenames — ADVICE r10) are excluded, the same convention Spark's
+    own file index applies, so the list equals what a scan of the
+    directory would actually read. A pattern that matches NOTHING
+    raises ``FileNotFoundError`` (fail-fast like the old
+    ``input_file_name`` scan — a typo'd alias path must not silently
+    become an empty input list; ADVICE r10).
 
     Driver-side bound: the file list lives on the driver, exactly like
     the reference AM holding the full split map (it spills the env JSON
@@ -184,11 +190,44 @@ def make_input_file_list(spark: SparkSession, alias_paths: dict[str, str]) -> di
     DataFrame and use metadata-level pruning instead of env delivery."""
     from xlearning_spark.sources.delivery import glob_files
 
+    import re
+
+    def _no_scheme(p: str) -> str:
+        # "file:/a/b" / "hdfs://nn:8020/a/b" -> "/a/b" (Hadoop returns
+        # fully-qualified URIs; the caller's pattern often has none).
+        m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?", p)
+        return p[m.end():] if m else p
+
+    def _visible(f: str, root: str) -> bool:
+        # Hidden-entry rule applies to every segment BELOW the glob
+        # root — not just the basename (a crashed write's
+        # _temporary/.../part-* must not pass) and not the root's own
+        # ancestry (an explicit /home/.x/data root is the user's call).
+        tail = _no_scheme(f)
+        if root and tail.startswith(root):
+            tail = tail[len(root):]
+        return not any(
+            seg.startswith(("_", ".")) for seg in tail.split("/") if seg
+        )
+
     out: dict[str, list[str]] = {}
     for alias, path in alias_paths.items():
         files = glob_files(spark, path)
-        out[alias] = sorted(
-            f for f in files
-            if not f.rsplit("/", 1)[-1].startswith(("_", "."))
-        )
+        if not files:
+            raise FileNotFoundError(
+                f"make_input_file_list: alias {alias!r} pattern {path!r} "
+                "matched no files"
+            )
+        # Static glob root: the directory prefix before the first glob
+        # segment (the whole path when there is no glob — it is then
+        # the listing root).
+        if re.search(r"[*?\[{]", path):
+            static = re.split(r"[*?\[{]", path, maxsplit=1)[0]
+            root = static.rsplit("/", 1)[0] + "/"
+        else:
+            # Plain dir (listing root) or a single explicit file —
+            # either way its own name is exempt from the hidden rule.
+            root = path.rstrip("/")
+        root = _no_scheme(root)
+        out[alias] = sorted(f for f in files if _visible(f, root))
     return out

@@ -773,6 +773,13 @@ def score_text_lr(
     hashing trick), so the join is broadcast the way ``nation`` is:
     hinting it is safe at ANY corpus size, unlike a corpus-scaled
     side. One aggregation shuffle on the doc key.
+
+    Documents whose text tokenizes to NOTHING (empty/whitespace-only)
+    produce no ``hashed_bow`` rows and therefore get NO output row
+    here — they are dropped, not scored ``sigmoid(bias)`` (ADVICE
+    r10; the q120 oracle replays the same drop, so parity holds).
+    Callers that need every doc scored should left-join this result
+    back to the id column and coalesce to ``sigmoid(bias)``.
     """
     spark = feats.sparkSession
     wdf = spark.createDataFrame(
@@ -813,6 +820,11 @@ def train_text_lr(
     first join. This is the classic parameter-averaging full-batch
     layout (one "parameter server" round-trip per iteration, with the
     driver as the PS — bounded because the hashing trick fixes dim).
+
+    Zero-token documents (empty/whitespace-only text) emit no
+    ``hashed_bow`` rows, so they are EXCLUDED from training — they
+    contribute to neither the weight nor the bias gradient, and
+    ``n_docs`` counts only docs with tokens (ADVICE r10).
     """
     from pyspark.storagelevel import StorageLevel
 
