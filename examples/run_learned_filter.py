@@ -10,10 +10,15 @@ regression over the documents table, end-to-end:
      per-doc sigmoid, broadcastable at ANY corpus size
   4. agreement report: the learned filter should broadly reproduce its
      weak-label teacher while smoothing over individual rule edges
+  5. streaming deployment (scored_ingest, r11): the trained weights
+     score every landed micro-batch in-flight (foreachBatch +
+     availableNow, exactly-once via the checkpoint) — the L6 streaming
+     form, keeping only docs at/above the keep threshold
 
 The scoring stage's oracle twin is q120 (md5-portable hash + replayed
 LCG literals); the trainer is certified against NumPy in
-tests/test_llm_ops.py.
+tests/test_llm_ops.py; stream==batch parity for stage 5 in
+tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -75,6 +80,35 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
         f"teacher agreement {report.teacher_agreement:.2%}, "
         f"mean score {report.mean_score}"
     )
+
+    # 5. streaming deployment: the same weights filter a live ingest
+    # (here: the corpus re-landed as a file stream), keeping docs the
+    # model scores at/above the corpus median — one verdict row per
+    # landed doc, exactly-once via the checkpoint.
+    import tempfile
+
+    from xlearning_spark.streaming import scored_ingest
+
+    keep_at = float(
+        scored.select(
+            F.percentile_approx("score", 0.5).alias("m")
+        ).collect()[0].m
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src, out, ckpt = (os.path.join(tmp, d) for d in ("src", "out", "ck"))
+        docs.select("doc_id", "text").coalesce(2).write.parquet(src)
+        written = scored_ingest(
+            spark.readStream.format("parquet")
+            .schema("doc_id bigint, text string")
+            .load(src),
+            out, ckpt, w, b, keep_threshold=keep_at,
+        )
+        n_kept = spark.read.parquet(out).count() if written else 0
+        print(
+            f"streaming filter: {len(written)} batch(es) landed, "
+            f"{n_kept}/{report.n_docs} docs kept at threshold "
+            f"{keep_at:.4f}"
+        )
 
 
 if __name__ == "__main__":

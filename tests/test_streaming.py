@@ -1480,3 +1480,109 @@ def test_interval_join_state_is_bounded_by_watermark(spark, tmp_path):
         "SELECT count(*) c FROM attrib_state_bound_test WHERE user_id != 999"
     ).collect()[0].c
     assert got > 0
+
+
+# ------------------------------------------------- L6 x T scored ingest
+
+def test_scored_ingest_stream_equals_batch(spark, tmp_path):
+    # L6 x T (VERDICT r10 item 5): the streaming learned-filter scoring
+    # must equal batch score_text_lr on the drained corpus — including
+    # the zero-token doc, which streaming scores sigmoid(bias) instead
+    # of dropping (total accounting: one verdict row per landed doc).
+    import math
+    import os
+
+    from xlearning_spark.operators.text import (
+        hashed_bow,
+        lcg_weights,
+        score_text_lr,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "doc_id bigint, text string"
+    w = lcg_weights(64, seed=7)
+    bias = 0.25
+
+    rows1 = [(1, "alpha beta gamma"), (2, "beta beta delta"), (3, "   ")]
+    rows2 = [(4, "epsilon zeta"), (5, "alpha alpha alpha eta")]
+    for i, rows in enumerate((rows1, rows2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        written = st.scored_ingest(
+            spark.readStream.format("parquet").schema(schema).load(src),
+            out, ckpt, w, bias=bias, keep_threshold=None,
+        )
+        assert written  # each landing appended
+
+    got = {
+        r.doc_id: (r.margin, r.score)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+
+    # Batch twin on the full corpus (tokenized docs).
+    all_docs = spark.createDataFrame(rows1 + rows2, schema)
+    exp = {
+        r.doc_id: (r.margin, r.score)
+        for r in score_text_lr(
+            hashed_bow(all_docs, dim=64), w, bias
+        ).collect()
+    }
+    for doc_id, (m, s) in exp.items():
+        assert got[doc_id][0] == pytest.approx(m, abs=1e-12)
+        assert got[doc_id][1] == pytest.approx(s, abs=1e-12)
+    # Zero-token doc 3: dropped by batch score_text_lr, scored
+    # sigmoid(bias) by the streaming form (documented contract).
+    assert 3 not in exp
+    assert got[3][0] == pytest.approx(bias)
+    assert got[3][1] == pytest.approx(1.0 / (1.0 + math.exp(-bias)))
+
+    # Replay with no new files: exactly-once no-op.
+    again = st.scored_ingest(
+        spark.readStream.format("parquet").schema(schema).load(src),
+        out, ckpt, w, bias=bias,
+    )
+    assert not again
+    assert spark.read.parquet(out).count() == 5
+
+
+def test_scored_ingest_keep_threshold_filters_in_flight(spark, tmp_path):
+    # keep_threshold drops rejected docs before the append; the landed
+    # set equals the batch filter's keep set.
+    import os
+
+    from xlearning_spark.operators.text import (
+        hashed_bow,
+        lcg_weights,
+        score_text_lr,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "doc_id bigint, text string"
+    w = lcg_weights(64, seed=3)
+
+    rows = [(i, f"tok{i} tok{i % 3} alpha beta") for i in range(20)]
+    spark.createDataFrame(rows, schema).coalesce(2).write.mode(
+        "append"
+    ).parquet(src)
+
+    all_docs = spark.createDataFrame(rows, schema)
+    scored = score_text_lr(hashed_bow(all_docs, dim=64), w, 0.0)
+    med = scored.select(
+        F.percentile_approx("score", 0.5).alias("m")
+    ).collect()[0].m
+
+    st.scored_ingest(
+        spark.readStream.format("parquet").schema(schema).load(src),
+        out, ckpt, w, bias=0.0, keep_threshold=float(med),
+    )
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    exp = {r.doc_id for r in scored.filter(F.col("score") >= med).collect()}
+    assert kept == exp and 0 < len(kept) < 20

@@ -24,6 +24,8 @@ streaming results equal the batch oracle-checked ones.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -640,6 +642,85 @@ def neardup_ingest(
             # Per-micro-batch blocks released eagerly (cleaner-lag
             # discipline — see incremental_save).
             release_checkpoint(survivors)
+
+    q = (
+        stream_df.writeStream.foreachBatch(ingest)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return written
+
+
+def scored_ingest(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    weights: list[float],
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_threshold: float | None = None,
+    portable: bool = False,
+) -> list[int]:
+    """Streaming learned-quality scoring (L6 x T, VERDICT r10 item 5 —
+    the last L-family without a streaming form): every landed
+    micro-batch is scored by the trained hashing-trick logistic
+    regression (operators/text.score_text_lr, q120's certified scoring
+    stage) and appended to ``out_dir`` as
+    ``(id_col, margin, score[, kept])`` — the streaming composition of
+    the batch train-then-score pipeline (examples/run_learned_filter).
+
+    Per batch (foreachBatch, availableNow): hashed-BOW features (one
+    hash-aggregate shuffle, JVM-side), a broadcast join against the
+    ``len(weights)``-row weight table — bounded by the hashing trick
+    at ANY corpus size, so the per-batch broadcast hint is safe by
+    construction, unlike the batch-gated hints in
+    :func:`neardup_ingest` — then one doc-key aggregation shuffle.
+    Zero-token docs are NOT dropped here (unlike raw
+    ``score_text_lr`` — see its docstring): they left-join back in
+    scored ``sigmoid(bias)``, so every landed doc gets exactly one
+    verdict row and the filter's accept/reject accounting is total.
+
+    ``keep_threshold`` set -> only docs with ``score >= threshold``
+    land (the filter applied in-flight; rejected docs simply don't
+    append); ``keep_threshold=None`` -> every doc lands with its score
+    (audit mode). Exactly-once via the checkpoint; re-running with no
+    new files is a no-op. Returns batch ids that appended >= 1 row.
+    """
+    from xlearning_spark.operators.text import hashed_bow, score_text_lr
+
+    dim = len(weights)
+    written: list[int] = []
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
+        feats = hashed_bow(batch, id_col, text_col, dim, portable)
+        scored = score_text_lr(feats, weights, bias, id_col)
+        sig_b = 1.0 / (1.0 + math.exp(-bias))
+        full = (
+            batch.select(id_col)
+            .join(scored, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("margin", F.lit(float(bias))).alias("margin"),
+                F.coalesce("score", F.lit(sig_b)).alias("score"),
+            )
+        )
+        if keep_threshold is not None:
+            full = full.filter(F.col("score") >= keep_threshold)
+        full = full.localCheckpoint(eager=True)
+        try:
+            if full.isEmpty():
+                return
+            full.write.mode("append").parquet(out_dir)
+            written.append(batch_id)
+        finally:
+            # Per-micro-batch blocks released eagerly (cleaner-lag
+            # discipline — see incremental_save).
+            release_checkpoint(full)
 
     q = (
         stream_df.writeStream.foreachBatch(ingest)
