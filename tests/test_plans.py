@@ -211,3 +211,71 @@ def test_q118_enrichment_no_forced_dim_hint_planner_broadcasts(spark):
     read_schema = plan.split("ReadSchema:")[1][:200]
     assert "ts" in read_schema and "user_id" in read_schema
     assert "props" not in read_schema and "event_type" not in read_schema
+
+
+def test_train_text_lr_iteration_plan_single_idx_shuffle(spark):
+    # The trainer's per-iteration contract (operators/text.py
+    # train_text_lr docstring, r11 window form): above the cached
+    # doc-partitioned feature frame, ONE shuffle Exchange only — the
+    # dim-row-bounded gradient agg on idx — and the margin window must
+    # ride the cache's partitioning (LOCAL sort, no Exchange). This is
+    # the pytest twin of tools/scale_probe.py's CUSTOM_GUARDS check
+    # (which asserts it at 16x volume per probe run).
+    import re
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from xlearning_spark.operators.text import hashed_bow
+    from xlearning_spark.sources import read_table
+
+    dim = 64
+    docs = read_table(spark, SF_SMOKE, "documents").withColumn(
+        "label", (F.col("doc_id") % 2).cast("int")
+    )
+    feats = (
+        hashed_bow(docs, dim=dim)
+        .join(
+            docs.select("doc_id", F.col("label").cast("double").alias("__y")),
+            "doc_id",
+        )
+        .repartition("doc_id")
+        .persist()
+    )
+    try:
+        feats.count()
+        win = Window.partitionBy("doc_id").orderBy("idx")
+        full = win.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        wdf = spark.createDataFrame(
+            [(i, 0.0) for i in range(dim)], "idx int, wt double"
+        )
+        grad = (
+            feats.join(F.broadcast(wdf), "idx")
+            .withColumn("__m", F.sum(F.col("cnt") * F.col("wt")).over(full))
+            .withColumn(
+                "__r",
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m")))
+                - F.col("__y"),
+            )
+            .withColumn("__rn", F.row_number().over(win))
+            .groupBy("idx")
+            .agg(
+                F.sum(F.col("cnt") * F.col("__r")).alias("g"),
+                F.sum(F.when(F.col("__rn") == 1, F.col("__r"))).alias("gb"),
+            )
+        )
+        plan = grad._jdf.queryExecution().executedPlan().toString()
+        iter_plan = plan.split("InMemoryRelation")[0]
+        shuffles = re.findall(r"(?<!Broadcast)Exchange \w+", iter_plan)
+        assert len(shuffles) == 1, shuffles
+        assert "hashpartitioning(idx" in iter_plan
+        # Window sort is local (global flag false) — the cached
+        # hashpartitioning(doc_id) satisfies the window distribution.
+        sort_tail = iter_plan.split("Sort [doc_id")[1][:80]
+        assert ", false, " in sort_tail and ", true, " not in sort_tail
+        # Both window expressions fused into one Window node.
+        assert iter_plan.count("Window ") == 1
+    finally:
+        feats.unpersist()

@@ -122,6 +122,18 @@ HEADLINE = [
     # PLAN_GUARDS entry below asserts the single-Exchange shape at the
     # top factor on every probe run.
     "q09_asof_join_purchase_signup",
+    # r11 (VERDICT r10 item 4): the learned-filter TRAINER (not a
+    # registry query — probed via CUSTOM below): full-batch LR over
+    # hashed-BOW features, fixed dim=256 and 4 iterations, weak label
+    # doc_id % 2. The Caesar replicas multiply the corpus volume; the
+    # feature space stays fixed at dim by the hashing trick, so per
+    # iteration the only shuffle is the dim-row-bounded gradient
+    # aggregation and the driver collect is dim rows — time should be
+    # flat-to-linear in corpus size. CUSTOM_GUARDS asserts the
+    # per-iteration plan at 16x: exactly ONE shuffle Exchange (on
+    # idx), window margin satisfied by the cached doc partitioning
+    # (local Sort, no Exchange).
+    "train_text_lr_dim256_iter4",
 ]
 
 #: Plan-shape guards re-asserted per probe run at each query's TOP
@@ -134,6 +146,109 @@ PLAN_GUARDS = {
     # design (e.g. a separate sort or a join sneaking in).
     "q09_asof_join_purchase_signup": (1, "as-of union+window single shuffle"),
 }
+
+def _train_lr_probe(spark, sf_dir: str) -> None:
+    """Timed body for the trainer probe: the full 4-iteration fit
+    (feature build + persist + 4 PS round-trips), end to end."""
+    from pyspark.sql import functions as F
+
+    from xlearning_spark.operators.text import train_text_lr
+    from xlearning_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("doc_id") % 2).cast("int")
+    )
+    train_text_lr(docs, "label", dim=256, iters=4, lr=0.5)
+
+
+def _train_lr_plan_guard(spark, sf_dir: str) -> None:
+    """Assert the per-iteration gradient plan shape at the top factor
+    (train_text_lr's docstring claim, PLAN_GUARDS discipline): above
+    the cached feature frame there must be exactly ONE shuffle
+    Exchange — the dim-row-bounded gradient agg on idx — and the
+    window's doc distribution must be satisfied by the cache's
+    partitioning (a local Sort, no Exchange). A violation raises: the
+    probe must not record a trainer cell for a plan that re-shuffles
+    the corpus every iteration."""
+    import re
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from xlearning_spark.operators.text import hashed_bow
+    from xlearning_spark.sources import read_table
+
+    dim = 256
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("doc_id") % 2).cast("int")
+    )
+    feats = (
+        hashed_bow(docs, dim=dim)
+        .join(
+            docs.select("doc_id", F.col("label").cast("double").alias("__y")),
+            "doc_id",
+        )
+        .repartition("doc_id")
+        .persist()
+    )
+    try:
+        feats.count()
+        win = Window.partitionBy("doc_id").orderBy("idx")
+        full = win.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        wdf = spark.createDataFrame(
+            [(i, 0.0) for i in range(dim)], "idx int, wt double"
+        )
+        grad = (
+            feats.join(F.broadcast(wdf), "idx")
+            .withColumn("__m", F.sum(F.col("cnt") * F.col("wt")).over(full))
+            .withColumn(
+                "__r",
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m")))
+                - F.col("__y"),
+            )
+            .withColumn("__rn", F.row_number().over(win))
+            .groupBy("idx")
+            .agg(
+                F.sum(F.col("cnt") * F.col("__r")).alias("g"),
+                F.sum(F.when(F.col("__rn") == 1, F.col("__r"))).alias("gb"),
+            )
+        )
+        plan = grad._jdf.queryExecution().executedPlan().toString()
+        # Only the per-iteration tier: the cache's one-time build plan
+        # is printed beneath the InMemoryRelation node.
+        iter_plan = plan.split("InMemoryRelation")[0]
+        shuffles = re.findall(r"(?<!Broadcast)Exchange \w+", iter_plan)
+        if len(shuffles) != 1 or "idx" not in iter_plan.split("Exchange")[1][:60]:
+            raise AssertionError(
+                "train_text_lr per-iteration plan guard violated "
+                f"(expected exactly 1 shuffle Exchange on idx): {shuffles}\n"
+                + iter_plan
+            )
+        # The window must ride the cached partitioning: a local sort
+        # (global=false), no Exchange between the cache scan and it.
+        if "Sort [doc_id" not in iter_plan or ", true, " in iter_plan.split("Sort [doc_id")[1][:80]:
+            raise AssertionError(
+                "train_text_lr window should use a LOCAL sort over the "
+                "cached doc partitioning\n" + iter_plan
+            )
+        print(
+            "plan guard ok: train_text_lr per-iteration = 1 shuffle "
+            "Exchange (idx) + local window sort"
+        )
+    finally:
+        feats.unpersist()
+
+
+#: Probe bodies for non-registry operators (name -> callable(spark,
+#: dir)); timed exactly like registry queries, cells merged into the
+#: same sidecars.
+CUSTOM = {"train_text_lr_dim256_iter4": _train_lr_probe}
+
+#: Plan guards for CUSTOM probes (name -> callable(spark, top_dir)).
+CUSTOM_GUARDS = {"train_text_lr_dim256_iter4": _train_lr_plan_guard}
+
 
 #: Per-query extra factors beyond the CLI list: the queries probed
 #: deeper. q53 got a 16x point in r4 to settle its r3 superlinearity
@@ -158,6 +273,8 @@ EXTRA_FACTORS = {
     "q116_conversion_attribution": [16],
     "q09_asof_join_purchase_signup": [16],
     "q119_attribution_audit": [16],
+    # r11: the learned-filter trainer (VERDICT r10 item 4).
+    "train_text_lr_dim256_iter4": [16],
 }
 
 #: 5-run medians everywhere: the shared local-mode JVM throws
@@ -527,6 +644,26 @@ event densities are constant under the user_id-offset replicas, so
 window state per key is constant and only key count grows — the same
 linear story a sort-merge join would tell, minus its second sort.
 
+train_text_lr note (r11, VERDICT r10 item 4 — the trainer's first
+probe row; dim=256, 4 iterations, weak label doc_id % 2, dedicated
+session): 4.31 / 4.41 / 5.19 / 5.30 s at 1/4/8/16x — ratios 1.02 /
+1.20 / 1.23, flat-to-mildly-linear; envelopes [3.9, 9.2] / [3.9, 4.7]
+/ [4.7, 6.0] / [4.8, 6.0] (the 1x max is the first-run codegen warm
+of this probe's plan family). The r11 rewrite this row certifies:
+each iteration's margin is a window sum OVER THE CACHED doc-
+partitioned feature frame (the earlier form joined a per-doc resid
+frame back to the features every round — 3 corpus-scaled Exchanges
+per iteration at scale, where AQE's small-scale broadcast rescue is
+unavailable), so per iteration the engine pays one local sort of the
+cached partitions plus ONE shuffle Exchange bounded at dim rows per
+map partition (the idx gradient agg), with a dim-row driver collect
+— the flat curve is exactly what that shape predicts (the growing
+part is the in-partition scan, absorbed by idle slots at this size).
+The plan claim is enforced twice: CUSTOM_GUARDS asserts it at 16x on
+every probe run, and tests/test_plans.py pins the same shape at
+sf0.001 in CI. Numeric parity with the NumPy reference (1e-9) held
+unchanged across the rewrite.
+
 IVF build/probe split (round 5, r4 verdict item 3): sf0.1 embeddings
 (2000 x 64d), local[32], 3-run medians — build_ivf_index (KMeans fit +
 cell assignment + cache materialize) 1.83 s ONCE; ivf_probe per query
@@ -718,13 +855,18 @@ def main() -> None:
                 spark.sparkContext._jvm.System.gc()
                 time.sleep(1.0)
                 t0 = time.time()
-                specs[name].spark(spark, dirs[f]).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                if name in CUSTOM:
+                    CUSTOM[name](spark, dirs[f])
+                else:
+                    specs[name].spark(spark, dirs[f]).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
                 runs.append(time.time() - t0)
             results[name][f] = round(statistics.median(runs), 3)
             envelopes[name][f] = [round(min(runs), 3), round(max(runs), 3)]
-        if name in PLAN_GUARDS:
+        if name in CUSTOM_GUARDS:
+            CUSTOM_GUARDS[name](spark, dirs[max(q_factors)])
+        elif name in PLAN_GUARDS:
             max_ex, why = PLAN_GUARDS[name]
             top = max(q_factors)
             plan = (

@@ -811,33 +811,53 @@ def train_text_lr(
     gradient descent over ``hashed_bow`` features. Returns
     ``(weights, bias)`` for :func:`score_text_lr`.
 
-    100 TB shape (the reference-free part of the LLM tier): per
-    iteration exactly two keyed shuffles — margins by doc, gradient by
-    feature index — and driver traffic bounded at ``dim + 1`` rows
-    (the gradient collect), never row- or vocabulary-scaled; the
-    weight table re-broadcast each round is ``dim`` rows. The feature
-    frame is computed once and persisted; labels ride along from the
-    first join. This is the classic parameter-averaging full-batch
-    layout (one "parameter server" round-trip per iteration, with the
-    driver as the PS — bounded because the hashing trick fixes dim).
+    100 TB shape (the reference-free part of the LLM tier): the
+    feature frame is built once, hash-partitioned by doc and
+    persisted; each iteration then re-shuffles NOTHING corpus-scaled —
+    the per-doc margin is a window sum over the doc partition (the
+    cached frame's partitioning already satisfies the window's
+    distribution, so the round pays a local per-partition sort, zero
+    Exchanges), and the only shuffle per round is the gradient
+    aggregation by feature index, whose map-side partial agg bounds
+    the exchange at ``dim`` rows per partition. Driver traffic is
+    ``dim`` rows per iteration (each carrying the weight gradient and
+    the doc-attributed bias-gradient share); the weight table
+    re-broadcast each round is ``dim`` rows. This is the classic
+    parameter-averaging full-batch layout (one "parameter server"
+    round-trip per iteration, with the driver as the PS — bounded
+    because the hashing trick fixes dim). r11: replaced the earlier
+    per-iteration resid-join form (a doc-key join of two
+    corpus-scaled frames every round — 3 corpus-scaled Exchanges per
+    iteration at scale, where AQE's small-scale broadcast rescue is
+    unavailable) with this window form; tools/scale_probe.py asserts
+    the per-iteration plan shape (exactly one shuffle Exchange, on
+    idx) at 16x volume.
 
     Zero-token documents (empty/whitespace-only text) emit no
     ``hashed_bow`` rows, so they are EXCLUDED from training — they
     contribute to neither the weight nor the bias gradient, and
     ``n_docs`` counts only docs with tokens (ADVICE r10).
     """
+    from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
     spark = df.sparkSession
-    feats = hashed_bow(df, id_col, text_col, dim, portable).join(
-        df.select(id_col, F.col(label_col).cast("double").alias("__y")),
-        id_col,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    feats = (
+        hashed_bow(df, id_col, text_col, dim, portable)
+        .join(
+            df.select(id_col, F.col(label_col).cast("double").alias("__y")),
+            id_col,
+        )
+        .repartition(id_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_docs = feats.select(id_col).distinct().count()
     if n_docs == 0:
         feats.unpersist()
         raise ValueError("train_text_lr: no documents with tokens")
 
+    win = Window.partitionBy(id_col).orderBy("idx")
+    full = win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     w = [0.0] * dim
     b = 0.0
     try:
@@ -845,37 +865,35 @@ def train_text_lr(
             wdf = spark.createDataFrame(
                 list(enumerate(w)), "idx int, wt double"
             )
-            resid = (
+            rows = (
                 feats.join(F.broadcast(wdf), "idx")
-                .groupBy(id_col, "__y")
-                .agg(F.sum(F.col("cnt") * F.col("wt")).alias("__m"))
-                .select(
-                    id_col,
-                    (
-                        F.lit(1.0)
-                        / (F.lit(1.0) + F.exp(-(F.lit(b) + F.col("__m"))))
-                        - F.col("__y")
-                    ).alias("__r"),
+                .withColumn("__m", F.sum(F.col("cnt") * F.col("wt")).over(full))
+                .withColumn(
+                    "__r",
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-(F.lit(b) + F.col("__m"))))
+                    - F.col("__y"),
                 )
+                .withColumn("__rn", F.row_number().over(win))
             )
-            # Gradient by feature index + the bias row (idx = -1):
-            # ≤ dim + 1 rows to the driver, the documented PS bound.
+            # One aggregation carries BOTH gradients: per-idx weight
+            # gradient, plus the doc's bias-gradient share attributed
+            # to its first feature row (summed driver-side) — ``dim``
+            # rows to the driver, the documented PS bound.
             grad_rows = (
-                feats.join(resid, id_col)
-                .groupBy("idx")
-                .agg(F.sum(F.col("cnt") * F.col("__r")).alias("g"))
-                .unionByName(
-                    resid.agg(
-                        F.lit(-1).alias("idx"), F.sum("__r").alias("g")
-                    )
+                rows.groupBy("idx")
+                .agg(
+                    F.sum(F.col("cnt") * F.col("__r")).alias("g"),
+                    F.sum(
+                        F.when(F.col("__rn") == 1, F.col("__r"))
+                    ).alias("gb"),
                 )
                 .collect()
             )
             for row in grad_rows:
-                if row["idx"] < 0:
-                    b -= lr * row["g"] / n_docs
-                else:
-                    w[row["idx"]] -= lr * row["g"] / n_docs
+                w[row["idx"]] -= lr * row["g"] / n_docs
+            gb = sum(r["gb"] for r in grad_rows if r["gb"] is not None)
+            b -= lr * gb / n_docs
     finally:
         feats.unpersist()
     return w, b
