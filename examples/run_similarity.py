@@ -56,6 +56,46 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
     else:
         print("no query vectors in this fixture — recall undefined")
 
+    # Streaming index maintenance (r11): build + save on half the
+    # corpus, stream the other half through ann_ingest (frozen
+    # centroids, no refit), probe the drained index — the FAISS-style
+    # train-then-add lifecycle, end to end.
+    import os
+    import tempfile
+
+    from xlearning_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from xlearning_spark.streaming import ann_ingest
+
+    with tempfile.TemporaryDirectory() as tmp:
+        idx_dir, ckpt, src = (
+            os.path.join(tmp, d) for d in ("ivf", "ck", "src")
+        )
+        half_a = emb.filter(F.col("vec_id") % 2 == 0)
+        half_b = emb.filter(F.col("vec_id") % 2 == 1)
+        idx = build_ivf_index(half_a, n_cells=8, seed=11)
+        save_ivf_index(idx, idx_dir)
+        idx.unpersist()
+        half_b.select("vec_id", "embedding").coalesce(2).write.parquet(src)
+        written = ann_ingest(
+            spark.readStream.format("parquet")
+            .schema("vec_id bigint, embedding array<float>")
+            .load(src),
+            idx_dir, ckpt,
+        )
+        grown = load_ivf_index(spark, idx_dir)
+        n_hits = ivf_probe(grown, queries, k=5, n_probe=4).count()
+        print(
+            f"streaming IVF add: {len(written)} batch(es) landed, index "
+            f"now {grown.cells.count()} vectors, probe returned "
+            f"{n_hits} pairs"
+        )
+        grown.unpersist()
+
 
 if __name__ == "__main__":
     from xlearning_spark.engine import build_session

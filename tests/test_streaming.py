@@ -1586,3 +1586,93 @@ def test_scored_ingest_keep_threshold_filters_in_flight(spark, tmp_path):
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     exp = {r.doc_id for r in scored.filter(F.col("score") >= med).collect()}
     assert kept == exp and 0 < len(kept) < 20
+
+
+# --------------------------------------------------- L3 x T ANN ingest
+
+def test_ann_ingest_extends_index_and_matches_batch(spark, tmp_path):
+    # L3 x T: streamed vectors are assigned to the FROZEN centroids
+    # (train-then-add — no refit) and append to the inverted file; the
+    # drained index must equal the batch assignment of the same
+    # vectors against the same centroids, and probes over it must
+    # equal probes over that batch twin.
+    import os
+
+    from xlearning_spark.operators.similarity import (
+        IvfIndex,
+        assign_cells,
+        build_ivf_index,
+        ivf_probe,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = read_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    part_a = emb.filter(F.col("vec_id") % 2 == 0)
+    part_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    idx_dir = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    index = build_ivf_index(part_a, n_cells=8, seed=11)
+    # The add path's geometry must match the build's own KMeans
+    # assignment on the same centroids (ties break to first minimum).
+    rebuilt = {
+        (r.cid, r.cell)
+        for r in assign_cells(part_a, index.centroids).collect()
+    }
+    built = {(r.cid, r.cell) for r in index.cells.collect()}
+    assert rebuilt == built
+    save_ivf_index(index, idx_dir)
+    index.unpersist()
+
+    # Land part B as two micro-batch files and drain.
+    chunks = [
+        part_b.filter(F.col("vec_id") % 4 == 1),
+        part_b.filter(F.col("vec_id") % 4 == 3),
+    ]
+    schema = "vec_id bigint, embedding array<float>"
+    for chunk in chunks:
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        written = st.ann_ingest(
+            spark.readStream.format("parquet").schema(schema).load(src),
+            idx_dir, ckpt,
+        )
+        assert written
+
+    streamed = load_ivf_index(spark, idx_dir, cache=False)
+    got = {(r.cid, r.cell) for r in streamed.cells.collect()}
+    twin_b = {
+        (r.cid, r.cell)
+        for r in assign_cells(part_b, streamed.centroids).collect()
+    }
+    assert got == built | twin_b
+    assert len(got) == emb.count()
+
+    # Probe equivalence: streamed index == batch-assembled twin (the
+    # whole corpus assigned in one batch against the same centroids).
+    queries = emb.filter(F.col("vec_id") < 10)
+    twin = IvfIndex(
+        assign_cells(emb, streamed.centroids), streamed.centroids
+    )
+    p_stream = {
+        (r.qid, r.cid)
+        for r in ivf_probe(streamed, queries, k=3, n_probe=3).collect()
+    }
+    p_twin = {
+        (r.qid, r.cid)
+        for r in ivf_probe(twin, queries, k=3, n_probe=3).collect()
+    }
+    assert p_stream == p_twin and p_stream
+
+    # Replay with no new files: exactly-once no-op.
+    again = st.ann_ingest(
+        spark.readStream.format("parquet").schema(schema).load(src),
+        idx_dir, ckpt,
+    )
+    assert not again
+    assert load_ivf_index(spark, idx_dir, cache=False).cells.count() == emb.count()

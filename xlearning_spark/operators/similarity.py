@@ -338,6 +338,49 @@ def build_ivf_index(
     return IvfIndex(cells, centroids)
 
 
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to their nearest FROZEN centroid — the "add"
+    half of the classic IVF train-then-add discipline (an index is
+    trained once on a sample; later vectors are assigned to the fixed
+    centroids without refit). Returns ``(cid, cv, cell)`` rows, the
+    :class:`IvfIndex.cells` schema, so assigned frames union straight
+    into an inverted file.
+
+    Map-side only: the bounded ``n_cells``-row centroid table is
+    broadcast, distance is a codegen'd zip_with/aggregate fold, and
+    the argmin is a per-vector window over the n_cells candidates —
+    no shuffle of the vector frame beyond the window's key (the
+    vector id), and at 100 TB this is one pass over the new vectors
+    regardless of corpus size. Ties break to the lowest cell id,
+    matching KMeans.transform's first-minimum choice.
+    """
+    cent_df = df.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], ["cell", "centroid"]
+    )
+    d2 = F.aggregate(
+        F.zip_with("cv", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("d2"), F.col("cell"))
+    return (
+        df.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cid", "cv", "cell")
+    )
+
+
 def ivf_probe(
     index: IvfIndex,
     queries: DataFrame,

@@ -733,6 +733,80 @@ def scored_ingest(
     return written
 
 
+def ann_ingest(
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Streaming ANN index maintenance (L3 x T — the last L-family
+    without a streaming form): every landed micro-batch of embeddings
+    is assigned to the persisted IVF index's FROZEN centroids
+    (operators/similarity.assign_cells — the classic train-then-add
+    discipline: the expensive KMeans fit happened once at
+    ``save_ivf_index`` time; adds never refit) and appended to the
+    index's inverted file, so the next ``load_ivf_index`` +
+    ``ivf_probe`` sees the new vectors at marginal cost.
+
+    Per batch (foreachBatch, availableNow): read the bounded
+    ``n_cells``-row centroid table from ``index_dir`` (the only index
+    state a batch touches), broadcast it, one map-side distance pass +
+    a per-vector argmin window — nothing corpus-scaled shuffles, and
+    batch cost is O(|batch| * n_cells) regardless of how large the
+    accumulated inverted file has grown. Exactly-once via the
+    checkpoint; duplicate ids WITHIN a batch are dropped (first
+    arrival wins — for redelivery across batches put
+    :func:`dedup_stream` upstream, same contract as
+    :func:`neardup_ingest`).
+
+    The probe-side semantics are unchanged by streaming: a drained
+    ingest's inverted file equals the batch assignment of the same
+    vectors against the same frozen centroids (parity-tested), so
+    recall characteristics are those of the centroids' training
+    sample — re-train + rebuild when the vector distribution drifts,
+    exactly as with any IVF index. Returns batch ids that appended
+    >= 1 row.
+    """
+    from xlearning_spark.operators.similarity import assign_cells
+
+    written: list[int] = []
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cent = (
+            spark.read.parquet(index_dir + "/centroids")
+            .orderBy("cell")
+            .collect()
+        )
+        if not cent:
+            raise FileNotFoundError(
+                f"ann_ingest: no centroid table under {index_dir!r} — "
+                "build_ivf_index + save_ivf_index must run first"
+            )
+        centroids = [list(r["centroid"]) for r in cent]
+        batch = batch_df.select(id_col, vec_col).dropDuplicates([id_col])
+        assigned = assign_cells(batch, centroids, id_col, vec_col)
+        assigned = assigned.localCheckpoint(eager=True)
+        try:
+            if assigned.isEmpty():
+                return
+            assigned.write.mode("append").parquet(index_dir + "/cells")
+            written.append(batch_id)
+        finally:
+            release_checkpoint(assigned)
+
+    q = (
+        stream_df.writeStream.foreachBatch(ingest)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return written
+
+
 def _latest_hll_state(spark, state_dir: str) -> str | None:
     """Newest ``v*`` version directory under ``state_dir`` (Hadoop FS
     API, so any scheme works), or None before the first commit."""
