@@ -228,10 +228,18 @@ GRADED_SPARES = [
 #: registered as the fast engine-native/xxhash64 production forms.
 # (q120_learned_quality_lr, registered as a spare in r10, rotated INTO
 # the window in r11 alongside the new q121 — VERDICT r10 items 2-3.)
+GRADED_SPARES += [
+    # r11 addition, registered as a spare (the 50-query window was
+    # already rotated this round): the hash-certified BPE APPLY twin —
+    # q121 certifies the trainer, q122 certifies apply_bpe's Arrow
+    # path against the same DuckDB string-replay device. Candidate for
+    # the r12 rotation.
+    "q122_bpe_apply",
+]
 
 ROWS_ONLY = [
     "q16_approx_distinct",
-    "q93_bpe_tokenizer",  # iterative argmax merge learning (certified vs an independent reference impl in tests, like q52's recall gate)
+    "q93_bpe_tokenizer",  # 16-merge production form; its FAMILY is hash-certified since r11 (q121 trainer twin + q122 apply twin, both on the DuckDB string-replay device); also certified vs an independent reference impl in tests
     "q48_minhash_neardup",
     "q49_simhash_sketch",
     "q52_ivf_ann_topk",

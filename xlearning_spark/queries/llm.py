@@ -2141,7 +2141,8 @@ p{k} AS (
 ),
 b{k} AS (SELECT lft, rgt, n FROM p{k} ORDER BY n DESC, lft, rgt LIMIT 1),
 v{k} AS (
-  SELECT replace(rep,
+  SELECT w,
+         replace(rep,
                  chr(31)||(SELECT lft FROM b{k})||chr(31)||chr(31)||(SELECT rgt FROM b{k})||chr(31),
                  chr(31)||(SELECT lft||rgt FROM b{k})||chr(31)) AS rep, cnt
   FROM v{k - 1}
@@ -2151,12 +2152,12 @@ v{k} AS (
 _BPE_TWIN_MERGES = 4
 
 
-def _bpe_oracle_sql(n_merges: int = _BPE_TWIN_MERGES) -> str:
+def _bpe_oracle_prefix(n_merges: int = _BPE_TWIN_MERGES) -> str:
+    """Shared CTE chain of the two BPE twins: word counts, the wrapped
+    vocab v0, and one (pair-count, argmax, replace) layer per merge —
+    the word column rides every layer so the APPLY twin (q122) can
+    join the final vocab back to doc word instances."""
     layers = ",".join(_bpe_oracle_layer(k) for k in range(1, n_merges + 1))
-    ranks = "\n  UNION ALL ".join(
-        f"SELECT {k} AS merge_rank, lft, rgt, CAST(n AS BIGINT) AS freq FROM b{k}"
-        for k in range(1, n_merges + 1)
-    )
     return f"""
 WITH words AS (
   SELECT w, count(*) AS cnt FROM (
@@ -2166,14 +2167,55 @@ WITH words AS (
   ) WHERE w <> '' GROUP BY w
 ),
 v0 AS (
-  SELECT array_to_string(list_transform(string_split(w, ''), c -> chr(31)||c||chr(31)), '')
+  SELECT w,
+         array_to_string(list_transform(string_split(w, ''), c -> chr(31)||c||chr(31)), '')
          || chr(31)||'</w>'||chr(31) AS rep, cnt
   FROM words
 ),
-{layers}
+{layers}"""
+
+
+def _bpe_oracle_sql(n_merges: int = _BPE_TWIN_MERGES) -> str:
+    ranks = "\n  UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, lft, rgt, CAST(n AS BIGINT) AS freq FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"""
+{_bpe_oracle_prefix(n_merges)}
 SELECT * FROM (
   {ranks}
 ) ORDER BY merge_rank
+"""
+
+
+def _bpe_apply_oracle_sql(n_merges: int = _BPE_TWIN_MERGES) -> str:
+    """q122's twin: the final vocab v{{n}}'s per-word subword count
+    (segments of the wrapped encoding) joined back to every word
+    INSTANCE, summed per doc; zero-token docs ride the left join as 0
+    (matching apply_bpe's size([]) on empty text)."""
+    return f"""
+{_bpe_oracle_prefix(n_merges)},
+nt AS (
+  SELECT w,
+         CAST(len(string_split(trim(rep, chr(31)), chr(31)||chr(31))) AS BIGINT) AS n_sub
+  FROM v{n_merges}
+),
+docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND NOT contains(text, chr(31))
+),
+tok AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM docs
+  ) WHERE w <> ''
+),
+agg AS (
+  SELECT t.doc_id, SUM(nt.n_sub) AS n FROM tok t JOIN nt USING (w)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bpe_tokens
+FROM docs d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
 """
 
 
@@ -2210,4 +2252,44 @@ def q121_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(k + 1, lft, rgt, n) for k, (lft, rgt, n) in enumerate(table)],
         "merge_rank int, lft string, rgt string, freq bigint",
+    )
+
+
+@query(
+    "q122_bpe_apply",
+    oracle=_bpe_apply_oracle_sql(),
+    tags=("llm", "L4", "bpe"),
+    doc="L4 BPE APPLICATION, hash-certified end-to-end (r11 — closes "
+    "the other half of q93's family: q121 certifies the trainer, this "
+    "certifies apply_bpe, the Arrow-batched per-word greedy re-scan "
+    "path): train 4 merges with learn_bpe_merge_table, re-tokenize "
+    "the corpus with apply_bpe, emit per-doc subword counts. The "
+    "DuckDB oracle replays BOTH halves on the chr(31)-wrapped string "
+    "device — the same 4 argmax-merge rounds, then the final vocab's "
+    "per-word segment count joined back to every word instance and "
+    "summed per doc (zero-token docs ride the left join as 0, "
+    "matching apply_bpe's empty-array size). Since every corpus word "
+    "is in the vocab by construction, the instance join is total — "
+    "agreement here proves the Python fold in apply_bpe implements "
+    "exactly the replace semantics the trainer's F.aggregate fold "
+    "and the oracle's non-overlapping scan share.",
+)
+def q122_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.text import (
+        apply_bpe,
+        learn_bpe_merge_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & ~F.col("text").contains("\x1f")
+    )
+    table = learn_bpe_merge_table(docs, n_merges=_BPE_TWIN_MERGES, min_freq=1)
+    merges = [(lft, rgt) for lft, rgt, _ in table]
+    return (
+        apply_bpe(docs, merges=merges)
+        .select(
+            "doc_id",
+            F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
     )
