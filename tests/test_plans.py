@@ -279,3 +279,20 @@ def test_train_text_lr_iteration_plan_single_idx_shuffle(spark):
         assert iter_plan.count("Window ") == 1
     finally:
         feats.unpersist()
+
+
+def test_assign_cells_is_shuffle_free(spark):
+    # The IVF add path (streaming ann_ingest's per-batch core) must be
+    # a pure map pass: centroid literals in the plan, array_min argmin,
+    # NO Exchange anywhere — the property that makes the streamed add
+    # O(batch x n_cells) regardless of index size.
+    from xlearning_spark.operators.similarity import assign_cells
+    from xlearning_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cents = [[float(i)] * dim for i in range(4)]
+    df = assign_cells(emb, cents)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan

@@ -351,34 +351,34 @@ def assign_cells(
     :class:`IvfIndex.cells` schema, so assigned frames union straight
     into an inverted file.
 
-    Map-side only: the bounded ``n_cells``-row centroid table is
-    broadcast, distance is a codegen'd zip_with/aggregate fold, and
-    the argmin is a per-vector window over the n_cells candidates —
-    no shuffle of the vector frame beyond the window's key (the
-    vector id), and at 100 TB this is one pass over the new vectors
-    regardless of corpus size. Ties break to the lowest cell id,
-    matching KMeans.transform's first-minimum choice.
+    STRICTLY map-side — zero shuffle: the bounded centroid list is
+    baked into the plan as literals (the PQ tier's literal-score-table
+    device, q100), each vector computes its n_cells squared distances
+    with codegen'd zip_with/aggregate folds, and the argmin is
+    ``array_min`` over ``struct(d2, cell)`` — struct ordering compares
+    d2 first, then cell, so ties break to the lowest cell id exactly
+    like KMeans.transform's first-minimum choice. One pass over the
+    new vectors regardless of corpus size; nothing is joined, nothing
+    is exchanged (a window/crossJoin formulation was measured and
+    rejected: it shuffles the batch x n_cells expansion on the vector
+    id for no semantic gain).
     """
-    cent_df = df.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], ["cell", "centroid"]
+    out = df.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    d2 = F.aggregate(
-        F.zip_with("cv", "centroid", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    w = Window.partitionBy("cid").orderBy(F.col("d2"), F.col("cell"))
-    return (
-        df.select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).cast("array<double>").alias("cv"),
+    d2s = []
+    for i, c in enumerate(centroids):
+        cent = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with("cv", cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-        .crossJoin(F.broadcast(cent_df))
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("cid", "cv", "cell")
-    )
+        d2s.append(F.struct(d2.alias("d2"), F.lit(i).alias("cell")))
+    return out.withColumn(
+        "cell", F.array_min(F.array(*d2s))["cell"]
+    ).select("cid", "cv", "cell")
 
 
 def ivf_probe(

@@ -751,8 +751,9 @@ def ann_ingest(
 
     Per batch (foreachBatch, availableNow): read the bounded
     ``n_cells``-row centroid table from ``index_dir`` (the only index
-    state a batch touches), broadcast it, one map-side distance pass +
-    a per-vector argmin window — nothing corpus-scaled shuffles, and
+    state a batch touches) and run one SHUFFLE-FREE map pass — the
+    centroids ride the plan as literals and the argmin is an
+    array_min over (d2, cell) structs (see ``assign_cells``) — so
     batch cost is O(|batch| * n_cells) regardless of how large the
     accumulated inverted file has grown. Exactly-once via the
     checkpoint; duplicate ids WITHIN a batch are dropped (first
