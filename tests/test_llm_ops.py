@@ -1248,3 +1248,36 @@ def test_train_text_lr_learns_and_matches_numpy(spark):
         br -= lr * resid.sum() / 80
     assert np.allclose(np.array(w), wr, rtol=1e-9, atol=1e-12)
     assert math.isclose(b, br, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_assign_cells_matches_numpy_argmin_with_ties(spark):
+    # The streamed-add geometry (similarity.assign_cells) must equal an
+    # independent NumPy argmin — including exact ties, which must break
+    # to the LOWEST cell id (KMeans.transform's first-minimum choice):
+    # centroids 2 and 5 are byte-identical duplicates, so every vector
+    # nearest to them ties and must land in cell 2, never 5.
+    import numpy as np
+
+    from xlearning_spark.operators.similarity import assign_cells
+
+    rng = np.random.RandomState(17)
+    dim, n_vec = 8, 200
+    cents = rng.uniform(-1, 1, (6, dim)).round(3)
+    cents = np.vstack([cents[:5], cents[2:3]])  # cell 5 duplicates cell 2
+    vecs = rng.uniform(-1, 1, (n_vec, dim)).round(3)
+    # A few vectors EXACTLY on the duplicated centroid: distance 0 tie.
+    vecs[:5] = cents[2]
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r.cid: r.cell
+        for r in assign_cells(df, [list(map(float, c)) for c in cents]).collect()
+    }
+    d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    exp = d2.argmin(axis=1)  # numpy argmin returns FIRST minimum
+    assert got == {i: int(exp[i]) for i in range(n_vec)}
+    assert all(got[i] == 2 for i in range(5))  # the tie class
+    assert not any(c == 5 for c in got.values())
