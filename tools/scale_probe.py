@@ -134,6 +134,14 @@ HEADLINE = [
     # idx), window margin satisfied by the cached doc partitioning
     # (local Sort, no Exchange).
     "train_text_lr_dim256_iter4",
+    # r11: the BPE trainer twin (q121 — 4 argmax-merge rounds). The
+    # Caesar replicas are this probe's WORST case for the vocab-bounded
+    # claim: each replica's rotated tokens are distinct, so the vocab
+    # (and the per-round pair table) grows ~linearly with the factor —
+    # if the merge rounds were corpus-bound rather than vocab-bound,
+    # the curve would track corpus volume instead of staying near the
+    # word-count scan's cost.
+    "q121_bpe_merge_table",
 ]
 
 #: Plan-shape guards re-asserted per probe run at each query's TOP
@@ -273,8 +281,10 @@ EXTRA_FACTORS = {
     "q116_conversion_attribution": [16],
     "q09_asof_join_purchase_signup": [16],
     "q119_attribution_audit": [16],
-    # r11: the learned-filter trainer (VERDICT r10 item 4).
+    # r11: the learned-filter trainer (VERDICT r10 item 4) and the
+    # BPE trainer twin.
     "train_text_lr_dim256_iter4": [16],
+    "q121_bpe_merge_table": [16],
 }
 
 #: 5-run medians everywhere: the shared local-mode JVM throws
