@@ -57,8 +57,8 @@ GRADING_WINDOW = [
     "q119_attribution_audit",        # T interval join, FULL OUTER (NEW r10 — VERDICT r9 item 5; q117 left-outer rests as a spare, tier keeps two in-window certifiers)
     "q88_portable_approx_percentile",    # A6 hash-certified sampled percentiles (r5 rotation; spare: q14, driver-green r1-r4 — its exact distinct+percentile twins live on inside q85/q88's outputs)
     "q73_token_chunking",        # corpus token chunking (r6 rotation in; A8 spare q15 driver-green r1-r5)
-    "q36_failure_rate",          # A3 failure-rate agg (r11 re-cert in, last r6 — single-member family, VERDICT r10 item 1 lead)
-    "q37_earliest_event",        # A4 earliest-start agg (r11 re-cert in, last r6 — single-member family)
+    "q20_ntile_dense_rank",      # §2.7 ntile/dense_rank (r12 re-cert in — last driver-green ROUND 2, the oldest row in the corpus; VERDICT r11 item 1 lead)
+    "q34_timeout_gap_detection", # T3 gap detection (r12 re-cert in — last driver-green r2)
     # r8 swap: q118 (stream-STATIC enrichment join — the stateless
     # streaming-join shape, certifying streaming.enriched_tumbling_by_
     # nation on batch frames) takes q92's slot; q92 (MJPEG video,
@@ -76,7 +76,7 @@ GRADING_WINDOW = [
     "q94_gopher_rules",          # L6 per-rule Gopher curation audit (r6 rotation-2 in; T7 spare q30 driver-green r1-r6 + stream-parity test)
     "q95_token_budget_mixture",  # corpus token-budget mixture cap (r6 rotation-2 in; T2 spare q31 driver-green r1-r6 + stream-parity test)
     "q96_portable_cms",          # L4 hash-certified Count-Min sketch (r6 rotation-2 in; A1 spare q32 driver-green r1-r6 + r10)
-    "q10_cross_join_region_nation",  # J6 cross join (r11 re-cert in, last r5 — single-member family; rests q97, L2 keeps q80/q83/q99/q101/q115/q70/q53 in-window)
+    "q38_trailing_hour_range_frame", # §2.7 RANGE frame (r12 re-cert in — last driver-green r2)
     "q115_quality_keeper_dedup", # L2xL6 quality-aware keeper sweep (r7; swaps in for q35_sessionization — T3 six-round driver-green, stream==batch + applyInPandasWithState-certified, spare q34 local-green)
     "q99_excise_spans",          # L2 substring-dedup excision (r6 rotation-2 in; A3 spare q36 driver-green r1-r6)
     "q101_demoted_jaccard",      # L2 frequency-demoted (organic-skew) prefix order, q70-oracle-certified (r6 rotation-2 in; A4 spare q37 driver-green r1-r6)
@@ -85,32 +85,30 @@ GRADING_WINDOW = [
     "q50_lsh_ann_topk",          # L3 hyperplane LSH (ungraded in r2)
     "q51_bpe_token_counting",    # L4 BPE tokens (ungraded in r2)
     "q53_neardup_components",    # L2 connected components (ungraded in r2)
-    # r11 re-certification rotation (VERDICT r10 items 1-3): cycle the
-    # genuinely-oldest driver-green rows back in, led by the
-    # single-member families q36/q37 (A3/A4, last r6 — the rows the
-    # r10 STATUS note misstated as rotated) and q10 (J6, last r5),
-    # plus the never-driver-graded q120 (learned filter, registered as
-    # a spare in r10 by design) and the NEW q121 BPE merge-table twin.
-    # IN, all last graded r6: q18/q19 (window analytics), q31
-    # (sliding windows), q39 (correlated subquery), q40 (L1 exact
-    # dedup), q42 (L2 exact all-pairs oracle twin), q02 (pushdown
-    # scan), q04 (outer-join agg), q12 (cube). OUT, all freshly
-    # re-graded r10 with their families certified by that fresh row +
-    # in-window mates/plan guards: q61/q62/q65/q68/q46/q05/q08/q09/
-    # q17/q30/q32/q33 (the r10 re-cert tranche), q106 (q108 stays as
-    # the subquery tier's certifier), q97 (L2 keeps seven mates
-    # in-window).
-    "q18_running_customer_spend",    # §2.7 running-total frame (last r6)
-    "q19_lead_lag_event_gaps",       # §2.7 lead/lag analytics (last r6)
-    "q31_sliding_2h_windows",        # T2 sliding windows (last r6)
-    "q39_correlated_max_order",      # correlated scalar subquery (last r6)
-    "q40_exact_dedup",               # L1 exact dedup certifier (last r6)
-    "q42_jaccard_pairs",             # L2 exact all-pairs oracle twin (last r6)
-    "q02_filter_project_pushdown",   # S10 pushdown scan shape (last r6)
-    "q04_customer_order_counts",     # J1 left-outer agg (last r6)
-    "q12_cube_lineitem",             # A7 cube (last r6)
-    "q120_learned_quality_lr",       # L6 learned filter scoring (never driver-graded; VERDICT r10 item 2)
-    "q121_bpe_merge_table",          # L4 BPE trainer hash-certified twin (NEW r11; VERDICT r10 item 3)
+    # r12 re-certification rotation (VERDICT r11 items 1-2): cycle the
+    # GENUINELY-oldest driver-green rows back in, strictly by
+    # last-graded round (the CORRECTNESS history, not comments):
+    # q20/q34/q38/q41/q47 were driver-green in ROUND 2 ONLY (the
+    # comment this rotation replaces misdated them as r1-r6), then the
+    # r4 tranche q06/q13/q14/q28/q29/q44/q45/q54, plus the
+    # never-driver-graded q122 (BPE apply twin, registered as a spare
+    # in r11 because that window was already pinned). OUT, all freshly
+    # re-graded r11 with their families certified by that fresh row +
+    # in-window mates/plan guards: q36/q37/q10 (single-member
+    # families), q18/q19/q31/q39/q40/q42/q02/q04/q12 (the r11 re-cert
+    # tranche), q120 (L6 keeps q90/q94/q115 in-window), q121 (the BPE
+    # family keeps q122 in-window + q51 token counting).
+    "q41_fingerprint_neardup",       # L2 fingerprint near-dup (last driver-green ROUND 2)
+    "q47_embedding_stats",           # L3 embedding stats (last driver-green ROUND 2)
+    "q122_bpe_apply",                # L4 BPE apply hash-certified twin (never driver-graded; VERDICT r11 item 2)
+    "q06_semi_join_active_customers",    # J3 semi join (last r4)
+    "q13_grouping_sets",             # A7 grouping sets (last r4)
+    "q14_distinct_and_percentiles",  # A6 exact distinct + percentiles (last r4)
+    "q28_quantile_buckets",          # §2.7 ntile bucketing, scale form (last r4)
+    "q29_pivot_status_by_priority",  # pivot (last r4)
+    "q44_language_id",               # L4 language ID (last r4)
+    "q45_quality_score",             # L6 heuristic quality score (last r4)
+    "q54_embedding_neardup",         # L2 embedding-cosine near-dup (last r4)
     "q108_cheapest_supplier_per_part", # TPC-H Q2: correlated MIN over join
     "q112_portable_bloom",           # 5th certified sketch family (live FPs)
     "q113_heavy_hitters",            # MG candidates + exact integer recount
@@ -139,14 +137,9 @@ GRADED_SPARES = [
     # percentile twins also live on inside q85/q88's graded outputs;
     # q86 itself rotated back out in session 5 to make room for q98 —
     # its banding algebra stays pytest- and local-oracle-certified):
-    "q13_grouping_sets",
-    "q06_semi_join_active_customers",
-    "q28_quantile_buckets",
-    "q44_language_id",
-    "q54_embedding_neardup",
-    "q14_distinct_and_percentiles",
-    "q29_pivot_status_by_priority",
-    "q45_quality_score",
+    # (the r4 tranche q06/q13/q14/q28/q29/q44/q45/q54 rotated back INTO
+    # the window in r12 — the re-certification rotation, VERDICT r11
+    # item 1.)
     # r8 rotations OUT of the window (driver-green histories r2-r7 /
     # r5-r7 / r6-r7; families stay certified by in-window mates — see
     # the r8 rotation-in comment):
@@ -181,25 +174,17 @@ GRADED_SPARES = [
     "q104_sole_blame_supplier",
     "q87_portable_simhash",
     "q117_attribution_coverage",
-    # r6 rotation-2 OUT of the window (driver-green r1-r6 in prior
-    # CORRECTNESS records — six consecutive rounds; each family stays
-    # certified by that history, by plan guards (broadcast/as-of/topk
-    # shapes in tests/test_plans.py) and by stream-parity tests for the
-    # windowing tier). This completes VERDICT r5 item 1: the round-6
-    # window now holds EVERY remaining never-driver-graded oracle query
-    # (q79/q81/q84/q86/q87/q91/q92/q94-q97/q99 + the new q101/q102), so
-    # one green round leaves no oracle-backed query ungraded-by-driver.
+    # (q20/q34/q38/q41/q47 rotated back INTO the window in r12. NOTE
+    # the comment that used to sit here misdated them as "driver-green
+    # r1-r6": the CORRECTNESS records show each was driver-green in
+    # ROUND 2 ONLY — they were the oldest rows in the corpus, flagged
+    # by VERDICT r11 item 1, and lead the r12 rotation.)
     # (q05/q08/q09/q17/q30/q32/q33 rotated back INTO the window in r10
     # — the re-certification rotation, VERDICT r9 item 1.)
     # (q18/q19/q31/q36/q37/q39/q40/q42/q02/q04/q12 rotated back INTO
     # the window in r11 — the re-certification rotation, VERDICT r10
     # item 1; training-corpus pipeline tier q71-q77 rotated INTO the
     # window in r6 — VERDICT r5 item 1.)
-    "q20_ntile_dense_rank",
-    "q34_timeout_gap_detection",
-    "q38_trailing_hour_range_frame",
-    "q41_fingerprint_neardup",
-    "q47_embedding_stats",
     # r11 rotations OUT (all freshly driver-green r10 — the r10
     # re-certification tranche plus q106/q97; see the r11 rotation-in
     # comment for the in-window mates/plan guards that keep each
@@ -218,6 +203,24 @@ GRADED_SPARES = [
     "q33_last_n_per_key",
     "q106_important_part_share",
     "q97_delta_neardup_pairs",
+    # r12 rotations OUT (all freshly driver-green r11 — the r11
+    # re-certification tranche plus q120/q121; see the r12 rotation-in
+    # comment for the in-window mates/plan guards that keep each
+    # family certified):
+    "q36_failure_rate",
+    "q37_earliest_event",
+    "q10_cross_join_region_nation",
+    "q18_running_customer_spend",
+    "q19_lead_lag_event_gaps",
+    "q31_sliding_2h_windows",
+    "q39_correlated_max_order",
+    "q40_exact_dedup",
+    "q42_jaccard_pairs",
+    "q02_filter_project_pushdown",
+    "q04_customer_order_counts",
+    "q12_cube_lineitem",
+    "q120_learned_quality_lr",
+    "q121_bpe_merge_table",
 ]
 
 #: Rows-only (oracle=None) queries: can never hash-match, so they must
@@ -227,15 +230,9 @@ GRADED_SPARES = [
 #: ANN family beside q52's KMeans-based IVF) — these four stay
 #: registered as the fast engine-native/xxhash64 production forms.
 # (q120_learned_quality_lr, registered as a spare in r10, rotated INTO
-# the window in r11 alongside the new q121 — VERDICT r10 items 2-3.)
-GRADED_SPARES += [
-    # r11 addition, registered as a spare (the 50-query window was
-    # already rotated this round): the hash-certified BPE APPLY twin —
-    # q121 certifies the trainer, q122 certifies apply_bpe's Arrow
-    # path against the same DuckDB string-replay device. Candidate for
-    # the r12 rotation.
-    "q122_bpe_apply",
-]
+# the window in r11 alongside the new q121 — VERDICT r10 items 2-3.
+# q122_bpe_apply, registered as a spare in r11, rotated INTO the
+# window in r12 — VERDICT r11 item 2.)
 
 ROWS_ONLY = [
     "q16_approx_distinct",
