@@ -101,6 +101,59 @@ def test_make_input_file_list_metadata_walk(spark, tmp_path):
         make_input_file_list(spark, {"x": str(tmp_path / "nope" / "*")})
 
 
+def test_make_input_file_list_qualified_root(spark, tmp_path):
+    # ADVICE r11: the glob root must be Hadoop-qualified before the
+    # hidden-segment rule strips it, so (a) a dotted/underscored
+    # ANCESTOR of the glob root never triggers the rule and (b) a
+    # RELATIVE pattern resolves to the same absolute form globStatus
+    # returns instead of leaving the working directory's ancestry in
+    # the compared tail.
+    import os
+
+    from xlearning_spark.operators.pipe import make_input_file_list
+
+    # (a) legit data under a dotted ancestor: /<tmp>/.cache/_work/data/*.txt
+    data = tmp_path / ".cache" / "_work" / "data"
+    data.mkdir(parents=True)
+    (data / "a.txt").write_text("1")
+    (data / "b.txt").write_text("2")
+    (data / "_SUCCESS").write_text("")
+    got = make_input_file_list(spark, {"d": str(data / "*.txt")})
+    assert [f.rsplit("/", 1)[-1] for f in got["d"]] == ["a.txt", "b.txt"]
+
+    # (b) a RELATIVE glob pattern: Hadoop resolves it against the
+    # JVM's working directory (user.dir, fixed at session start — NOT
+    # Python's cwd), so the root must be qualified the same way or the
+    # prefix never strips and the rule chews the working dir's
+    # ancestry. Stage files under the JVM's user.dir to exercise it.
+    import shutil
+    import tempfile
+
+    jvm_cwd = spark.sparkContext._jvm.System.getProperty("user.dir")
+    rel_root = tempfile.mkdtemp(prefix=".rel_glob_", dir=jvm_cwd)
+    try:
+        reldata = os.path.join(rel_root, "data")
+        os.mkdir(reldata)
+        with open(os.path.join(reldata, "a.txt"), "w") as fh:
+            fh.write("1")
+        with open(os.path.join(reldata, "_SUCCESS"), "w") as fh:
+            fh.write("")
+        rel_pat = os.path.join(os.path.basename(rel_root), "data", "*.txt")
+        rel = make_input_file_list(spark, {"d": rel_pat})
+        assert [f.rsplit("/", 1)[-1] for f in rel["d"]] == ["a.txt"]
+    finally:
+        shutil.rmtree(rel_root, ignore_errors=True)
+
+    # A glob matching ONLY hidden files is an empty input and must
+    # raise (ADVICE r11: the fail-fast used to check the pre-filter
+    # list), with a message distinguishing it from a no-match typo.
+    only_hidden = tmp_path / "done"
+    only_hidden.mkdir()
+    (only_hidden / "_SUCCESS").write_text("")
+    with pytest.raises(FileNotFoundError, match="all hidden"):
+        make_input_file_list(spark, {"x": str(only_hidden / "*")})
+
+
 # --------------------------------------------------------------- P1-P5
 
 def test_round_robin_balance():

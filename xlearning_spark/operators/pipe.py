@@ -178,10 +178,19 @@ def make_input_file_list(spark: SparkSession, alias_paths: dict[str, str]) -> di
     ``_temporary/.../part-*`` are excluded too, not just hidden
     basenames — ADVICE r10) are excluded, the same convention Spark's
     own file index applies, so the list equals what a scan of the
-    directory would actually read. A pattern that matches NOTHING
-    raises ``FileNotFoundError`` (fail-fast like the old
-    ``input_file_name`` scan — a typo'd alias path must not silently
-    become an empty input list; ADVICE r10).
+    directory would actually read. The glob root is qualified through
+    Hadoop (``fs.makeQualified``) before the comparison so a relative
+    pattern — or any pattern whose scheme/authority spelling differs
+    from the fully-qualified URIs ``globStatus`` returns — still strips
+    correctly and the hidden rule is never applied to the root's own
+    ancestry (a legitimate ``/root/.cache/data/*.txt`` input survives;
+    ADVICE r11). A pattern that matches NOTHING raises
+    ``FileNotFoundError`` (fail-fast like the old ``input_file_name``
+    scan — a typo'd alias path must not silently become an empty input
+    list; ADVICE r10), and so does a pattern that matches ONLY hidden
+    files (a dir holding just ``_SUCCESS`` is an empty input, not a
+    silent ``[]`` — ADVICE r11), with a message that distinguishes the
+    two.
 
     Driver-side bound: the file list lives on the driver, exactly like
     the reference AM holding the full split map (it spills the env JSON
@@ -192,20 +201,29 @@ def make_input_file_list(spark: SparkSession, alias_paths: dict[str, str]) -> di
 
     import re
 
-    def _no_scheme(p: str) -> str:
-        # "file:/a/b" / "hdfs://nn:8020/a/b" -> "/a/b" (Hadoop returns
-        # fully-qualified URIs; the caller's pattern often has none).
-        m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?", p)
-        return p[m.end():] if m else p
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _qualify(raw: str) -> str:
+        # Resolve through the SAME FileSystem globStatus used, so root
+        # and file URIs share one absolute spelling (scheme, authority,
+        # working-dir resolution for relative paths).
+        p = jvm.org.apache.hadoop.fs.Path(raw)
+        return p.getFileSystem(hconf).makeQualified(p).toString()
 
     def _visible(f: str, root: str) -> bool:
         # Hidden-entry rule applies to every segment BELOW the glob
         # root — not just the basename (a crashed write's
         # _temporary/.../part-* must not pass) and not the root's own
         # ancestry (an explicit /home/.x/data root is the user's call).
-        tail = _no_scheme(f)
-        if root and tail.startswith(root):
-            tail = tail[len(root):]
+        # Both sides are fully qualified here; if the root still fails
+        # to prefix (glob crossed a mount/symlink boundary), fall back
+        # to judging only the basename — never drop a file because of
+        # ancestry we could not attribute to the glob.
+        if root and f.startswith(root):
+            tail = f[len(root):]
+        else:
+            tail = f.rsplit("/", 1)[-1]
         return not any(
             seg.startswith(("_", ".")) for seg in tail.split("/") if seg
         )
@@ -220,14 +238,21 @@ def make_input_file_list(spark: SparkSession, alias_paths: dict[str, str]) -> di
             )
         # Static glob root: the directory prefix before the first glob
         # segment (the whole path when there is no glob — it is then
-        # the listing root).
+        # the listing root, and its own name is exempt from the hidden
+        # rule). Qualified so it prefixes globStatus's returned URIs.
         if re.search(r"[*?\[{]", path):
             static = re.split(r"[*?\[{]", path, maxsplit=1)[0]
-            root = static.rsplit("/", 1)[0] + "/"
+            raw_root = static.rsplit("/", 1)[0] if "/" in static else "."
+            root = _qualify(raw_root).rstrip("/") + "/"
         else:
-            # Plain dir (listing root) or a single explicit file —
-            # either way its own name is exempt from the hidden rule.
-            root = path.rstrip("/")
-        root = _no_scheme(root)
-        out[alias] = sorted(f for f in files if _visible(f, root))
+            root = _qualify(path.rstrip("/") or path)
+        visible = sorted(f for f in files if _visible(f, root))
+        if not visible:
+            raise FileNotFoundError(
+                f"make_input_file_list: alias {alias!r} pattern {path!r} "
+                f"matched {len(files)} file(s), all hidden "
+                "(every match sits under a '_'/'.'-prefixed segment, "
+                "e.g. _SUCCESS / _temporary)"
+            )
+        out[alias] = visible
     return out
