@@ -1550,6 +1550,47 @@ def test_scored_ingest_stream_equals_batch(spark, tmp_path):
     assert spark.read.parquet(out).count() == 5
 
 
+def test_idempotent_batch_append_replay_converges(spark, tmp_path):
+    # ADVICE r11: foreachBatch delivery is at-least-once — a crash
+    # after the append but before the checkpoint commit re-delivers
+    # the batch. The landing discipline must therefore CONVERGE on
+    # replay (same batch id re-landed -> same rows, no duplicates),
+    # clean up a previous attempt's partial files, and stay invisible
+    # to flat-directory readers while staging.
+    out = str(tmp_path / "out")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id bigint, v string")
+
+    assert st.idempotent_batch_append(b0, out, 0) >= 1
+    assert st.idempotent_batch_append(b1, out, 1) >= 1
+    assert {(r.id, r.v) for r in spark.read.parquet(out).collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+
+    # Replay batch 1 (possibly with a different partition count, as a
+    # re-planned micro-batch may have): still exactly one copy.
+    st.idempotent_batch_append(b1.repartition(4), out, 1)
+    assert {(r.id, r.v) for r in spark.read.parquet(out).collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+
+    # A previous attempt's PARTIAL landing (a stray deterministic-name
+    # file from a crash mid-rename) is removed by the replay.
+    import os
+
+    stray = os.path.join(out, f"batch-{1:010d}-99999.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"junk")
+    st.idempotent_batch_append(b1, out, 1)
+    assert not os.path.exists(stray)
+    assert spark.read.parquet(out).count() == 3
+
+    # A leftover staging dir (crash before rename) is underscore-
+    # prefixed: readers ignore it.
+    b1.write.mode("overwrite").parquet(os.path.join(out, "_staging-batch-7"))
+    assert spark.read.parquet(out).count() == 3
+
+
 def test_scored_ingest_keep_threshold_filters_in_flight(spark, tmp_path):
     # keep_threshold drops rejected docs before the append; the landed
     # set equals the batch filter's keep set.

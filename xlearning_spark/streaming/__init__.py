@@ -654,6 +654,55 @@ def neardup_ingest(
     return written
 
 
+def idempotent_batch_append(df: DataFrame, out_dir: str, batch_id: int) -> int:
+    """Land a foreachBatch micro-batch in ``out_dir`` so that a REPLAY
+    of the same batch CONVERGES instead of duplicating (ADVICE r11):
+    foreachBatch delivery is at-least-once — a failure after a plain
+    ``mode("append")`` write but before the checkpoint commit
+    re-delivers the batch and would double its rows. Discipline:
+
+    1. stage the batch under an underscore-prefixed scratch dir
+       (``_staging-batch-<id>`` — invisible to readers, exactly like
+       Spark's own ``_temporary``);
+    2. delete whatever files a PREVIOUS attempt of this batch landed
+       (``batch-<id>-*``);
+    3. rename the staged part files into ``out_dir`` under
+       deterministic ``batch-<id>-<i>.parquet`` names.
+
+    A replay repeats 1-3 and lands equivalent state; a crash at any
+    point leaves either ignorable staging files or a partial batch
+    that the replay's step 2 removes — so at-least-once delivery
+    composes to exactly-once OUTPUT. Readers keep seeing one flat
+    parquet directory (no ``batch=`` partition column appears, unlike
+    a dynamic-partition-overwrite layout). Renames are per-file
+    metadata ops — O(files in the batch), not data volume; an object
+    store without atomic rename pays a server-side copy, the same
+    caveat as any Hadoop rename-based committer. Returns the number
+    of files landed.
+    """
+    base = out_dir.rstrip("/")
+    fs, jvm = _fs_for(df.sparkSession, base)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    staging = f"{base}/_staging-batch-{batch_id}"
+    df.write.mode("overwrite").parquet(staging)
+    staged = sorted(
+        (st.getPath() for st in fs.globStatus(hpath(staging + "/part-*")) or []),
+        key=lambda p: p.getName(),
+    )
+    for st in fs.globStatus(hpath(f"{base}/batch-{batch_id:010d}-*")) or []:
+        fs.delete(st.getPath(), False)
+    n = 0
+    for i, src in enumerate(staged):
+        dst = hpath(f"{base}/batch-{batch_id:010d}-{i:05d}.parquet")
+        if not fs.rename(src, dst):
+            raise IOError(
+                f"idempotent_batch_append: rename {src} -> {dst} failed"
+            )
+        n += 1
+    fs.delete(hpath(staging), True)
+    return n
+
+
 def scored_ingest(
     stream_df: DataFrame,
     out_dir: str,
@@ -687,8 +736,12 @@ def scored_ingest(
     ``keep_threshold`` set -> only docs with ``score >= threshold``
     land (the filter applied in-flight; rejected docs simply don't
     append); ``keep_threshold=None`` -> every doc lands with its score
-    (audit mode). Exactly-once via the checkpoint; re-running with no
-    new files is a no-op. Returns batch ids that appended >= 1 row.
+    (audit mode). Exactly-once OUTPUT: the checkpoint dedupes source
+    files across restarts, and the append itself is idempotent by
+    batch id (:func:`idempotent_batch_append` — a replayed batch
+    overwrites its own ``batch-<id>-*`` files instead of duplicating
+    them; ADVICE r11). Re-running with no new files is a no-op.
+    Returns batch ids that appended >= 1 row.
     """
     from xlearning_spark.operators.text import hashed_bow, score_text_lr
 
@@ -715,7 +768,7 @@ def scored_ingest(
         try:
             if full.isEmpty():
                 return
-            full.write.mode("append").parquet(out_dir)
+            idempotent_batch_append(full, out_dir, batch_id)
             written.append(batch_id)
         finally:
             # Per-micro-batch blocks released eagerly (cleaner-lag
@@ -755,11 +808,14 @@ def ann_ingest(
     centroids ride the plan as literals and the argmin is an
     array_min over (d2, cell) structs (see ``assign_cells``) — so
     batch cost is O(|batch| * n_cells) regardless of how large the
-    accumulated inverted file has grown. Exactly-once via the
-    checkpoint; duplicate ids WITHIN a batch are dropped (first
-    arrival wins — for redelivery across batches put
-    :func:`dedup_stream` upstream, same contract as
-    :func:`neardup_ingest`).
+    accumulated inverted file has grown. Exactly-once OUTPUT: the
+    checkpoint dedupes source files across restarts and the append is
+    idempotent by batch id (:func:`idempotent_batch_append` — a
+    replayed batch overwrites its own ``batch-<id>-*`` files in the
+    inverted file instead of duplicating them; ADVICE r11); duplicate
+    ids WITHIN a batch are dropped (first arrival wins — for
+    redelivery across batches put :func:`dedup_stream` upstream, same
+    contract as :func:`neardup_ingest`).
 
     The probe-side semantics are unchanged by streaming: a drained
     ingest's inverted file equals the batch assignment of the same
@@ -792,7 +848,7 @@ def ann_ingest(
         try:
             if assigned.isEmpty():
                 return
-            assigned.write.mode("append").parquet(index_dir + "/cells")
+            idempotent_batch_append(assigned, index_dir + "/cells", batch_id)
             written.append(batch_id)
         finally:
             release_checkpoint(assigned)
