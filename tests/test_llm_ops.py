@@ -4,6 +4,7 @@ counterparts — recall bounds instead of hash equality."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -548,6 +549,43 @@ def test_apply_bpe_roundtrips_and_matches_reference(spark):
     _, ref_vocab = _ref_bpe(_BPE_CORPUS, 8, 2)
     ref_stream = [t for w in _BPE_CORPUS.split() for t in ref_vocab[w]]
     assert toks == ref_stream
+
+
+def test_bpe_twin_guard_excludes_same_docs_in_both_engines(spark):
+    # ADVICE r11: q121/q122's hash certification needs Spark's
+    # per-codepoint empty split and DuckDB's per-grapheme empty split
+    # to see identical symbol sequences, so both engines certify only
+    # docs in the single-codepoint class (_BPE_NON_ASCII) and must
+    # EXCLUDE the same rows: a doc with a multi-codepoint grapheme
+    # (e + COMBINING ACUTE) and a doc with the chr(31) device
+    # delimiter must fail the guard in BOTH engines; plain ASCII
+    # (incl. tab/newline) must pass in both.
+    import duckdb
+
+    from xlearning_spark.queries.llm import _BPE_NON_ASCII
+
+    rows = [
+        (0, "plain ascii doc\twith tab\nand newline"),
+        (1, "combining grapheme: café"),   # e + U+0301: 2 codepoints
+        (2, "device delimiter \x1f inside"),
+        (3, "precomposed café"),            # single non-ASCII codepoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    spark_keep = {
+        r.doc_id
+        for r in df.filter(~F.col("text").rlike(_BPE_NON_ASCII)).collect()
+    }
+    con = duckdb.connect()
+    duck_keep = {
+        i
+        for (i,) in con.execute(
+            "SELECT doc_id FROM (SELECT * FROM (VALUES "
+            + ",".join(f"({i}, ?)" for i, _ in rows)
+            + ") t(doc_id, text)) WHERE NOT regexp_matches(text, ?)",
+            [t for _, t in rows] + [_BPE_NON_ASCII],
+        ).fetchall()
+    }
+    assert spark_keep == duck_keep == {0}
 
 
 def test_bpe_on_real_corpus_agrees_with_reference(spark):
@@ -1281,3 +1319,22 @@ def test_assign_cells_matches_numpy_argmin_with_ties(spark):
     assert got == {i: int(exp[i]) for i in range(n_vec)}
     assert all(got[i] == 2 for i in range(5))  # the tie class
     assert not any(c == 5 for c in got.values())
+
+
+def test_assign_cells_rejects_dimension_mismatch(spark):
+    # ADVICE r11: a vector shorter/longer than the centroid dimension
+    # must fail loudly — zip_with would pad with nulls, every d2 would
+    # be NULL, and the struct argmin would silently file the vector in
+    # cell 0.
+    from xlearning_spark.operators.similarity import assign_cells
+
+    cents = [[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]]
+    bad = spark.createDataFrame(
+        [(1, [0.9, 0.9, 0.9]), (2, [0.5, 0.5])],  # id 2 is 2-dim
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="vector length != centroid"):
+        assign_cells(bad, cents).collect()
+
+    ok = assign_cells(bad.filter("vec_id = 1"), cents).collect()
+    assert [(r.cid, r.cell) for r in ok] == [(1, 1)]

@@ -362,10 +362,29 @@ def assign_cells(
     is exchanged (a window/crossJoin formulation was measured and
     rejected: it shuffles the batch x n_cells expansion on the vector
     id for no semantic gain).
+
+    A vector whose length differs from the centroid dimension raises
+    (``raise_error`` guard) instead of being silently assigned: with
+    mismatched lengths ``zip_with`` pads with nulls, every d2 becomes
+    NULL, and the struct argmin would quietly pick cell 0 (ADVICE r11).
     """
+    dim = len(centroids[0])
     out = df.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn(
+        "cv",
+        F.when(F.size("cv") == dim, F.col("cv")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "assign_cells: vector length != centroid "
+                        f"dimension {dim} for id "
+                    ),
+                    F.col("cid").cast("string"),
+                )
+            )
+        ),
     )
     d2s = []
     for i, c in enumerate(centroids):

@@ -2151,6 +2151,18 @@ v{k} AS (
 
 _BPE_TWIN_MERGES = 4
 
+#: Certified character class of the BPE twins (ADVICE r11): the oracle
+#: parity needs Spark's F.split(w, '') and DuckDB's string_split(w, '')
+#: to yield IDENTICAL symbol sequences, but Spark splits on Java chars
+#: /codepoints while DuckDB's empty-separator split yields grapheme
+#: clusters — a multi-codepoint grapheme (e.g. e + combining accent)
+#: would diverge. Both engines therefore certify docs made only of
+#: single-codepoint, single-grapheme characters — printable ASCII plus
+#: tab/LF/CR — and deterministically exclude everything else (which
+#: also subsumes the old chr(31) string-device-delimiter guard: \\x1f
+#: is outside the class). Same regex semantics in Java regex and RE2.
+_BPE_NON_ASCII = "[^\\x09\\x0A\\x0D\\x20-\\x7E]"
+
 
 def _bpe_oracle_prefix(n_merges: int = _BPE_TWIN_MERGES) -> str:
     """Shared CTE chain of the two BPE twins: word counts, the wrapped
@@ -2163,7 +2175,8 @@ WITH words AS (
   SELECT w, count(*) AS cnt FROM (
     SELECT unnest(string_split_regex(text, '\\s+')) AS w
     FROM documents
-    WHERE text IS NOT NULL AND NOT contains(text, chr(31))
+    WHERE text IS NOT NULL
+      AND NOT regexp_matches(text, '{_BPE_NON_ASCII}')
   ) WHERE w <> '' GROUP BY w
 ),
 v0 AS (
@@ -2202,7 +2215,8 @@ nt AS (
 ),
 docs AS (
   SELECT doc_id, text FROM documents
-  WHERE text IS NOT NULL AND NOT contains(text, chr(31))
+  WHERE text IS NOT NULL
+    AND NOT regexp_matches(text, '{_BPE_NON_ASCII}')
 ),
 tok AS (
   SELECT doc_id, w FROM (
@@ -2234,9 +2248,13 @@ ORDER BY d.doc_id
     "non-overlapping left-to-right scan, which IS the greedy-fold "
     "merge semantics — with the identical (freq DESC, lft, rgt) "
     "tie-break, so the learned rules AND their corpus frequencies are "
-    "externally certified at every SF. Both engines drop docs "
-    "containing the chr(31) delimiter (none exist in the corpus; the "
-    "guard keeps the twin sound under any data). Extends the E1/U1 "
+    "externally certified at every SF. Both engines certify only docs "
+    "in the single-codepoint character class (printable ASCII + "
+    "tab/LF/CR — _BPE_NON_ASCII; the whole fixture corpus qualifies) "
+    "because Spark's empty split is per codepoint while DuckDB's is "
+    "per grapheme cluster, and the class guard also subsumes the "
+    "chr(31) string-device delimiter — so the twin is sound under any "
+    "data by exclusion, not by luck (ADVICE r11). Extends the E1/U1 "
     "arbitrary-process tier (HboxContainer.java:1145-1208) into the "
     "certified-query surface.",
 )
@@ -2244,7 +2262,7 @@ def q121_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xlearning_spark.operators.text import learn_bpe_merge_table
 
     docs = _t(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & ~F.col("text").contains("\x1f")
+        F.col("text").isNotNull() & ~F.col("text").rlike(_BPE_NON_ASCII)
     )
     table = learn_bpe_merge_table(docs, n_merges=_BPE_TWIN_MERGES, min_freq=1)
     # 4 driver-side rows — the trainer's argmax collects, re-exposed as
@@ -2281,7 +2299,7 @@ def q122_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & ~F.col("text").contains("\x1f")
+        F.col("text").isNotNull() & ~F.col("text").rlike(_BPE_NON_ASCII)
     )
     table = learn_bpe_merge_table(docs, n_merges=_BPE_TWIN_MERGES, min_freq=1)
     merges = [(lft, rgt) for lft, rgt, _ in table]
