@@ -1717,3 +1717,97 @@ def test_ann_ingest_extends_index_and_matches_batch(spark, tmp_path):
     )
     assert not again
     assert load_ivf_index(spark, idx_dir, cache=False).cells.count() == emb.count()
+
+
+def test_bpe_merge_table_save_load_roundtrip(spark, tmp_path):
+    # The persisted trainer artifact must round-trip exactly (rank
+    # order, rules, and the hash-certified frequencies), and loading
+    # a never-saved model must raise instead of tokenizing with zero
+    # rules.
+    from xlearning_spark.operators.text import (
+        learn_bpe_merge_table,
+        load_bpe_merge_table,
+        save_bpe_merge_table,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents").filter(
+        "text IS NOT NULL AND doc_id < 60"
+    )
+    table = learn_bpe_merge_table(docs, n_merges=6, min_freq=1)
+    assert len(table) == 6
+
+    model_dir = str(tmp_path / "bpe")
+    save_bpe_merge_table(spark, table, model_dir)
+    assert load_bpe_merge_table(spark, model_dir) == table
+
+    with pytest.raises(FileNotFoundError, match="no merge table"):
+        load_bpe_merge_table(spark, str(tmp_path / "missing"))
+
+
+def test_tokenized_ingest_stream_equals_batch(spark, tmp_path):
+    # L4 x T (VERDICT r11 item 3): streamed docs tokenized against the
+    # FROZEN persisted merge table must equal batch apply_bpe of the
+    # same docs with the same table — token streams and per-doc
+    # subword counts — across two landings, with replay a no-op.
+    import os
+
+    from xlearning_spark.operators.text import (
+        apply_bpe,
+        learn_bpe_merge_table,
+        save_bpe_merge_table,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents").filter(
+        "text IS NOT NULL AND doc_id < 80"
+    ).select("doc_id", "text")
+    model_dir = str(tmp_path / "bpe")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    # Train once, freeze the artifact (train-then-apply discipline).
+    table = learn_bpe_merge_table(docs, n_merges=8, min_freq=2)
+    save_bpe_merge_table(spark, table, model_dir)
+
+    schema = "doc_id bigint, text string"
+    chunks = [
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ]
+    for chunk in chunks:
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        written = st.tokenized_ingest(
+            spark.readStream.format("parquet").schema(schema).load(src),
+            out, ckpt, model_dir,
+        )
+        assert written
+
+    got = {
+        r.doc_id: (list(r.bpe_tokens), r.n_bpe_tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    exp = {
+        r.doc_id: (list(r.bpe_tokens), len(r.bpe_tokens))
+        for r in apply_bpe(
+            docs, merges=[(l, r) for l, r, _ in table]
+        ).collect()
+    }
+    assert got == exp
+
+    # Replay with no new files: exactly-once no-op.
+    again = st.tokenized_ingest(
+        spark.readStream.format("parquet").schema(schema).load(src),
+        out, ckpt, model_dir,
+    )
+    assert not again
+    assert spark.read.parquet(out).count() == len(exp)
+
+    # Frozen-model discipline: a missing artifact fails the stream
+    # loudly (wrapped by Spark as a StreamingQueryException).
+    with pytest.raises(Exception, match="no merge table"):
+        st.tokenized_ingest(
+            spark.readStream.format("parquet").schema(schema).load(src),
+            str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
+            str(tmp_path / "nope"),
+        )

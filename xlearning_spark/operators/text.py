@@ -596,6 +596,39 @@ def apply_bpe(
     return df.withColumn(out_col, bpe(F.col(text_col)))
 
 
+def save_bpe_merge_table(
+    spark, table: list[tuple[str, str, int]], path: str
+) -> None:
+    """Persist a trained BPE merge table (persistence parity with
+    ``similarity.save_ivf_index``): rank-ordered ``(merge_rank, lft,
+    rgt, freq)`` rows as schema'd parquet under ``<path>/merges``, so
+    a later job — or a streaming ingest — can :func:`load_bpe_merge_
+    table` and tokenize WITHOUT retraining (the frozen-artifact half
+    of the train-then-apply discipline). The table is bounded by
+    ``n_merges`` (vocab-sized, never corpus-sized), so ``coalesce(1)``
+    is safe by construction."""
+    spark.createDataFrame(
+        [(i + 1, l, r, int(n)) for i, (l, r, n) in enumerate(table)],
+        "merge_rank int, lft string, rgt string, freq bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/merges")
+
+
+def load_bpe_merge_table(spark, path: str) -> list[tuple[str, str, int]]:
+    """Load a :func:`save_bpe_merge_table` artifact — no trainer run;
+    returns the rank-ordered ``[(left, right, freq), ...]`` list
+    (``[(l, r) for l, r, _ in ...]`` is :func:`apply_bpe`'s input).
+    Raises ``FileNotFoundError`` when no table was saved, so a
+    consumer can't silently tokenize with zero rules."""
+    try:
+        rows = spark.read.parquet(path + "/merges").orderBy("merge_rank").collect()
+    except Exception as e:  # AnalysisException: PATH_NOT_FOUND
+        raise FileNotFoundError(
+            f"load_bpe_merge_table: no merge table under {path!r} — "
+            "learn_bpe_merge_table + save_bpe_merge_table must run first"
+        ) from e
+    return [(r["lft"], r["rgt"], int(r["freq"])) for r in rows]
+
+
 # --------------------------------------------------------------------
 # Gopher-style rule-by-rule quality audit (Rae et al., "Scaling
 # Language Models: ... Gopher", arXiv:2112.11446 §A1.1) — unlike
