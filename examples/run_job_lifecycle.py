@@ -58,6 +58,48 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
     print("committed:", res.committed, "| per-worker file counts:")
     spark.read.parquet(res.output_path).orderBy("line").show()
 
+    # 1b. Attempt retry with memory autoscale (VERDICT r11 item 5 —
+    #     job.RetryPolicy end-to-end, the AM:289-318 app-retry
+    #     analogue): the child simulates an OOM kill (exit 137)
+    #     whenever its WORKER_MEMORY_MB env is below what the workload
+    #     "needs"; attempt 1 runs at the 1024 MB base and dies,
+    #     attempt 2 runs at base + ceil(base * 0.5) = 1536 MB and
+    #     succeeds — the scaled value visible IN THE CHILD'S ENV, the
+    #     same place the reference's container launch context carries
+    #     worker memory.
+    from xlearning_spark.job import RetryPolicy
+
+    oom_child = [
+        sys.executable,
+        "-c",
+        "import os, sys\n"
+        "sys.stdin.read()\n"
+        "mem = int(os.environ['WORKER_MEMORY_MB'])\n"
+        "if mem < 1536:\n"
+        "    sys.exit(137)\n"  # the classic OOM-kill exit code
+        "print(os.environ['APP_ATTEMPT_ID'] + '\\t' + str(mem))",
+    ]
+    res2 = submit(
+        spark,
+        JobSpec(
+            inputs={"t": src + "/*.txt"},
+            command=oom_child,
+            output=os.path.join(work, "out_retry"),
+            output_format="parquet",
+            retry=RetryPolicy(max_attempts=2),
+        ),
+    )
+    assert res2.attempts == 2, res2
+    assert res2.worker_memory_mb == 1536, res2
+    child_lines = {
+        r.line for r in spark.read.parquet(res2.output_path).collect()
+    }
+    assert child_lines == {"2\t1536"}, child_lines
+    print(
+        "retry recovered: attempts=2 worker_memory_mb=1536 "
+        "child_saw=2\\t1536 committed:", res2.committed,
+    )
+
     # 2. Streaming save signal: each request_save drains exactly what
     #    arrived since the previous one into a fresh save_NNNN dir.
     stream_src = os.path.join(work, "stream")
