@@ -249,13 +249,99 @@ def _train_lr_plan_guard(spark, sf_dir: str) -> None:
         feats.unpersist()
 
 
+def _bpe_trainer_plan_guard(spark, sf_dir: str) -> None:
+    """Assert the BPE trainer's PER-ROUND plan shape at the top factor
+    (VERDICT r11 item 4 — q121's vocab-bounded claim is a plan claim):
+    each merge round's argmax is a pair-count aggregation over the
+    CHECKPOINTED vocab followed by a top-1, so above the checkpoint
+    scan the executed plan must contain exactly ONE shuffle Exchange —
+    hash-partitioned on the (left, right) pair key, with map-side
+    partial aggregation below it — and a TakeOrderedAndProject (never
+    a global sort) for the argmax. A violation raises: the probe must
+    not record a trainer cell for a plan that, e.g., re-shuffles the
+    corpus per round or sorts the full pair table."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from xlearning_spark.sources import read_table
+
+    # The trainer's own round-0 construction (learn_bpe_merge_table):
+    # word counts -> symbol arrays -> localCheckpoint (lineage cut).
+    docs = read_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = words.select(
+        F.concat(
+            F.filter(F.split("w", ""), lambda c: c != ""),
+            F.array(F.lit("</w>")),
+        ).alias("syms"),
+        "cnt",
+    ).localCheckpoint()
+    try:
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                F.slice("syms", 1, F.size("syms") - 1).alias("la"),
+                F.slice("syms", 2, F.size("syms") - 1).alias("ra"),
+                "cnt",
+            )
+            .select(F.explode(F.arrays_zip("la", "ra")).alias("p"), "cnt")
+            .groupBy(
+                F.col("p.la").alias("left"), F.col("p.ra").alias("right")
+            )
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), "left", "right").limit(1)
+        plan = best._jdf.queryExecution().executedPlan().toString()
+        shuffles = re.findall(r"(?<!Broadcast)Exchange \w+[^\n]*", plan)
+        # Catalyst collapses the (p.la, p.ra) aliases into
+        # _groupingexpression columns: assert ONE Exchange whose
+        # hashpartitioning carries exactly TWO key columns (the pair)
+        # plus the partition count, with map-side partial_sum below it
+        # (the vocab-bounded combine the 100 TB claim rests on).
+        keys = re.findall(r"hashpartitioning\(([^)]*)\)", shuffles[0] if shuffles else "")
+        n_keys = len(keys[0].split(",")) - 1 if keys else 0
+        if len(shuffles) != 1 or n_keys != 2 or "partial_sum" not in plan:
+            raise AssertionError(
+                "BPE trainer per-round plan guard violated (expected "
+                "exactly 1 shuffle Exchange on the 2-column pair key "
+                f"with map-side partial_sum): {shuffles}\n" + plan
+            )
+        if "TakeOrderedAndProject(limit=1" not in plan:
+            raise AssertionError(
+                "BPE trainer argmax should be a TakeOrderedAndProject "
+                "top-1, not a global sort\n" + plan
+            )
+        print(
+            "plan guard ok: BPE trainer per-round = 1 pair-key shuffle "
+            "Exchange + TakeOrderedAndProject argmax"
+        )
+    finally:
+        from xlearning_spark.operators.dedup import release_checkpoint
+
+        release_checkpoint(vocab)
+
+
 #: Probe bodies for non-registry operators (name -> callable(spark,
 #: dir)); timed exactly like registry queries, cells merged into the
 #: same sidecars.
 CUSTOM = {"train_text_lr_dim256_iter4": _train_lr_probe}
 
-#: Plan guards for CUSTOM probes (name -> callable(spark, top_dir)).
-CUSTOM_GUARDS = {"train_text_lr_dim256_iter4": _train_lr_plan_guard}
+#: Plan guards as callables (name -> callable(spark, top_dir)); keys
+#: may be CUSTOM probes or registry queries whose distributed work
+#: hides behind driver collects (q121: the query frame itself is the
+#: 4 collected argmax rows — the plan to guard is the trainer's
+#: per-round aggregation, rebuilt here exactly as the trainer lays
+#: it out).
+CUSTOM_GUARDS = {
+    "train_text_lr_dim256_iter4": _train_lr_plan_guard,
+    "q121_bpe_merge_table": _bpe_trainer_plan_guard,
+}
 
 
 #: Per-query extra factors beyond the CLI list: the queries probed
@@ -673,6 +759,23 @@ The plan claim is enforced twice: CUSTOM_GUARDS asserts it at 16x on
 every probe run, and tests/test_plans.py pins the same shape at
 sf0.001 in CI. Numeric parity with the NumPy reference (1e-9) held
 unchanged across the rewrite.
+
+q121 BPE-trainer note (r12, VERDICT r11 item 4 — the trainer's own
+scale row, with its plan now guarded): 1.87 / 1.69 / 1.61 / 1.82 s at
+1/4/8/16x — ratios 0.91 / 0.86 / 0.98, FLAT, with envelopes
+[1.7, 4.4] / [1.5, 3.2] / [1.5, 1.8] / [1.7, 1.9] (the 1x/4x maxima
+are first-run codegen warms). The Caesar replicas are the worst case
+for the vocab-bounded claim — each replica's rotated tokens are
+distinct, so the vocabulary (and each round's pair table) grows
+~linearly with the factor — yet the curve stays at the word-count
+scan's cost because every merge round touches only the checkpointed
+vocab: per round, ONE shuffle Exchange hash-partitioned on the
+2-column pair key with map-side partial_sum below it, and the argmax
+is a TakeOrderedAndProject(limit=1) (one row to the driver), never a
+global sort. That shape is now a CUSTOM_GUARDS assertion re-run at
+16x on every probe (a violation raises rather than records a cell),
+the same discipline as the train_text_lr and q09 guards; PLANS.md
+carries the full per-round plan dump.
 
 IVF build/probe split (round 5, r4 verdict item 3): sf0.1 embeddings
 (2000 x 64d), local[32], 3-run medians — build_ivf_index (KMeans fit +
