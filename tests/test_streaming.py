@@ -356,6 +356,111 @@ def test_neardup_ingest_accumulates_novel_docs(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 3, 6, 8}
 
 
+def _drop_last_commit(ckpt: str) -> int:
+    """Simulate the crash window between a foreachBatch append and the
+    checkpoint commit: delete the newest ``commits/<batchId>`` marker.
+    On the next start the engine sees the offset entry without its
+    commit and REPLAYS that batch — the exact at-least-once redelivery
+    the idempotent landing discipline must converge under."""
+    import os
+
+    commits = os.path.join(ckpt, "commits")
+    ids = sorted(int(f) for f in os.listdir(commits) if f.isdigit())
+    os.remove(os.path.join(commits, str(ids[-1])))
+    # Drop the local-FS checksum shadow too: a stale .N.crc makes the
+    # replay's commit rename fail, which Spark reports as a concurrent
+    # checkpoint user.
+    crc = os.path.join(commits, f".{ids[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return ids[-1]
+
+
+def test_neardup_ingest_replay_after_commit_loss_converges(spark, tmp_path):
+    # ADVICE r11 follow-through: a batch whose append landed but whose
+    # checkpoint commit was lost is re-delivered; the replay must see
+    # the PRE-ATTEMPT corpus (its own batch-<id> files excluded), so
+    # it recomputes the original verdicts and overwrites its own files
+    # — identical corpus, no duplicates, no self-dup data loss.
+    import os
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "doc_id bigint, text string"
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        return st.neardup_ingest(
+            spark.readStream.format("parquet").schema(schema).load(src),
+            corpus, ckpt, threshold=0.5, shingle_size=2,
+        )
+
+    land([(1, "alpha beta gamma delta epsilon"),
+          (3, "one two three four five")])
+    # Batch 2: d5 dups corpus d1; d6 novel.
+    land([(5, "alpha beta gamma delta omega"),
+          (6, "red green blue cyan magenta")])
+    before = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(corpus).collect()
+    )
+    assert [i for i, _ in before] == [1, 3, 6]
+
+    replayed = _drop_last_commit(ckpt)
+    w = st.neardup_ingest(
+        spark.readStream.format("parquet").schema(schema).load(src),
+        corpus, ckpt, threshold=0.5, shingle_size=2,
+    )
+    assert w == [replayed]  # the batch re-ran and re-landed its rows
+    after = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(corpus).collect()
+    )
+    assert after == before
+
+
+def test_scored_ingest_replay_after_commit_loss_converges(spark, tmp_path):
+    # Same crash window for the scoring sink: the replayed batch must
+    # overwrite its own files, not double the verdict rows.
+    import os
+
+    from xlearning_spark.operators.text import lcg_weights
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "doc_id bigint, text string"
+    w = lcg_weights(32, seed=3)
+
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    st.scored_ingest(
+        spark.readStream.format("parquet").schema(schema).load(src),
+        out, ckpt, w,
+    )
+    before = sorted(
+        (r.doc_id, r.margin, r.score)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert len(before) == 2
+
+    _drop_last_commit(ckpt)
+    again = st.scored_ingest(
+        spark.readStream.format("parquet").schema(schema).load(src),
+        out, ckpt, w,
+    )
+    assert again  # the batch re-ran
+    after = sorted(
+        (r.doc_id, r.margin, r.score)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert after == before
+
+
 def test_neardup_ingest_backfill_unhinted_path_same_corpus(spark, tmp_path):
     # VERDICT r8 item 4: an AvailableNow BACKFILL can make one batch
     # the entire backlog, so the per-batch verdict/loser broadcasts

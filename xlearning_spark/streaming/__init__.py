@@ -541,7 +541,13 @@ def neardup_ingest(
        closure collapses to one survivor (a doc chained to the corpus
        only through another batch doc still drops), deterministic
        regardless of row order within the batch;
-    4. survivors append to ``corpus_dir``.
+    4. survivors land in ``corpus_dir`` idempotently by batch id
+       (:func:`idempotent_batch_append`), and the corpus read excludes
+       this batch's own ``batch-<id>-*`` files — so a replay after a
+       crash between append and checkpoint commit recomputes the
+       original verdicts against the pre-attempt corpus and overwrites
+       its own files: at-least-once delivery composes to exactly-once
+       corpus state.
 
     Scale notes, stated honestly: the corpus side's shingle prefixes
     are recomputed per batch (read + one map pass — at 100 TB persist
@@ -584,7 +590,23 @@ def neardup_ingest(
         hint = F.broadcast if n_batch <= broadcast_batch_limit else (lambda d: d)
         corpus = _read_state_parquet(spark, corpus_dir)
         if corpus is not None:
-            corpus = corpus.select(id_col, text_col)
+            # Replay convergence (ADVICE r11 follow-through): a replayed
+            # batch must not see its OWN previous attempt's survivors in
+            # the corpus — with them present, every replayed doc shares a
+            # component with its earlier self (same near-dup closure), so
+            # the corpus-precedence verdict would drop it and the batch
+            # would converge to an EMPTY append, leaving the survivor set
+            # dependent on which attempt crashed. The previous attempt's
+            # rows sit under this batch's deterministic
+            # ``batch-<id>-*`` file names (idempotent_batch_append), so
+            # excluding exactly those files restores the pre-attempt
+            # corpus and the replay recomputes the original verdicts.
+            own = f"/batch-{batch_id:010d}-"
+            corpus = (
+                corpus.withColumn("__file", F.input_file_name())
+                .filter(~F.col("__file").contains(own))
+                .select(id_col, text_col)
+            )
         if corpus is None:
             pool = batch.withColumn("__corpus", F.lit(False))
         else:
@@ -636,7 +658,7 @@ def neardup_ingest(
         try:
             if survivors.isEmpty():
                 return
-            survivors.write.mode("append").parquet(corpus_dir)
+            idempotent_batch_append(survivors, corpus_dir, batch_id)
             written.append(batch_id)
         finally:
             # Per-micro-batch blocks released eagerly (cleaner-lag
