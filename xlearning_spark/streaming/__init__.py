@@ -1652,6 +1652,174 @@ def compact_excise_registry(
     return upto
 
 
+_BATCH_FILE_RE = r"^batch-(\d{10})-\d{5}\.parquet$"
+_BASE_FILE_RE = r"^base-(\d{10})-\d+\.parquet$"
+
+
+def _finish_batch_compaction(spark, out_dir: str) -> bool:
+    """Idempotent recovery half of :func:`compact_batch_output`'s swap
+    (the :func:`_finish_compaction` discipline on flat batch files): if
+    a committed staging dir exists, complete the swap — delete every
+    folded ``batch-<id<=upto>-*`` / ``base-<gen<upto>-*`` file, move
+    the staged part files in as ``base-<upto>-<i>.parquet``, drop the
+    staging dir. Returns True if a swap was completed."""
+    import os
+    import re
+
+    fs, jvm = _fs_for(spark, out_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    staging = os.path.join(out_dir, ".compact_staging")
+    if not fs.exists(hpath(os.path.join(staging, "_COMMITTED_COMPACTION"))):
+        # No committed staging: the batch files are intact and
+        # authoritative — drop any uncommitted leftover.
+        if fs.exists(hpath(staging)):
+            fs.delete(hpath(staging), True)
+        return False
+    stream = fs.open(hpath(os.path.join(staging, "_UPTO")))
+    try:
+        upto = int(bytes(stream.readAllBytes()).decode())
+    finally:
+        stream.close()
+    for st in fs.globStatus(hpath(os.path.join(out_dir, "*.parquet"))) or []:
+        name = st.getPath().getName()
+        mb = re.match(_BATCH_FILE_RE, name)
+        mg = re.match(_BASE_FILE_RE, name)
+        if (mb and int(mb.group(1)) <= upto) or (mg and int(mg.group(1)) < upto):
+            fs.delete(st.getPath(), False)
+    staged = sorted(
+        (st.getPath() for st in fs.globStatus(hpath(staging + "/part-*")) or []),
+        key=lambda p: p.getName(),
+    )
+    for i, src in enumerate(staged):
+        dst = hpath(os.path.join(out_dir, f"base-{upto:010d}-{i}.parquet"))
+        # Hadoop rename reports failure by returning false — raise
+        # loudly; the committed staging survives, so re-running this
+        # function (or the next compact call) completes the swap.
+        if not fs.rename(src, dst):
+            raise IOError(
+                f"batch compaction swap failed: rename({src} -> {dst}) "
+                "returned false; staging is intact — re-run "
+                "compact_batch_output to complete the swap"
+            )
+    fs.delete(hpath(staging), True)
+    return True
+
+
+def compact_batch_output(
+    spark, out_dir: str, upto_batch: int | None = None
+) -> int | None:
+    """Fold the per-batch files an :func:`idempotent_batch_append`-
+    based ingest accumulates (``scored_ingest``, ``ann_ingest``,
+    ``tokenized_ingest``, ``neardup_ingest``) into one generation of
+    right-sized ``base-<gen>-*`` files — the offline answer to the
+    streaming small-files problem: a long-lived ingest lands >= 1 file
+    per micro-batch, and at 100 TB-pipeline lifetimes that is
+    thousands of files whose per-read open/footer cost creeps up
+    linearly. Row content is byte-identical; only the file layout
+    changes (readers do a flat ``spark.read.parquet(out_dir)`` before
+    and after).
+
+    Replay safety (the :func:`compact_excise_registry` argument):
+    Structured Streaming commits batch N's checkpoint before starting
+    N+1, so every batch file except possibly the NEWEST belongs to a
+    committed batch and can never be re-delivered. The newest may be a
+    crash orphan whose replay must still find its own ``batch-<id>-*``
+    files to overwrite (and, for ``neardup_ingest``, to EXCLUDE from
+    the corpus read) — so the default ``upto_batch = max - 1`` never
+    folds it. Pass ``upto_batch=max`` only for a fully-drained stream.
+
+    Crash discipline (staged swap, sized by bytes): folded rows land
+    in a dot-prefixed staging dir (invisible to parquet readers),
+    coalesced to ~``maxPartitionBytes``-sized files without a shuffle;
+    then ``_UPTO`` + a commit marker; then the swap (delete folded
+    files, move staged files in as the new generation). A crash before
+    the marker leaves the original files authoritative; after it,
+    :func:`_finish_batch_compaction` completes idempotently on the
+    next call. Generations are strictly increasing (a fold with
+    nothing new to add returns None), so recovery can distinguish old
+    from new base files by name alone — no manifest needed.
+
+    OFFLINE-ONLY: stop or drain the ingest first (refuses when the
+    directory holds a live ``_INGEST_LEASE``; the batch-append ingests
+    do not take leases themselves, so for cross-process safety the
+    operator owns the scheduling, exactly as with any filesystem-level
+    maintenance). Returns the new generation id, or None if there was
+    nothing to fold."""
+    import math
+    import os
+    import re
+
+    lease = _read_small_file(spark, os.path.join(out_dir, _INGEST_LEASE))
+    if lease is not None:
+        raise RuntimeError(
+            f"compact_batch_output({out_dir!r}) refused: the directory "
+            f"holds an ingest lease ({lease}) — compaction is "
+            "offline-only."
+        )
+    _finish_batch_compaction(spark, out_dir)
+    fs, jvm = _fs_for(spark, out_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    listing = []  # (name, uri, bytes) for every batch-/base- file
+    for st in fs.globStatus(hpath(os.path.join(out_dir, "*.parquet"))) or []:
+        listing.append(
+            (st.getPath().getName(), st.getPath().toString(), st.getLen())
+        )
+    batch_ids = [
+        int(m.group(1))
+        for name, _, _ in listing
+        if (m := re.match(_BATCH_FILE_RE, name))
+    ]
+    base_gens = [
+        int(m.group(1))
+        for name, _, _ in listing
+        if (m := re.match(_BASE_FILE_RE, name))
+    ]
+    if not batch_ids:
+        return None
+    newest = max(batch_ids)
+    upto = newest - 1 if upto_batch is None else min(upto_batch, newest)
+    if base_gens and max(base_gens) > upto:
+        # The existing base already folds batches beyond upto — there
+        # is no generation boundary at upto to fold to.
+        return None
+    fold = [
+        (uri, size)
+        for name, uri, size in listing
+        if (
+            (m := re.match(_BATCH_FILE_RE, name)) and int(m.group(1)) <= upto
+        )
+        or re.match(_BASE_FILE_RE, name)
+    ]
+    n_batch_folded = sum(
+        1
+        for name, _, _ in listing
+        if (m := re.match(_BATCH_FILE_RE, name)) and int(m.group(1)) <= upto
+    )
+    if len(fold) < 2 or n_batch_folded == 0:
+        return None  # nothing new to add to the base
+    total = sum(size for _, size in fold)
+    max_bytes = int(
+        jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+    )
+    n_out = max(1, math.ceil(total / max_bytes))
+    staging = os.path.join(out_dir, ".compact_staging")
+    spark.read.parquet(*[uri for uri, _ in fold]).coalesce(n_out).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    out = fs.create(hpath(os.path.join(staging, "_UPTO")), True)
+    try:
+        out.write(str(upto).encode())
+    finally:
+        out.close()
+    fs.create(
+        hpath(os.path.join(staging, "_COMMITTED_COMPACTION")), True
+    ).close()
+    _finish_batch_compaction(spark, out_dir)
+    return upto
+
+
 def prune_sketch_versions(spark, state_dir: str, keep: int = 2) -> list[str]:
     """Delete all but the newest ``keep`` version directories of the
     CMS/HLL versioned sketch state (:func:`streaming_cms_counts`,
