@@ -69,6 +69,36 @@ def main(spark, sf_dir: str = DEFAULT_SF) -> None:
         )
         print(f"fixture docs: {n_docs}, final corpus: {landed2}")
 
+        # Maintenance: the idempotent per-batch landing leaves one
+        # batch-<id>-* file set per micro-batch; offline compaction
+        # folds the committed ones into right-sized base files (the
+        # newest batch stays out — its replay must find its own files)
+        # with rows byte-identical.
+        import re as _re
+
+        files_before = [
+            f for f in os.listdir(corpus) if f.endswith(".parquet")
+        ]
+        # This demo's stream is fully drained (AvailableNow returned),
+        # so fold EVERY batch; a live deployment omits upto_batch and
+        # the newest batch stays replayable.
+        newest = max(
+            int(m.group(1))
+            for f in files_before
+            if (m := _re.match(r"batch-(\d{10})-", f))
+        )
+        gen = st.compact_batch_output(spark, corpus, upto_batch=newest)
+        files_after = [
+            f for f in os.listdir(corpus) if f.endswith(".parquet")
+        ]
+        assert spark.read.parquet(corpus).count() == landed2
+        assert any(_re.match(r"base-\d{10}-\d+\.parquet$", f) for f in files_after)
+        print(
+            f"compaction: generation {gen} folded "
+            f"{len(files_before)} files -> {len(files_after)} "
+            f"({landed2} rows unchanged)"
+        )
+
         # Substring tier: the same feed through forward-only span
         # excision — later batches lose any 5-token span already seen
         # in earlier-landed raw text; first occurrences are immutable.

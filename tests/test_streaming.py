@@ -461,6 +461,76 @@ def test_scored_ingest_replay_after_commit_loss_converges(spark, tmp_path):
     assert after == before
 
 
+def test_ann_and_tokenized_ingest_replay_after_commit_loss(spark, tmp_path):
+    # The same crash window for the other two batch-landing ingests:
+    # the replayed batch must overwrite its own files in the inverted
+    # file / token sink, not duplicate them.
+    import os
+
+    from xlearning_spark.operators.similarity import (
+        build_ivf_index,
+        save_ivf_index,
+    )
+    from xlearning_spark.operators.text import save_bpe_merge_table
+
+    # ann_ingest over a tiny frozen index.
+    emb = read_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx_dir = str(tmp_path / "ivf")
+    save_ivf_index(build_ivf_index(emb.limit(64), n_cells=4, seed=7), idx_dir)
+    src = str(tmp_path / "vsrc")
+    ckpt = str(tmp_path / "vckpt")
+    os.makedirs(src)
+    vschema = "vec_id bigint, embedding array<float>"
+    emb.filter("vec_id >= 64 AND vec_id < 96").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    st.ann_ingest(
+        spark.readStream.format("parquet").schema(vschema).load(src),
+        idx_dir, ckpt,
+    )
+    cells = idx_dir + "/cells"
+    before = sorted((r.cid, r.cell) for r in spark.read.parquet(cells).collect())
+    _drop_last_commit(ckpt)
+    assert st.ann_ingest(
+        spark.readStream.format("parquet").schema(vschema).load(src),
+        idx_dir, ckpt,
+    )
+    assert sorted(
+        (r.cid, r.cell) for r in spark.read.parquet(cells).collect()
+    ) == before
+
+    # tokenized_ingest over a frozen merge table.
+    model = str(tmp_path / "bpe")
+    save_bpe_merge_table(spark, [("a", "b", 3), ("ab", "</w>", 2)], model)
+    tsrc = str(tmp_path / "tsrc")
+    tout = str(tmp_path / "tout")
+    tckpt = str(tmp_path / "tckpt")
+    os.makedirs(tsrc)
+    tschema = "doc_id bigint, text string"
+    spark.createDataFrame(
+        [(1, "ab abc"), (2, "ba")], tschema
+    ).coalesce(1).write.mode("append").parquet(tsrc)
+    st.tokenized_ingest(
+        spark.readStream.format("parquet").schema(tschema).load(tsrc),
+        tout, tckpt, model,
+    )
+    tbefore = sorted(
+        (r.doc_id, tuple(r.bpe_tokens), r.n_bpe_tokens)
+        for r in spark.read.parquet(tout).collect()
+    )
+    _drop_last_commit(tckpt)
+    assert st.tokenized_ingest(
+        spark.readStream.format("parquet").schema(tschema).load(tsrc),
+        tout, tckpt, model,
+    )
+    assert sorted(
+        (r.doc_id, tuple(r.bpe_tokens), r.n_bpe_tokens)
+        for r in spark.read.parquet(tout).collect()
+    ) == tbefore
+
+
 def test_compact_batch_output_folds_and_preserves_rows(spark, tmp_path):
     # The streaming small-files compactor: batch-<id>-* files from the
     # idempotent landing discipline fold into one base generation;
