@@ -603,6 +603,20 @@ def test_compact_batch_output_folds_and_preserves_rows(spark, tmp_path):
     assert all(f.startswith("base-0000000003") for f in names())
     assert spark.read.parquet(out).count() == 5
 
+    # Lease discipline: a drained ingest leaves no lease behind; a
+    # (stale/live) lease makes compaction refuse until the operator
+    # confirms with ignore_lease=True, which clears it.
+    assert not os.path.exists(os.path.join(out, "_INGEST_LEASE"))
+    land([(6, "k l")])
+    land([(7, "m n")])
+    with open(os.path.join(out, "_INGEST_LEASE"), "w") as fh:
+        fh.write('{"query": "scored_ingest", "pid": 0}')
+    with pytest.raises(RuntimeError, match="ingest lease"):
+        st.compact_batch_output(spark, out)
+    assert st.compact_batch_output(spark, out, ignore_lease=True) == 4
+    assert not os.path.exists(os.path.join(out, "_INGEST_LEASE"))
+    assert spark.read.parquet(out).count() == 7
+
 
 def test_compact_batch_output_crash_recovery_and_replay(spark, tmp_path):
     # (a) a crash AFTER the commit marker but before the swap is

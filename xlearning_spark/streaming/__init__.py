@@ -665,14 +665,17 @@ def neardup_ingest(
             # discipline — see incremental_save).
             release_checkpoint(survivors)
 
-    q = (
-        stream_df.writeStream.foreachBatch(ingest)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _batch_ingest_lease(
+        stream_df.sparkSession, corpus_dir, "neardup_ingest"
+    ):
+        q = (
+            stream_df.writeStream.foreachBatch(ingest)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return written
 
 
@@ -723,6 +726,44 @@ def idempotent_batch_append(df: DataFrame, out_dir: str, batch_id: int) -> int:
         n += 1
     fs.delete(hpath(staging), True)
     return n
+
+
+def _batch_ingest_lease(spark, out_dir: str, query: str):
+    """Best-effort cross-process lease the batch-landing ingests hold
+    in their output dir for the duration of a drain (the
+    :func:`excise_ingest` discipline, ADVICE r7): an offline
+    :func:`compact_batch_output` in ANOTHER process/session refuses
+    while the lease file exists. Held via context manager; released on
+    exit. A crash leaves it behind — the next drain of the same ingest
+    rewrites and then clears it (self-healing), or the operator passes
+    ``ignore_lease=True`` to compaction after confirming nothing is
+    live. Underscore-prefixed: invisible to parquet readers."""
+    import contextlib
+    import json as _json
+    import os
+    import socket
+
+    @contextlib.contextmanager
+    def _held():
+        path = os.path.join(out_dir, _INGEST_LEASE)
+        _write_small_file(
+            spark,
+            path,
+            _json.dumps(
+                {
+                    "query": query,
+                    "host": socket.gethostname(),
+                    "pid": os.getpid(),
+                }
+            ),
+        )
+        try:
+            yield
+        finally:
+            fs, jvm = _fs_for(spark, out_dir)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(path), False)
+
+    return _held()
 
 
 def scored_ingest(
@@ -797,14 +838,17 @@ def scored_ingest(
             # discipline — see incremental_save).
             release_checkpoint(full)
 
-    q = (
-        stream_df.writeStream.foreachBatch(ingest)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _batch_ingest_lease(
+        stream_df.sparkSession, out_dir, "scored_ingest"
+    ):
+        q = (
+            stream_df.writeStream.foreachBatch(ingest)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return written
 
 
@@ -875,14 +919,17 @@ def ann_ingest(
         finally:
             release_checkpoint(assigned)
 
-    q = (
-        stream_df.writeStream.foreachBatch(ingest)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _batch_ingest_lease(
+        stream_df.sparkSession, index_dir + "/cells", "ann_ingest"
+    ):
+        q = (
+            stream_df.writeStream.foreachBatch(ingest)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return written
 
 
@@ -954,14 +1001,17 @@ def tokenized_ingest(
         finally:
             release_checkpoint(toks)
 
-    q = (
-        stream_df.writeStream.foreachBatch(ingest)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _batch_ingest_lease(
+        stream_df.sparkSession, out_dir, "tokenized_ingest"
+    ):
+        q = (
+            stream_df.writeStream.foreachBatch(ingest)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return written
 
 
@@ -1706,7 +1756,10 @@ def _finish_batch_compaction(spark, out_dir: str) -> bool:
 
 
 def compact_batch_output(
-    spark, out_dir: str, upto_batch: int | None = None
+    spark,
+    out_dir: str,
+    upto_batch: int | None = None,
+    ignore_lease: bool = False,
 ) -> int | None:
     """Fold the per-batch files an :func:`idempotent_batch_append`-
     based ingest accumulates (``scored_ingest``, ``ann_ingest``,
@@ -1739,23 +1792,32 @@ def compact_batch_output(
     nothing new to add returns None), so recovery can distinguish old
     from new base files by name alone — no manifest needed.
 
-    OFFLINE-ONLY: stop or drain the ingest first (refuses when the
-    directory holds a live ``_INGEST_LEASE``; the batch-append ingests
-    do not take leases themselves, so for cross-process safety the
-    operator owns the scheduling, exactly as with any filesystem-level
-    maintenance). Returns the new generation id, or None if there was
-    nothing to fold."""
+    OFFLINE-ONLY: stop or drain the ingest first. Every batch-landing
+    ingest holds an ``_INGEST_LEASE`` in its output dir for the drain
+    (:func:`_batch_ingest_lease`), and compaction refuses while one
+    exists — the cross-process guard of :func:`compact_excise_
+    registry`. A crashed drain leaves a stale lease; re-run the ingest
+    (it rewrites then clears the lease) or pass ``ignore_lease=True``
+    after confirming nothing is live — one confirmed override clears
+    it. Returns the new generation id, or None if there was nothing to
+    fold."""
     import math
     import os
     import re
 
-    lease = _read_small_file(spark, os.path.join(out_dir, _INGEST_LEASE))
+    lease_path = os.path.join(out_dir, _INGEST_LEASE)
+    lease = _read_small_file(spark, lease_path)
     if lease is not None:
-        raise RuntimeError(
-            f"compact_batch_output({out_dir!r}) refused: the directory "
-            f"holds an ingest lease ({lease}) — compaction is "
-            "offline-only."
-        )
+        if not ignore_lease:
+            raise RuntimeError(
+                f"compact_batch_output({out_dir!r}) refused: the "
+                f"directory holds an ingest lease ({lease}) — an ingest "
+                "in another process/session may be live, and compaction "
+                "is offline-only. If that ingest crashed (stale lease), "
+                "re-run it or pass ignore_lease=True."
+            )
+        fs_l, jvm_l = _fs_for(spark, out_dir)
+        fs_l.delete(jvm_l.org.apache.hadoop.fs.Path(lease_path), False)
     _finish_batch_compaction(spark, out_dir)
     fs, jvm = _fs_for(spark, out_dir)
     hpath = jvm.org.apache.hadoop.fs.Path
