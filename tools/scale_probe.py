@@ -142,6 +142,15 @@ HEADLINE = [
     # the curve would track corpus volume instead of staying near the
     # word-count scan's cost.
     "q121_bpe_merge_table",
+    # r12: the apply half (q122 — 4-merge train + Arrow-batched
+    # per-word greedy re-scan + per-doc counts). The trainer part is
+    # q121's vocab-bounded story; the apply part is map-only over doc
+    # rows with the rule list riding the closure, so the curve should
+    # track row volume with no shuffle term. The Caesar replicas also
+    # multiply the distinct-word count, which stresses the per-batch
+    # word memoization cache (worst case: every replica's words are
+    # distinct, so cache hits never grow with the factor).
+    "q122_bpe_apply",
 ]
 
 #: Plan-shape guards re-asserted per probe run at each query's TOP
@@ -371,6 +380,8 @@ EXTRA_FACTORS = {
     # BPE trainer twin.
     "train_text_lr_dim256_iter4": [16],
     "q121_bpe_merge_table": [16],
+    # r12: the apply half probed to the same depth.
+    "q122_bpe_apply": [16],
 }
 
 #: 5-run medians everywhere: the shared local-mode JVM throws
@@ -776,6 +787,19 @@ global sort. That shape is now a CUSTOM_GUARDS assertion re-run at
 16x on every probe (a violation raises rather than records a cell),
 the same discipline as the train_text_lr and q09 guards; PLANS.md
 carries the full per-round plan dump.
+
+q122 BPE-apply note (r12 — the apply half's own row beside q121's
+trainer row): 2.49 / 2.52 / 2.20 / 2.56 s at 1/4/8/16x — ratios 1.01
+/ 0.88 / 1.03, FLAT; envelopes [2.4, 6.2] / [2.3, 3.0] / [2.1, 2.7] /
+[2.4, 2.9] (1x max is the first-run codegen warm). The cell is
+dominated by the fixed 4-merge trainer prefix (q121's cost); the
+apply stage itself is a map-only Arrow pass whose extra volume the
+idle local[32] slots absorb — and the Caesar replicas are the
+memoization worst case (every replica's words are DISTINCT, so the
+per-batch word cache's hit rate never improves with the factor), yet
+the curve stays flat because the per-word fold is O(|word| x rules)
+regardless of corpus composition. No shuffle term exists to guard:
+the stage's plan is scan -> pandas-UDF project (PLANS.md q122).
 
 IVF build/probe split (round 5, r4 verdict item 3): sf0.1 embeddings
 (2000 x 64d), local[32], 3-run medians — build_ivf_index (KMeans fit +
