@@ -154,6 +154,31 @@ def test_make_input_file_list_qualified_root(spark, tmp_path):
         make_input_file_list(spark, {"x": str(only_hidden / "*")})
 
 
+def test_visible_fallback_judges_common_ancestor_not_basename():
+    # ADVICE r12: when the qualified glob root fails to prefix a
+    # globStatus URI (mount/symlink crossing changes the
+    # scheme/authority spelling), the fallback must still apply the
+    # hidden-segment rule below the deepest common ancestor — a
+    # basename-only fallback lets _temporary/attempt_x/part-00000
+    # debris through (its basename is not hidden).
+    from xlearning_spark.operators.pipe import _visible
+
+    root = "file:/data/x/"
+    # Normal prefix path (unchanged behavior).
+    assert not _visible("file:/data/x/_temporary/0/part-0", root)
+    assert _visible("file:/data/x/sub/part-0", root)
+    assert _visible("file:/home/.x/data/part-0", "file:/home/.x/data/")
+    # Fallback: scheme/authority differ, ancestry shared with the root
+    # is exempt, everything below it is judged.
+    assert not _visible("viewfs://c/data/x/_temporary/0/part-0", root)
+    assert not _visible("viewfs://c/data/x/.hidden/part-0", root)
+    assert _visible("viewfs://c/data/x/sub/part-0", root)
+    assert _visible("viewfs://c/home/.x/data/part-0", "file:/home/.x/data/")
+    # Nothing in common at all: the whole path is judged — crash
+    # debris is still rejected rather than passed on its basename.
+    assert not _visible("viewfs://c/other/_temporary/part-0", root)
+
+
 # --------------------------------------------------------------- P1-P5
 
 def test_round_robin_balance():

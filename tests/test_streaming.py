@@ -693,6 +693,135 @@ def test_compact_batch_output_crash_recovery_and_replay(spark, tmp_path):
     assert not os.path.exists(staging)
 
 
+def test_finish_batch_compaction_mid_rename_crash_resume(spark, tmp_path):
+    # ADVICE r12 (high): destination names are pure functions of the
+    # staged part index, so recovery after a crash HALF-WAY through the
+    # rename phase resumes where the first attempt stopped instead of
+    # re-enumerating the remainder from i=0 and silently overwriting
+    # (POSIX rename) the files the first attempt already moved.
+    import os
+    import re
+
+    out = str(tmp_path / "out")
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(b * 10 + i, f"t{b}{i}") for i in range(4)],
+            "doc_id bigint, text string",
+        )
+        st.idempotent_batch_append(df.coalesce(1), out, b)
+    before = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert len(before) == 12
+
+    # Build a committed staging for upto=2 with THREE part files.
+    staging = os.path.join(out, ".compact_staging")
+    spark.read.parquet(out).repartition(3).write.mode("overwrite").parquet(
+        staging
+    )
+    with open(os.path.join(staging, "_UPTO"), "w") as fh:
+        fh.write("2")
+    open(os.path.join(staging, "_COMMITTED_COMPACTION"), "w").close()
+
+    # Simulate attempt 1 dying mid-rename: it deleted the folded batch
+    # files and moved ONLY the first staged part in before crashing.
+    for f in os.listdir(out):
+        if f.startswith("batch-") and f.endswith(".parquet"):
+            os.remove(os.path.join(out, f))
+    parts = sorted(
+        f
+        for f in os.listdir(staging)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    assert len(parts) == 3
+    first_idx = int(re.match(r"part-(\d+)", parts[0]).group(1))
+    os.replace(
+        os.path.join(staging, parts[0]),
+        os.path.join(out, f"base-0000000002-{first_idx}.parquet"),
+    )
+
+    # Recovery must move the REMAINING parts to their OWN indexes —
+    # no collision with (= no overwrite of) attempt 1's file, no loss.
+    assert st._finish_batch_compaction(spark, out)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == before
+    names = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert len(names) == 3
+    assert all(f.startswith("base-0000000002-") for f in names)
+    assert not os.path.exists(staging)
+
+
+def test_ingest_completes_committed_swap_before_reading(spark, tmp_path):
+    # ADVICE r12: a compaction that committed its staging but crashed
+    # mid-swap (folded batch files deleted, base files not yet renamed
+    # in) leaves a corpus missing rows. An ingest starting afterwards
+    # must complete the swap at lease acquisition rather than read —
+    # and land against — the truncated corpus.
+    import os
+
+    from xlearning_spark.operators.text import lcg_weights
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "doc_id bigint, text string"
+    w = lcg_weights(32, seed=5)
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        st.scored_ingest(
+            spark.readStream.format("parquet").schema(schema).load(src),
+            out, ckpt, w,
+        )
+
+    land([(1, "a b"), (2, "c d")])
+    land([(3, "e f")])
+    before = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert before == [1, 2, 3]
+
+    # Crash a compaction mid-swap by hand: committed staging holding
+    # everything, every folded batch file already deleted, nothing
+    # renamed in yet. A plain read now sees NO corpus rows.
+    staging = os.path.join(out, ".compact_staging")
+    spark.read.parquet(out).coalesce(1).write.mode("overwrite").parquet(
+        staging
+    )
+    with open(os.path.join(staging, "_UPTO"), "w") as fh:
+        fh.write("1")
+    open(os.path.join(staging, "_COMMITTED_COMPACTION"), "w").close()
+    for f in os.listdir(out):
+        if f.startswith("batch-") and f.endswith(".parquet"):
+            os.remove(os.path.join(out, f))
+
+    # The next drain's lease acquisition completes the swap, then the
+    # new batch lands on top — nothing lost, nothing duplicated.
+    land([(4, "g h")])
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    ) == [1, 2, 3, 4]
+    assert not os.path.exists(staging)
+    names = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert any(f.startswith("base-0000000001-") for f in names)
+    assert any(f.startswith("batch-0000000002-") for f in names)
+
+
+def test_compact_batch_output_single_batch_drained(spark, tmp_path):
+    # ADVICE r12: a drained stream that landed exactly ONE batch file
+    # (no base generation yet) still folds under upto_batch=max — the
+    # drained-mode contract is "all base files", not a silent no-op.
+    import os
+
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id bigint, text string")
+    st.idempotent_batch_append(df.coalesce(1), out, 0)
+    assert st.compact_batch_output(spark, out, upto_batch=0) == 0
+    names = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert names and all(f.startswith("base-0000000000-") for f in names)
+    assert spark.read.parquet(out).count() == 2
+    # And the no-op case is still a no-op: nothing new to fold.
+    assert st.compact_batch_output(spark, out, upto_batch=0) is None
+
+
 def test_neardup_ingest_backfill_unhinted_path_same_corpus(spark, tmp_path):
     # VERDICT r8 item 4: an AvailableNow BACKFILL can make one batch
     # the entire backlog, so the per-batch verdict/loser broadcasts

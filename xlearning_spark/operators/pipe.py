@@ -163,6 +163,42 @@ def pipe_progress_parse(stderr_line: str) -> float | None:
     return None
 
 
+def _strip_scheme(u: str) -> str:
+    """``hdfs://nn:8020/a/b`` -> ``/a/b``; ``file:/a/b`` -> ``/a/b``;
+    a bare path passes through unchanged."""
+    import re
+
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?", u)
+    return u[m.end():] if m else u
+
+
+def _visible(f: str, root: str) -> bool:
+    """Hidden-entry rule for :func:`make_input_file_list` — applies to
+    every path segment BELOW the glob root, not just the basename (a
+    crashed write's ``_temporary/.../part-*`` must not pass) and not
+    the root's own ancestry (an explicit ``/home/.x/data`` root is the
+    user's call). Both sides arrive fully qualified; if the root still
+    fails to prefix the file URI (the glob crossed a mount/symlink
+    boundary so scheme/authority spellings differ), strip
+    scheme/authority from BOTH and judge every segment below the
+    deepest common ancestor — a basename-only fallback would let crash
+    debris like ``_temporary/attempt_x/part-00000`` through, its
+    basename not being hidden (ADVICE r12). Ancestry the root shares
+    with the file stays exempt either way."""
+    if root and f.startswith(root):
+        tail = f[len(root):]
+    else:
+        rsegs = [s for s in _strip_scheme(root or "").split("/") if s]
+        fsegs = [s for s in _strip_scheme(f).split("/") if s]
+        i = 0
+        while i < min(len(rsegs), len(fsegs)) and rsegs[i] == fsegs[i]:
+            i += 1
+        tail = "/".join(fsegs[i:])
+    return not any(
+        seg.startswith(("_", ".")) for seg in tail.split("/") if seg
+    )
+
+
 def make_input_file_list(spark: SparkSession, alias_paths: dict[str, str]) -> dict[str, list[str]]:
     """PLACEHOLDER-mode file list (S5): alias -> concrete file paths,
     discovered by a FileSystem metadata walk (the same ``globStatus``
@@ -210,23 +246,6 @@ def make_input_file_list(spark: SparkSession, alias_paths: dict[str, str]) -> di
         # working-dir resolution for relative paths).
         p = jvm.org.apache.hadoop.fs.Path(raw)
         return p.getFileSystem(hconf).makeQualified(p).toString()
-
-    def _visible(f: str, root: str) -> bool:
-        # Hidden-entry rule applies to every segment BELOW the glob
-        # root — not just the basename (a crashed write's
-        # _temporary/.../part-* must not pass) and not the root's own
-        # ancestry (an explicit /home/.x/data root is the user's call).
-        # Both sides are fully qualified here; if the root still fails
-        # to prefix (glob crossed a mount/symlink boundary), fall back
-        # to judging only the basename — never drop a file because of
-        # ancestry we could not attribute to the glob.
-        if root and f.startswith(root):
-            tail = f[len(root):]
-        else:
-            tail = f.rsplit("/", 1)[-1]
-        return not any(
-            seg.startswith(("_", ".")) for seg in tail.split("/") if seg
-        )
 
     out: dict[str, list[str]] = {}
     for alias, path in alias_paths.items():

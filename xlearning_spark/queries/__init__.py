@@ -42,125 +42,78 @@ def _load_all() -> None:
 #: families, streaming-parity, sharding, pipe/UDF tiers, LLM-data tier).
 GRADING_WINDOW = [
     "q01_pricing_summary",       # A5 hash agg (flagship, TPC-H Q1 shape)
-    "q71_deterministic_split",   # corpus deterministic split (r6 rotation in; J1 spare q03 driver-green r1-r5)
-    "q79_winnowing_overlap_pairs",  # L4/L2 winnowing near-dup report (r6 rotation-2 in; J2 spare q05 driver-green r1-r6, broadcast shape plan-asserted)
-    "q07_anti_join_dormant_customers",   # J3 anti (r5 rotation; semi spare: q06, driver-green r1-r4)
-    "q81_term_salience",         # L4 tf x 1/df keyword extraction (r6 rotation-2 in; J4 spare q08 driver-green r1-r6)
-    "q84_multimodal_gif",        # L5 real GIF/LZW decode (r6 rotation-2 in; J5 spare q09 driver-green r1-r6, as-of plan-asserted)
-    "q72_domain_mixture",        # corpus domain mixture (r6 rotation in; J6 spare q10 driver-green r1-r5)
-    "q11_rollup_order_stats",    # A7 rollup (r5 rotation; grouping-sets spare: q13, driver-green r1-r4)
-    # Stream-stream interval-join tier (r8 in; runs streaming.
-    # attributed_conversions itself on batch frames): q116 inner stays
-    # as the tier anchor; r10 swaps the freshly double-graded q117
-    # left-outer for the NEW q119 full-outer audit form.
-    "q116_conversion_attribution",   # T stream-stream interval join (inner)
-    "q119_attribution_audit",        # T interval join, FULL OUTER (NEW r10 — VERDICT r9 item 5; q117 left-outer rests as a spare, tier keeps two in-window certifiers)
-    "q88_portable_approx_percentile",    # A6 hash-certified sampled percentiles (r5 rotation; spare: q14, driver-green r1-r4 — its exact distinct+percentile twins live on inside q85/q88's outputs)
-    "q73_token_chunking",        # corpus token chunking (r6 rotation in; A8 spare q15 driver-green r1-r5)
-    "q20_ntile_dense_rank",      # §2.7 ntile/dense_rank (r12 re-cert in — last driver-green ROUND 2, the oldest row in the corpus; VERDICT r11 item 1 lead)
-    "q34_timeout_gap_detection", # T3 gap detection (r12 re-cert in — last driver-green r2)
-    # r8 swap: q118 (stream-STATIC enrichment join — the stateless
-    # streaming-join shape, certifying streaming.enriched_tumbling_by_
-    # nation on batch frames) takes q92's slot; q92 (MJPEG video,
-    # driver-green r6-r7) rotates to spares — L5 stays certified
-    # in-window by q84 GIF + q91 JPEG.
-    "q118_stream_enrichment",    # T stream-static enrichment + rollup (r8)
-    "q74_decontamination",       # corpus decontamination (r6 rotation in; §2.9 spare q21 driver-green r1-r5)
-    "q75_pii_redaction",         # corpus PII redaction (r6 rotation in; §2.6-string spare q22 driver-green r1-r5)
-    "q76_repetition_filter",     # corpus repetition filter (r6 rotation in; §2.6-datetime spare q23 driver-green r1-r5)
-    "q77_stratified_sample",     # corpus stratified sampling (r6 rotation in; §2.6-math spare q24 driver-green r1-r5)
-    "q78_winnowing_fingerprints",        # L4 winnowing, Rabin-Karp replayed oracle (r6 rotation in; §2.6-array spare q25 driver-green r1-r5)
-    "q80_neardup_sweep",         # L2 end-to-end sweep, recursive-CTE oracle (r6 rotation in; §2.6-json spare q26 driver-green r1-r5)
-    "q83_neardup_sweep_scaled",  # L2 sub-quadratic sweep composition (r6 rotation in; §2.6-conditional spare q27 driver-green r1-r5)
-    "q90_mixture_temperature",   # corpus tier's first driver slot (r5 rotation; pivot spare: q29, driver-green r1-r4)
-    "q94_gopher_rules",          # L6 per-rule Gopher curation audit (r6 rotation-2 in; T7 spare q30 driver-green r1-r6 + stream-parity test)
-    "q95_token_budget_mixture",  # corpus token-budget mixture cap (r6 rotation-2 in; T2 spare q31 driver-green r1-r6 + stream-parity test)
-    "q96_portable_cms",          # L4 hash-certified Count-Min sketch (r6 rotation-2 in; A1 spare q32 driver-green r1-r6 + r10)
-    "q38_trailing_hour_range_frame", # §2.7 RANGE frame (r12 re-cert in — last driver-green r2)
-    "q115_quality_keeper_dedup", # L2xL6 quality-aware keeper sweep (r7; swaps in for q35_sessionization — T3 six-round driver-green, stream==batch + applyInPandasWithState-certified, spare q34 local-green)
-    "q99_excise_spans",          # L2 substring-dedup excision (r6 rotation-2 in; A3 spare q36 driver-green r1-r6)
-    "q101_demoted_jaccard",      # L2 frequency-demoted (organic-skew) prefix order, q70-oracle-certified (r6 rotation-2 in; A4 spare q37 driver-green r1-r6)
-    "q102_salted_agg",           # explicit two-stage salted aggregation == plain GROUP BY (r6 rotation-2 in; L1 spare q40 driver-green r1-r6, exact dedup also inside q80/q83 sweeps)
+    "q71_deterministic_split",   # corpus deterministic split
+    "q79_winnowing_overlap_pairs",  # L4/L2 winnowing near-dup report
+    "q07_anti_join_dormant_customers",   # J3 anti (semi certifier: q03 join tier below)
+    "q81_term_salience",         # L4 tf x 1/df keyword extraction
+    "q84_multimodal_gif",        # L5 real GIF/LZW decode
+    "q72_domain_mixture",        # corpus domain mixture
+    "q11_rollup_order_stats",    # A7 rollup
+    "q116_conversion_attribution",   # T stream-stream interval join (inner; q119 full-outer rests, fresh r12)
+    "q73_token_chunking",        # corpus token chunking
+    "q118_stream_enrichment",    # T stream-static enrichment + rollup
+    "q74_decontamination",       # corpus decontamination
+    "q75_pii_redaction",         # corpus PII redaction
+    "q76_repetition_filter",     # corpus repetition filter
+    "q77_stratified_sample",     # corpus stratified sampling
+    "q78_winnowing_fingerprints",  # L4 winnowing, Rabin-Karp replayed oracle
+    "q83_neardup_sweep_scaled",  # L2 sub-quadratic sweep composition (q80 oracle-anchor twin rests, fresh r12)
+    "q94_gopher_rules",          # L6 per-rule Gopher curation audit (q90/q45 rest, fresh r12)
+    "q115_quality_keeper_dedup", # L2xL6 quality-aware keeper sweep
+    "q101_demoted_jaccard",      # L2 frequency-demoted (organic-skew) prefix order
+    "q102_salted_agg",           # explicit two-stage salted aggregation == plain GROUP BY
     "q70_ngram_jaccard",         # L2 exact n-gram Jaccard, prefix-filtered (scale form)
-    "q50_lsh_ann_topk",          # L3 hyperplane LSH (ungraded in r2)
-    "q51_bpe_token_counting",    # L4 BPE tokens (ungraded in r2)
-    "q53_neardup_components",    # L2 connected components (ungraded in r2)
-    # r12 re-certification rotation (VERDICT r11 items 1-2): cycle the
-    # GENUINELY-oldest driver-green rows back in, strictly by
-    # last-graded round (the CORRECTNESS history, not comments):
-    # q20/q34/q38/q41/q47 were driver-green in ROUND 2 ONLY (the
-    # comment this rotation replaces misdated them as r1-r6), then the
-    # r4 tranche q06/q13/q14/q28/q29/q44/q45/q54, plus the
-    # never-driver-graded q122 (BPE apply twin, registered as a spare
-    # in r11 because that window was already pinned). OUT, all freshly
-    # re-graded r11 with their families certified by that fresh row +
-    # in-window mates/plan guards: q36/q37/q10 (single-member
-    # families), q18/q19/q31/q39/q40/q42/q02/q04/q12 (the r11 re-cert
-    # tranche), q120 (L6 keeps q90/q94/q115 in-window), q121 (the BPE
-    # family keeps q122 in-window + q51 token counting).
-    "q41_fingerprint_neardup",       # L2 fingerprint near-dup (last driver-green ROUND 2)
-    "q47_embedding_stats",           # L3 embedding stats (last driver-green ROUND 2)
-    "q122_bpe_apply",                # L4 BPE apply hash-certified twin (never driver-graded; VERDICT r11 item 2)
-    "q06_semi_join_active_customers",    # J3 semi join (last r4)
-    "q13_grouping_sets",             # A7 grouping sets (last r4)
-    "q14_distinct_and_percentiles",  # A6 exact distinct + percentiles (last r4)
-    "q28_quantile_buckets",          # §2.7 ntile bucketing, scale form (last r4)
-    "q29_pivot_status_by_priority",  # pivot (last r4)
-    "q44_language_id",               # L4 language ID (last r4)
-    "q45_quality_score",             # L6 heuristic quality score (last r4)
-    "q54_embedding_neardup",         # L2 embedding-cosine near-dup (last r4)
-    "q108_cheapest_supplier_per_part", # TPC-H Q2: correlated MIN over join
-    "q112_portable_bloom",           # 5th certified sketch family (live FPs)
-    "q113_heavy_hitters",            # MG candidates + exact integer recount
-    "q114_sq8_ann_topk",             # L3 quantized ANN, hash-certified ADC
+    "q51_bpe_token_counting",    # L4 BPE tokens
+    "q53_neardup_components",    # L2 connected components
+    "q122_bpe_apply",            # L4 BPE apply hash-certified twin (first graded r12; trainer twin q121 rests)
+    "q112_portable_bloom",       # 5th certified sketch family (live FPs)
+    "q113_heavy_hitters",        # MG candidates + exact integer recount
+    "q114_sq8_ann_topk",         # L3 quantized ANN, hash-certified ADC
+    # r13 re-certification rotation (VERDICT r12 item 1, STATUS.md r12
+    # item 10): cycle the GENUINELY-oldest driver-green rows back in,
+    # strictly by last-graded round. IN: the r5 tranche (last graded
+    # round 5 — the oldest rows in the corpus), the r7 multimodal
+    # tranche, the full r8 tranche, and the NEW never-driver-graded
+    # q123 (frozen-centroid IVF twin, VERDICT r12 item 2). OUT, all
+    # freshly driver-green r12 with their families kept certified by
+    # in-window mates: the r12 re-cert tranche q20/q34/q38/q41/q47/
+    # q06/q13/q14/q28/q29/q44/q45/q54 (VERDICT r12 item 1's rest
+    # list), plus q88 (A6 keeps q85+q14-certified outputs), q99 (span
+    # family keeps the q98 generator rotated in below), q108
+    # (subquery tier keeps all six r8 rows below), q119 (interval tier
+    # keeps q116), q80 (L2 sweep keeps q83/q115/q101/q70/q53), q96
+    # (sketch tier keeps q112/q113 + q85/q86 below), q95 (corpus tier
+    # keeps q71-q78), q90 (L6 keeps q94/q115), q50 (L3 keeps q114 +
+    # the new q123).
+    "q03_shipping_priority",         # J1/top-k (last driver-green r5)
+    "q15_collect_sorted",            # A8 sort-agg/collect (last r5)
+    "q21_set_operations",            # SS2.9 set ops (last r5)
+    "q22_string_functions",          # SS2.6 string fns (last r5)
+    "q23_datetime_functions",        # SS2.6 datetime fns (last r5)
+    "q24_math_functions",            # SS2.6 math fns (last r5)
+    "q25_array_functions",           # SS2.6 array fns (last r5)
+    "q26_json_functions",            # SS2.6 json fns (last r5)
+    "q27_conditional_functions",     # SS2.6 conditional fns (last r5)
+    "q69_multimodal_audio",          # L5 WAV decode (last r7)
+    "q82_multimodal_image",          # L5 image decode (last r7)
+    "q86_portable_minhash",          # L4/L2 md5-portable MinHash banding (last r7)
+    "q92_multimodal_video",          # L5 MJPEG-AVI frame sample (last r7)
+    "q103_small_quantity_revenue",   # subquery tier (last r8)
+    "q105_dormant_rich_customers",   # subquery tier (last r8)
+    "q107_red_part_volume_suppliers",  # subquery tier (last r8)
+    "q109_large_volume_orders",      # subquery tier (last r9)
+    "q110_top_revenue_supplier",     # subquery tier (last r9)
+    "q111_order_count_distribution", # subquery tier (last r9)
+    "q85_portable_hll",              # A6 hash-certified HLL twin (last r9)
+    "q98_duplicate_spans",           # L2 substring span generator (last r9)
+    "q123_frozen_ivf_probe",         # L3 IVF assign/probe algebra, hash-certified (NEW r13 — VERDICT r12 item 2)
 ]
 
-#: Oracle-backed family-mates already driver-green in round 2; falling
-#: outside the window costs nothing (their family is certified above).
+#: Oracle-backed family-mates already driver-green; falling outside
+#: the window costs nothing (their family is certified above).
 GRADED_SPARES = [
-    # r6 rotations OUT of the window (driver-green r1-r5; each family
-    # stays certified by five consecutive rounds of driver-green rows —
-    # VERDICT r5 item 1 explicitly endorsed rotating this class out so
-    # the never-driver-graded corpus-tier queries earn driver slots):
-    "q03_shipping_priority",
-    "q15_collect_sorted",
-    "q21_set_operations",
-    "q22_string_functions",
-    "q23_datetime_functions",
-    "q24_math_functions",
-    "q25_array_functions",
-    "q26_json_functions",
-    "q27_conditional_functions",
-    # r5 rotations OUT of the window (driver-green r1-r4; their families
-    # stay certified by the rotated-in mates q11/q07/q85/q88/q89/q90/q98
-    # and by q17-q19 / q43+q51 / q70+q53; q14's exact distinct +
-    # percentile twins also live on inside q85/q88's graded outputs;
-    # q86 itself rotated back out in session 5 to make room for q98 —
-    # its banding algebra stays pytest- and local-oracle-certified):
-    # (the r4 tranche q06/q13/q14/q28/q29/q44/q45/q54 rotated back INTO
-    # the window in r12 — the re-certification rotation, VERDICT r11
-    # item 1.)
-    # r8 rotations OUT of the window (driver-green histories r2-r7 /
-    # r5-r7 / r6-r7; families stay certified by in-window mates — see
-    # the r8 rotation-in comment):
-    "q69_multimodal_audio",
-    "q82_multimodal_image",
-    "q86_portable_minhash",
-    "q92_multimodal_video",
-    # r9 rotations OUT (all driver-green r7 AND r8 — the freshest
-    # possible history; see the r9 rotation-in comment for the
-    # in-window mates that keep each family certified):
-    "q103_small_quantity_revenue",
-    "q105_dormant_rich_customers",
-    "q107_red_part_volume_suppliers",
-    "q109_large_volume_orders",
-    "q110_top_revenue_supplier",
-    "q111_order_count_distribution",
-    "q85_portable_hll",
-    "q98_duplicate_spans",
-    # r10 rotations OUT (all freshly driver-green r9 — see the r10
-    # rotation-in comment for the in-window mates that keep each
-    # family certified):
+    # r10 rotations OUT (all driver-green r9; in-window mates keep
+    # each family certified):
     "q60_pipe_wordcount",
     "q63_pandas_udf_tokens",
     "q64_apply_in_pandas_group_stats",
@@ -174,21 +127,7 @@ GRADED_SPARES = [
     "q104_sole_blame_supplier",
     "q87_portable_simhash",
     "q117_attribution_coverage",
-    # (q20/q34/q38/q41/q47 rotated back INTO the window in r12. NOTE
-    # the comment that used to sit here misdated them as "driver-green
-    # r1-r6": the CORRECTNESS records show each was driver-green in
-    # ROUND 2 ONLY — they were the oldest rows in the corpus, flagged
-    # by VERDICT r11 item 1, and lead the r12 rotation.)
-    # (q05/q08/q09/q17/q30/q32/q33 rotated back INTO the window in r10
-    # — the re-certification rotation, VERDICT r9 item 1.)
-    # (q18/q19/q31/q36/q37/q39/q40/q42/q02/q04/q12 rotated back INTO
-    # the window in r11 — the re-certification rotation, VERDICT r10
-    # item 1; training-corpus pipeline tier q71-q77 rotated INTO the
-    # window in r6 — VERDICT r5 item 1.)
-    # r11 rotations OUT (all freshly driver-green r10 — the r10
-    # re-certification tranche plus q106/q97; see the r11 rotation-in
-    # comment for the in-window mates/plan guards that keep each
-    # family certified):
+    # r11 rotations OUT (all freshly driver-green r10):
     "q61_input_file_list",
     "q62_map_functions",
     "q65_tokens_udtf",
@@ -204,9 +143,7 @@ GRADED_SPARES = [
     "q106_important_part_share",
     "q97_delta_neardup_pairs",
     # r12 rotations OUT (all freshly driver-green r11 — the r11
-    # re-certification tranche plus q120/q121; see the r12 rotation-in
-    # comment for the in-window mates/plan guards that keep each
-    # family certified):
+    # re-certification tranche plus q120/q121):
     "q36_failure_rate",
     "q37_earliest_event",
     "q10_cross_join_region_nation",
@@ -221,6 +158,33 @@ GRADED_SPARES = [
     "q12_cube_lineitem",
     "q120_learned_quality_lr",
     "q121_bpe_merge_table",
+    # r13 rotations OUT (all freshly driver-green r12 — the r12
+    # re-certification tranche plus the extra rests that make room
+    # for the full r8 tranche and the new q123; see the r13
+    # rotation-in comment for the in-window mates that keep each
+    # family certified):
+    "q20_ntile_dense_rank",
+    "q34_timeout_gap_detection",
+    "q38_trailing_hour_range_frame",
+    "q41_fingerprint_neardup",
+    "q47_embedding_stats",
+    "q06_semi_join_active_customers",
+    "q13_grouping_sets",
+    "q14_distinct_and_percentiles",
+    "q28_quantile_buckets",
+    "q29_pivot_status_by_priority",
+    "q44_language_id",
+    "q45_quality_score",
+    "q54_embedding_neardup",
+    "q88_portable_approx_percentile",
+    "q108_cheapest_supplier_per_part",
+    "q119_attribution_audit",
+    "q80_neardup_sweep",
+    "q96_portable_cms",
+    "q95_token_budget_mixture",
+    "q90_mixture_temperature",
+    "q50_lsh_ann_topk",
+    "q99_excise_spans",
 ]
 
 #: Rows-only (oracle=None) queries: can never hash-match, so they must

@@ -2311,3 +2311,93 @@ def q122_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------
+# L3 (certification): frozen-centroid IVF probe — hash-certifies the
+# assign/probe ALGEBRA that q52's KMeans form can't (KMeans centroids
+# are not SQL-reproducible). Same device as q114's SQ8 twin: every
+# stage of the index math is replayed verbatim in the DuckDB oracle.
+# --------------------------------------------------------------------
+
+@query(
+    "q123_frozen_ivf_probe",
+    oracle="""
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+cent AS (SELECT CAST(vec_id AS INT) AS cell, CAST(embedding AS DOUBLE[]) AS ct
+         FROM embeddings WHERE vec_id < 8),
+cd AS (SELECT cid, cv, cell,
+         list_dot_product(
+           list_transform(range(1, 65), i -> cv[i] - ct[i]),
+           list_transform(range(1, 65), i -> cv[i] - ct[i])) AS d2
+       FROM c, cent),
+ca AS (SELECT cid, cv, cell FROM (
+         SELECT cid, cv, cell,
+                row_number() OVER (PARTITION BY cid ORDER BY d2, cell) AS rn
+         FROM cd) WHERE rn = 1),
+qd AS (SELECT qid, qv, cell,
+         list_dot_product(
+           list_transform(range(1, 65), i -> qv[i] - ct[i]),
+           list_transform(range(1, 65), i -> qv[i] - ct[i])) AS d2
+       FROM q, cent),
+pr AS (SELECT qid, qv, cell FROM (
+         SELECT qid, qv, cell,
+                row_number() OVER (PARTITION BY qid ORDER BY d2, cell) AS rn
+         FROM qd) WHERE rn <= 2),
+cand AS (SELECT p.qid, p.qv, a.cid, a.cv
+         FROM pr p JOIN ca a USING (cell) WHERE p.qid != a.cid),
+sc AS (SELECT qid, cid,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           AS cosine
+       FROM cand)
+SELECT qid, cid, ROUND(cosine, 8) AS cosine
+FROM (SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, cid) AS rn
+      FROM sc)
+WHERE rn <= 5
+""",
+    tags=("llm", "L3", "similarity", "ivf", "certification"),
+    doc="Frozen-centroid IVF probe (operators/similarity.assign_cells "
+    "+ ivf_probe over an IvfIndex whose centroids are the literal "
+    "embeddings of vec_id 0-7 — deterministic on both engines, no "
+    "KMeans): hash-certifies the IVF banding/assignment ALGEBRA that "
+    "the KMeans production form q52 can only recall-gate (VERDICT r12 "
+    "item 2; q114's SQ8 device applied to the inverted-file rung of "
+    "the L3 ladder). The oracle replays every stage — index-order "
+    "squared-distance folds (list_dot_product of the difference list "
+    "== the engine's zip_with/aggregate fold), argmin cell with ties "
+    "to the lowest cell id (array_min over struct(d2, cell) == ORDER "
+    "BY d2, cell), the n_probe=2 per-query cell ranking, cell-local "
+    "candidate join with self-exclusion, exact-cosine rescore and the "
+    "(cosine DESC, cid) top-5 window. 100 TB: assignment is map-side "
+    "zero-shuffle (centroid literals in-plan), probes scan only "
+    "corpus*n_probe/n_cells, and the driver only ever holds the 8 "
+    "centroid rows; q52 stays the production KMeans form.",
+)
+def q123_frozen_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xlearning_spark.operators.similarity import (
+        IvfIndex,
+        assign_cells,
+        ivf_probe,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+        .collect()
+    )
+    centroids = [list(r.cv) for r in sorted(cent_rows, key=lambda r: r.vec_id)]
+    index = IvfIndex(assign_cells(emb, centroids), centroids)
+    out = ivf_probe(
+        index,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_probe=2,
+    )
+    return out.select("qid", "cid", F.round("cosine", 8).alias("cosine"))

@@ -745,6 +745,16 @@ def _batch_ingest_lease(spark, out_dir: str, query: str):
 
     @contextlib.contextmanager
     def _held():
+        # Close the lease loop in BOTH directions (ADVICE r12):
+        # compaction refuses while an ingest lease exists, and an
+        # ingest starting while a crashed compaction left a COMMITTED
+        # staging mid-swap (folded files deleted, base files not yet
+        # renamed in) would read a corpus missing rows. Completing the
+        # swap here is idempotent and safe even if the compactor is
+        # still alive at this exact point: destination names are pure
+        # functions of the staged sources and existing destinations
+        # are skipped, so both sides converge on the same final state.
+        _finish_batch_compaction(spark, out_dir)
         path = os.path.join(out_dir, _INGEST_LEASE)
         _write_small_file(
             spark,
@@ -1740,8 +1750,32 @@ def _finish_batch_compaction(spark, out_dir: str) -> bool:
         (st.getPath() for st in fs.globStatus(hpath(staging + "/part-*")) or []),
         key=lambda p: p.getName(),
     )
-    for i, src in enumerate(staged):
-        dst = hpath(os.path.join(out_dir, f"base-{upto:010d}-{i}.parquet"))
+    for src in staged:
+        # Destination name is a PURE FUNCTION of the staged source
+        # (its Spark part index), never of the enumeration order
+        # (ADVICE r12): a crash mid-rename leaves some indexes already
+        # moved, and a recovery that re-enumerated only the REMAINDER
+        # starting at i=0 would collide with — and on POSIX rename
+        # silently overwrite — the first attempt's files. The delete
+        # phase above keeps base-<upto> files (strictly ``< upto``),
+        # so recovery resumes exactly where the crash stopped.
+        m = re.match(r"^part-(\d+)", src.getName())
+        if m is None:
+            raise IOError(
+                f"batch compaction swap: unexpected staged file "
+                f"{src.getName()!r} (not a Spark part file); staging is "
+                "intact — inspect before re-running compact_batch_output"
+            )
+        dst = hpath(
+            os.path.join(out_dir, f"base-{upto:010d}-{int(m.group(1))}.parquet")
+        )
+        if fs.exists(dst):
+            # A prior attempt already moved this index (possible only
+            # on a filesystem whose rename is copy+delete and died
+            # between the two): the destination is authoritative —
+            # drop the leftover source and keep going.
+            fs.delete(src, False)
+            continue
         # Hadoop rename reports failure by returning false — raise
         # loudly; the committed staging survives, so re-running this
         # function (or the next compact call) completes the swap.
@@ -1857,8 +1891,12 @@ def compact_batch_output(
         for name, _, _ in listing
         if (m := re.match(_BATCH_FILE_RE, name)) and int(m.group(1)) <= upto
     )
-    if len(fold) < 2 or n_batch_folded == 0:
+    if n_batch_folded == 0:
         return None  # nothing new to add to the base
+    # NOTE no minimum on len(fold) (ADVICE r12): a drained stream that
+    # landed exactly one batch file still folds — upto_batch=max on a
+    # single-batch stream must produce a base generation, not a no-op,
+    # or the drained-mode contract ("all base files") breaks.
     total = sum(size for _, size in fold)
     max_bytes = int(
         jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
