@@ -29,6 +29,7 @@ EXAMPLES_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "example
         "run_corpus_pipeline",
         "run_attribution",
         "run_learned_filter",
+        "run_llm_pipeline",
     ],
 )
 def test_example_runs(spark, mod_name, capsys):
