@@ -198,18 +198,46 @@ def minhash_near_duplicates(
     expensive exact computation is proportional to candidate volume,
     not corpus size squared.
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    from xlearning_spark.operators.sharding import spread_small_scan
+
+    params = _hash_params(num_hashes)
+    # r13 (guide §2.3/§2.5): one shared, persisted shingle-hash frame
+    # feeds BOTH the signature branch and the exact-Jaccard verify
+    # sides — previously each branch re-ran tokenize + shingle-hash
+    # from the scan (and a single-file fixture scan ran it all on one
+    # core; spread_small_scan is a no-op on an already-wide scan).
+    # min over duplicates == min over distinct, so signatures off the
+    # raw hash array are unchanged; verify distincts per row as before.
+    hashed = (
+        with_shingle_hashes(
+            spread_small_scan(df).filter(
+                F.size(tokens(text_col)) >= shingle_size
+            ),
+            text_col,
+            "__sh0",
+            shingle_size,
+            _P,
+        )
+        .select(F.col(id_col), F.col("__sh0"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sigs = hashed.select(
+        F.col(id_col),
+        F.array(
+            *[
+                F.expr(
+                    f"array_min(transform(__sh0, x -> pmod({a}L * x + {b}L,"
+                    f" {_P}L)))"
+                )
+                for (a, b) in params
+            ]
+        ).alias("minhash"),
+    )
     pairs = minhash_candidate_pairs(sigs, id_col, num_hashes, bands)
 
     # Exact Jaccard over distinct shingle-hash sets (identical to the
     # string-shingle Jaccard modulo 2^-31 collision probability).
-    sh = with_shingle_hashes(
-        df.filter(F.size(tokens(text_col)) >= shingle_size),
-        text_col,
-        "__sh0",
-        shingle_size,
-        _P,
-    ).select(F.col(id_col), F.array_distinct("__sh0").alias("__sh"))
+    sh = hashed.select(F.col(id_col), F.array_distinct("__sh0").alias("__sh"))
     pa = pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
     pab = pa.join(sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
     jac = pab.select(
@@ -308,16 +336,19 @@ def ngram_jaccard_pairs(
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
+    from xlearning_spark.operators.sharding import spread_small_scan
+
     # Tokenize in a separate projection from the shingle lambda: the
     # lambda references the array shingle_size times per element and
     # inlining split() there re-tokenizes the doc O(5m) times.
     # Spread a few-file scan across the session's shuffle parallelism so
     # the per-doc shingle work isn't serialized onto the scan's input
-    # splits (a single parquet file scans as one partition).
-    n_part = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    tokd = df.repartition(n_part).select(
+    # splits (a single parquet file scans as one partition). r13: the
+    # spread is now CONDITIONAL — an already-wide 100 TB scan passes
+    # through untouched instead of paying a full-corpus shuffle that
+    # coalesces ~1e5 splits into session-parallelism partitions
+    # (see spread_small_scan).
+    tokd = spread_small_scan(df).select(
         F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
     )
     toks = F.col("__toks")
@@ -489,7 +520,13 @@ def connected_components(
     def _materialize(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
             return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        # r13 (guide §1.2 — fewer passes/barriers): LAZY local
+        # checkpoint. The convergence probe that always follows is the
+        # materializing action, so each round runs ONE job (label joins
+        # + block caching + probe count fused) instead of two (eager
+        # materialize, then a separate probe scan). Lineage truncation
+        # and block caching are identical — only the job barrier goes.
+        return df.localCheckpoint(eager=False)
 
     def _release(ck: DataFrame) -> None:
         # module-level release_checkpoint, bound to this run's
@@ -558,9 +595,19 @@ def connected_components(
         # the pre-round label rides along as __old the probe is a pure
         # filter scan, not a join against the previous frame.
         new_ck = _materialize(new_labels)
-        changed = (
-            new_ck.filter(F.col("component") != F.col("__old")).limit(1).count()
-        )
+        probe = new_ck.filter(F.col("component") != F.col("__old"))
+        if checkpoint_dir is not None:
+            # Reliable mode: blocks are already materialized (eager),
+            # so the cheapest probe short-circuits at the first
+            # changed row.
+            changed = probe.limit(1).count()
+        else:
+            # Lazy-local mode (r13): the probe IS the materializing
+            # job — a full count guarantees every partition is
+            # computed and cached in this one job (a limit(1) would
+            # short-circuit, leaving partitions for a separate
+            # completion job and re-adding the barrier just removed).
+            changed = probe.count()
         # The previous round's blocks are dead the moment new_ck is
         # materialized — release them now, round by round.
         if prev_ck is not None:
@@ -588,7 +635,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     shape holds at any corpus size. Bit i set iff 2*ones_i > n, which
     equals the +1/-1 sign rule (ties -> 0).
     """
-    th = df.select(
+    from xlearning_spark.operators.sharding import spread_small_scan
+
+    # r13 (guide §2.5): the token explode + 65-counter partial
+    # aggregation is the heavy stage and runs INSIDE the scan stage —
+    # a single-file fixture scan serialized it onto one core. No-op on
+    # an already-wide scan (see spread_small_scan).
+    th = spread_small_scan(df).select(
         F.col(id_col),
         F.explode(F.transform(tokens(text_col), lambda x: F.xxhash64(x))).alias("__h"),
     )

@@ -27,6 +27,43 @@ def list_input_files(df: DataFrame) -> DataFrame:
     return df.select(F.input_file_name().alias("path")).distinct()
 
 
+def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan-stage frame ONLY when its planned
+    parallelism is below the session's shuffle parallelism.
+
+    The r13 optimization pass found the local-fixture pathology this
+    guards against: a single parquet file scans as ONE partition, so a
+    map-heavy chain (shingle hashing, pair verification, signature
+    computation) downstream of it runs on one core of a 32-core session
+    — q42's pair loop measured 4.3 s single-partition vs 0.7 s spread.
+    The naive fix (unconditional ``repartition(n)``) is scale-hostile
+    the other way round: a 100 TB scan already carries ~1e5-1e6 splits,
+    and repartitioning it to the session's shuffle parallelism is a
+    full-corpus shuffle that COALESCES into huge partitions. Probing
+    the planned partition count makes the spread adaptive: shuffle only
+    the under-parallel case, pass the already-parallel frame through
+    untouched (plan-identical).
+
+    Call this on frames whose plan is exchange-free (a scan plus
+    projections/filters/unions): there ``df.rdd.getNumPartitions()`` is
+    pure planning, no job. If the probe fails for any reason the frame
+    is repartitioned unconditionally (the prior, always-safe-for-
+    correctness behavior).
+    """
+    spark = df.sparkSession
+    if min_partitions is None:
+        min_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    try:
+        n_scan = df.rdd.getNumPartitions()
+    except Exception:
+        return df.repartition(min_partitions)
+    if n_scan >= min_partitions:
+        return df
+    return df.repartition(min_partitions)
+
+
 def round_robin_assignment(files: list[str], n_workers: int) -> dict[int, list[str]]:
     """P1: ``i % n`` over the sorted file list — the exact allocation of
     ApplicationMaster.java:971-1041 (mod at :1010-1011)."""

@@ -18,6 +18,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from xlearning_spark.operators.sharding import spread_small_scan
+
+# r13 (guide §2.5): every corpus-side entry point below spreads a
+# narrow scan across the session's cores before its map-heavy stage
+# (signatures, encodes, cell assignment, per-pair dot products) —
+# a single parquet file otherwise scans as ONE partition and the whole
+# compute chain serializes onto one core. spread_small_scan is a
+# plan-level no-op when the scan is already at least session-parallel
+# (the 100 TB case), so no extra exchange is paid at scale. Query-side
+# frames stay untouched (bounded by contract, usually broadcast).
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -62,7 +73,7 @@ def brute_force_topk(
         F.col(id_col).alias("qid"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    c = corpus.select(
+    c = spread_small_scan(corpus).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
@@ -103,7 +114,7 @@ def cosine_neardup_pairs(
     deterministic attribute block instead.
     """
     e = (
-        df.select(
+        spread_small_scan(df).select(
             F.col(id_col).alias("id"),
             F.col(block_col).alias("blk"),
             F.col(vec_col).cast("array<double>").alias("v"),
@@ -156,7 +167,7 @@ def cosine_neardup_pairs_lsh(
     """
     width = num_planes // bands
     mask = (1 << width) - 1
-    e = df.select(
+    e = spread_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
@@ -323,7 +334,7 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    c = corpus.select(
+    c = spread_small_scan(corpus).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).withColumn("features", array_to_vector("cv"))
@@ -369,7 +380,7 @@ def assign_cells(
     NULL, and the struct argmin would quietly pick cell 0 (ADVICE r11).
     """
     dim = len(centroids[0])
-    out = df.select(
+    out = spread_small_scan(df).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).withColumn(
@@ -518,7 +529,7 @@ def lsh_topk(
         )
 
     qb = banded(queries, "q")
-    cb = banded(corpus, "c")
+    cb = banded(spread_small_scan(corpus), "c")
     cand = cb.join(F.broadcast(qb), ["band", "chunk"])
     if exclude_self:
         cand = cand.filter(F.col("qid") != F.col("cid"))
@@ -660,6 +671,11 @@ def build_pq_index(
     dsub = d // m
     ksub = 1 << bits
 
+    # NOT spread (r13, measured): PQ's corpus-side work is a bounded
+    # sample collect + an m*2^bits-expression encode whose cost is
+    # plan-construction/codegen, not data volume — the spread's extra
+    # exchange read as a ~5% regression on the fixture with no
+    # scale-side benefit (the scan is already wide at scale).
     base = corpus.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
@@ -1003,7 +1019,7 @@ def build_sq8_index(
     (constant dimensions encode as 0). Codes are exact integers, so
     the index is partition- and replay-invariant by construction.
     """
-    c = corpus.select(
+    c = spread_small_scan(corpus).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )

@@ -228,10 +228,17 @@ def portable_minhash_pairs(
     coeffs = _minhash_coeffs(num_hashes)
     tok_hash = _SPARK_TOK_HASH.format(P=MINHASH_P)
 
+    from pyspark.storagelevel import StorageLevel
+
     from xlearning_spark.functions import tokens
+    from xlearning_spark.operators.sharding import spread_small_scan
 
     base = (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__w"))
+        # r13 (guide §2.5/§4): spread the single-file fixture scan so
+        # the shingle/md5 map work parallelizes (no-op when the scan is
+        # already wide — the 100 TB case; see spread_small_scan).
+        spread_small_scan(df)
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("__w"))
         .filter(F.size("__w") >= shingle_size)
         .select(
             "id",
@@ -243,7 +250,14 @@ def portable_minhash_pairs(
             ).alias("toks"),
         )
     )
-    hashed = base.withColumn("__ht", F.expr(f"transform(toks, t -> {tok_hash})"))
+    # Persist the (toks, md5-hash) frame: it feeds the signature branch
+    # plus BOTH verify sides, and without a materialization point
+    # Catalyst re-runs tokenize+shingle per branch — the same 3x
+    # recomputation ngram_jaccard_pairs' materialize flag removes
+    # (its measured 13.7 -> 4.1 s lesson). LRU-evicted, not unpersisted.
+    hashed = base.withColumn(
+        "__ht", F.expr(f"transform(toks, t -> {tok_hash})")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = hashed.select(
         "id",
         "toks",
@@ -282,8 +296,8 @@ def portable_minhash_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    ta = base.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
-    tb = base.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
+    ta = hashed.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
+    tb = hashed.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
     jac = F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb"))
     return (
         cand.join(ta, "id_a")
@@ -380,8 +394,12 @@ def portable_simhash(
     ).cast("long")
 
     from xlearning_spark.functions import tokens
+    from xlearning_spark.operators.sharding import spread_small_scan
 
-    tok = df.select(
+    # r13 (guide §2.5): explode + md5 + 60-counter partial agg run in
+    # the scan stage — spread a narrow fixture scan across the session
+    # cores first (no-op on an already-wide scan).
+    tok = spread_small_scan(df).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("__tok")
     ).withColumn("__h", h)
     votes = tok.groupBy("id").agg(

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from xlearning_spark.functions import (
     fingerprint,
@@ -289,7 +290,13 @@ def winnowing_fingerprint_rows(
     """
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
-    base = df.filter(
+    from xlearning_spark.operators.sharding import spread_small_scan
+
+    # r13 (guide §2.5): the k-gram/char explode below multiplies each
+    # document into hundreds of rows INSIDE the scan stage — spread a
+    # narrow fixture scan first so that generation parallelizes (no-op
+    # on an already-wide scan).
+    base = spread_small_scan(df).filter(
         F.col(text_col).isNotNull() & (F.length(text_col) >= k + w - 1)
     )
     order = Window.partitionBy(id_col).orderBy("__pos")
@@ -379,6 +386,9 @@ def fingerprint_overlap_pairs(
     fp_col: str = "fingerprints",
     min_shared: int = 2,
     max_df: int | None = None,
+    *,
+    exploded: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints:
     ``(id_a, id_b, n_shared)`` — the plagiarism/near-dup report of the
@@ -391,10 +401,32 @@ def fingerprint_overlap_pairs(
     ``max_df`` to drop fingerprints with doc-frequency > max_df (the
     standard stop-fingerprint cap: boilerplate shared by thousands of
     docs carries no near-dup signal anyway).
+
+    ``exploded=True`` (r13): ``fps`` is already one row per distinct
+    (id, fingerprint) — :func:`winnowing_fingerprint_rows` output with
+    ``fp_col="fp"`` — skipping the collect_set aggregation a caller
+    would otherwise run only for this function to re-explode it (one
+    whole Exchange plus the array build, per plans/r13/q79_*). Rows
+    MUST be distinct per (id, fingerprint) or n_shared overcounts.
+
+    ``materialize=True`` persists the exploded (id, fingerprint) frame:
+    it feeds the df-cap filter plus both self-join sides, and without a
+    materialization point Catalyst re-executes the entire upstream
+    fingerprint computation (explode + double window pass for the
+    winnowing case) once per branch — three times in q79's before-plan.
+    Left to the LRU cache manager to evict (ngram_jaccard_pairs
+    discipline); pass ``materialize=False`` for a pure-lazy plan.
     """
-    fp = fps.select(
-        F.col(id_col).alias("__id"), F.explode(fp_col).alias("__fp")
-    )
+    if exploded:
+        fp = fps.select(
+            F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp")
+        )
+    else:
+        fp = fps.select(
+            F.col(id_col).alias("__id"), F.explode(fp_col).alias("__fp")
+        )
+    if materialize:
+        fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
     if max_df is not None:
         rare = (
             fp.groupBy("__fp")
@@ -478,21 +510,35 @@ def learn_bpe_merge_table(
     same driver traffic (one argmax row per merge) as
     :func:`learn_bpe_merges`."""
     from xlearning_spark.operators.dedup import release_checkpoint
+    from xlearning_spark.operators.sharding import spread_small_scan
 
     words = (
-        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        # r13 (guide §2.5): the one corpus-wide pass (token explode +
+        # map-side partial count) otherwise runs inside a narrow scan
+        # stage; no-op on an already-wide scan.
+        spread_small_scan(df)
+        .select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
+    # r13 (guide §1.2 — fewer barriers): every checkpoint in this loop
+    # is LAZY (eager=False). The per-round argmax below is a
+    # TakeOrdered over every partition, so it doubles as the
+    # materializing job for the round's vocab — one job per merge
+    # instead of two (eager materialize + argmax). Because a lazy
+    # checkpoint still READS its predecessor's blocks while
+    # materializing, the superseded round's release is deferred until
+    # the argmax that consumed it has run (``pending_release``).
     vocab = words.select(
         F.concat(
             F.filter(F.split("w", ""), lambda c: c != ""),
             F.array(F.lit(end_of_word)),
         ).alias("syms"),
         "cnt",
-    ).localCheckpoint()
-    prev_ck = vocab
+    ).localCheckpoint(eager=False)
+    live_ck = vocab
+    pending_release = None
 
     merges: list[tuple[str, str, int]] = []
     for i in range(n_merges):
@@ -510,6 +556,11 @@ def learn_bpe_merge_table(
             .agg(F.sum("cnt").alias("n"))
         )
         best = pairs.orderBy(F.desc("n"), "left", "right").limit(1).collect()
+        # The argmax just materialized the current vocab checkpoint —
+        # its predecessor's blocks are dead now (not one job earlier).
+        if pending_release is not None:
+            release_checkpoint(pending_release)
+            pending_release = None
         if not best or best[0]["n"] < min_freq:
             break
         left, right = best[0]["left"], best[0]["right"]
@@ -534,15 +585,21 @@ def learn_bpe_merge_table(
             "cnt",
         )
         if (i + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint()
-            # The superseded round's vocab blocks are dead the moment
-            # the new checkpoint materializes — free them eagerly
-            # (same cleaner-lag discipline as connected_components).
-            release_checkpoint(prev_ck)
-            prev_ck = vocab
-    # Only the merges list leaves this function: the last round's
-    # vocab blocks are dead too.
-    release_checkpoint(prev_ck)
+            vocab = vocab.localCheckpoint(eager=False)
+            # The superseded round's vocab blocks die once the NEW
+            # checkpoint materializes — which happens inside the next
+            # round's argmax, so the release is deferred to just after
+            # that collect (same cleaner-lag discipline as
+            # connected_components, shifted one job later for the lazy
+            # checkpoint).
+            pending_release = live_ck
+            live_ck = vocab
+    # Only the merges list leaves this function: the last rounds'
+    # vocab blocks are dead too (unpersist on a never-materialized
+    # lazy checkpoint is a no-op).
+    release_checkpoint(live_ck)
+    if pending_release is not None:
+        release_checkpoint(pending_release)
     return merges
 
 
@@ -558,7 +615,13 @@ def apply_bpe(
     per-WORD, memoized per distinct word within each batch, and the
     rule list rides the closure — broadcast-sized, like a vocab file).
     Map-only; scales with executor count."""
+    from xlearning_spark.operators.sharding import spread_small_scan
+
     rules = list(merges or [])
+    # r13 (guide §4): one scan partition = ONE Python worker running
+    # the whole Arrow-batched merge loop; spread a narrow scan across
+    # the session cores first (no-op on an already-wide scan).
+    df = spread_small_scan(df)
 
     @F.pandas_udf("array<string>")
     def bpe(texts):

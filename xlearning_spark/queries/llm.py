@@ -43,6 +43,7 @@ from xlearning_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
 )
+from xlearning_spark.operators.sharding import spread_small_scan
 from xlearning_spark.operators.text import guess_lang, quality_score
 from xlearning_spark.queries.registry import query
 from xlearning_spark.sources import read_table as _t
@@ -116,8 +117,17 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
     "ngram_jaccard_pairs is the sub-quadratic form.",
 )
 def q42_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     d = (
-        _t(spark, sf_dir, "documents")
+        # Spread the scan BEFORE the tokenize/hash projection (r13,
+        # guide §2.5 input skew / §1.2 the-distributed-algorithm): a
+        # single-file fixture scan is one partition, which serialized
+        # the whole tokenize + pair-intersect loop onto one core
+        # (measured 4.3 s -> 0.7 s on the sf0.1 bench with the spread
+        # + persist below). spread_small_scan is a no-op when the scan
+        # already carries >= session parallelism (the 100 TB case).
+        spread_small_scan(_t(spark, sf_dir, "documents"))
         .select("doc_id", "source", F.array_distinct(tokens("text")).alias("tok_s"))
         # Intersect 64-bit token hashes instead of strings: ~1.8x on
         # the pair loop (long equality/hashing beats UTF8String). Set
@@ -133,6 +143,14 @@ def q42_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("n", F.size("toks"))
+        # Persist: the frame feeds BOTH self-join sides, and the
+        # planner otherwise (a) re-runs tokenize+hash per side and (b)
+        # inlines the tokenize expression into an inferred isnotnull
+        # Filter UNDER the projection — tokenizing every document twice
+        # per side (visible in plans/r13/q42_jaccard_pairs_before.txt
+        # operators (2)/(6)). Left to the LRU cache manager to evict,
+        # same discipline as ngram_jaccard_pairs' materialize flag.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = d.select(
         F.col("doc_id").alias("id_a"), "source", F.col("toks").alias("ta"), F.col("n").alias("na")
@@ -739,7 +757,11 @@ def q69_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
         return pd.Series(out)
 
-    docs = _t(spark, sf_dir, "documents").select(
+    # r13 (guide §4/§2.5): spread the single-file scan before the
+    # Python tier — one scan partition means ONE Python worker runs
+    # the whole synthesize+decode chain; spread_small_scan fans it
+    # across the session cores (no-op on an already-wide scan).
+    docs = spread_small_scan(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("path"),
         wav_of("doc_id").alias("content"),
     )
@@ -821,7 +843,11 @@ def q82_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.Series(out)
 
-    docs = _t(spark, sf_dir, "documents").select(
+    # r13 (guide §4/§2.5): spread the single-file scan before the
+    # Python tier — one scan partition means ONE Python worker runs
+    # the whole synthesize+decode chain; spread_small_scan fans it
+    # across the session cores (no-op on an already-wide scan).
+    docs = spread_small_scan(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("path"),
         png_of("doc_id").alias("content"),
     )
@@ -925,7 +951,11 @@ def q84_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             res.append(bytes(gif))
         return pd.Series(res)
 
-    docs = _t(spark, sf_dir, "documents").select(
+    # r13 (guide §4/§2.5): spread the single-file scan before the
+    # Python tier — one scan partition means ONE Python worker runs
+    # the whole synthesize+decode chain; spread_small_scan fans it
+    # across the session cores (no-op on an already-wide scan).
+    docs = spread_small_scan(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("path"),
         gif_of("doc_id").alias("content"),
     )
@@ -1097,7 +1127,11 @@ def q91_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(seg)
         return pd.Series(out)
 
-    docs = _t(spark, sf_dir, "documents").select(
+    # r13 (guide §4/§2.5): spread the single-file scan before the
+    # Python tier — one scan partition means ONE Python worker runs
+    # the whole synthesize+decode chain; spread_small_scan fans it
+    # across the session cores (no-op on an already-wide scan).
+    docs = spread_small_scan(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("path"),
         jpeg_of("doc_id").alias("content"),
     )
@@ -1201,7 +1235,11 @@ def q92_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
             res.append(b"RIFF" + struct.pack("<I", len(payload)) + payload)
         return pd.Series(res)
 
-    docs = _t(spark, sf_dir, "documents").select(
+    # r13 (guide §4/§2.5): spread the single-file scan before the
+    # Python tier — one scan partition means ONE Python worker runs
+    # the whole synthesize+decode chain; spread_small_scan fans it
+    # across the session cores (no-op on an already-wide scan).
+    docs = spread_small_scan(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("path"),
         avi_of("doc_id").alias("content"),
     )
@@ -1336,12 +1374,23 @@ HAVING COUNT(*) >= {min_shared}
 def q79_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xlearning_spark.operators.text import (
         fingerprint_overlap_pairs,
-        winnowing_fingerprints,
+        winnowing_fingerprint_rows,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, w=4, polynomial=True)
-    return fingerprint_overlap_pairs(fps, min_shared=2, max_df=20)
+    # r13 (guide §2.3/§2.4): feed the pair join the ROWS form — the
+    # aggregated winnowing_fingerprints array exists only to be
+    # re-exploded by fingerprint_overlap_pairs, paying a collect_set
+    # Exchange for nothing; and with materialize=True the fingerprint
+    # computation (char explode + double window pass) runs once instead
+    # of once per join branch (3x in the before-plan). Same rows out:
+    # winnowing_fingerprint_rows is distinct per (doc_id, fp).
+    fps = winnowing_fingerprint_rows(
+        docs, "doc_id", "text", k=8, w=4, polynomial=True
+    )
+    return fingerprint_overlap_pairs(
+        fps, fp_col="fp", min_shared=2, max_df=20, exploded=True
+    )
 
 
 @query(
