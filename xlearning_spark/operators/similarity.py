@@ -666,9 +666,6 @@ def build_pq_index(
     IVF cells (coarse quantizer) so the PQ scan covers only probed
     cells — this operator is the scan-cost/memory half of that stack.
     """
-    d = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
-    assert d % m == 0, f"dim {d} not divisible by m={m}"
-    dsub = d // m
     ksub = 1 << bits
 
     # NOT spread (r13, measured): PQ's corpus-side work is a bounded
@@ -690,6 +687,13 @@ def build_pq_index(
         .limit(train_sample)
         .collect()
     ]
+    if not sample:
+        raise ValueError("build_pq_index: empty corpus")
+    # Dimension read off the sample just collected — the separate
+    # corpus.first() probe was a whole extra Spark job per build (r13).
+    d = len(sample[0])
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
     codebooks: list[list[list[float]]] = []
     for j in range(m):
         sub_pts = [v[j * dsub : (j + 1) * dsub] for v in sample]

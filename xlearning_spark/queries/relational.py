@@ -546,6 +546,9 @@ ORDER BY e.l_returnflag
 def q88_portable_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xlearning_spark.operators.sketch import sampled_percentiles
 
+    # NOT spread (r13, measured): unlike the pair-loop/Python tiers,
+    # the partial percentile aggregate is cheap per row — a paired A/B
+    # read the round-robin exchange as a consistent net loss (+6-22%).
     l = _t(spark, sf_dir, "lineitem")
     est = sampled_percentiles(
         l,
