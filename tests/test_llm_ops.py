@@ -538,9 +538,11 @@ def test_apply_bpe_roundtrips_and_matches_reference(spark):
 
     df = spark.createDataFrame([(_BPE_CORPUS,), (None,)], "text string")
     merges = learn_bpe_merges(df, n_merges=8, min_freq=2)
-    rows = apply_bpe(df, merges=merges).collect()
-    toks = rows[0]["bpe_tokens"]
-    assert rows[1]["bpe_tokens"] is None
+    # Keyed lookup, not positional: collect() order is not a contract
+    # (r13's conditional spread round-robins narrow inputs).
+    by_text = {r["text"]: r["bpe_tokens"] for r in apply_bpe(df, merges=merges).collect()}
+    toks = by_text[_BPE_CORPUS]
+    assert by_text[None] is None
     # lossless: concatenating tokens and removing the end-of-word
     # markers reproduces the original text's words
     rejoined = "".join(toks).replace("</w>", " ").split()

@@ -70,8 +70,13 @@ def test_whole_stage_codegen_in_scalar_queries(spark):
 def test_q46_broadcasts_query_side_only(spark):
     plan = _plan(spark, "q46_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    # corpus side stays un-shuffled until the final per-query top-k
-    assert _n_nodes(plan, "Exchange") <= 2
+    # corpus rows are never exchanged BY KEY until the final per-query
+    # top-k window: exactly one hashpartitioning exchange. (The r13
+    # conditional round-robin spread of a narrow scan —
+    # spread_small_scan, a plan-level no-op on an already-wide scan —
+    # is parallelism recovery, not a keyed corpus shuffle, so it is
+    # not counted here.)
+    assert plan.count("hashpartitioning(") == 1
 
 
 def test_q54_blocked_pair_join_shape(spark):

@@ -416,12 +416,19 @@ def pii_stats(df: DataFrame, text_col: str) -> DataFrame:
     IPv4. Map-only scan; at 100 TB this is the cheapest possible shape
     (regex over one pass, whole-stage codegen).
     """
+    from xlearning_spark.operators.sharding import spread_small_scan
+
     c = F.col(text_col)
     red = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
     red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
     red = F.regexp_replace(red, PII_IPV4, "<IP>")
     return (
-        df.withColumn("n_emails", F.regexp_count(c, F.lit(PII_EMAIL)))
+        # r13 (guide §2.5): six regex passes per row with no shuffle
+        # anywhere — on a single-file scan the whole query ran on one
+        # core (pure-map queries have no post-shuffle stage to recover
+        # parallelism in). No-op on an already-wide scan.
+        spread_small_scan(df)
+        .withColumn("n_emails", F.regexp_count(c, F.lit(PII_EMAIL)))
         .withColumn("n_phones", F.regexp_count(c, F.lit(PII_PHONE)))
         .withColumn("n_ips", F.regexp_count(c, F.lit(PII_IPV4)))
         .withColumn("redacted", red)

@@ -44,17 +44,40 @@ def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataF
     the under-parallel case, pass the already-parallel frame through
     untouched (plan-identical).
 
-    Call this on frames whose plan is exchange-free (a scan plus
-    projections/filters/unions): there ``df.rdd.getNumPartitions()`` is
-    pure planning, no job. If the probe fails for any reason the frame
-    is repartitioned unconditionally (the prior, always-safe-for-
-    correctness behavior).
+    Meant for frames whose plan is exchange-free (a scan plus
+    projections/filters/unions/generates): there
+    ``df.rdd.getNumPartitions()`` is pure planning, no job. A frame
+    that already contains a wide operator (join, aggregate, distinct,
+    window, sort, repartition) is returned untouched WITHOUT probing —
+    it is at least session-parallel downstream of its own exchange,
+    and under AQE an ``.rdd`` probe on such a plan would eagerly
+    execute its shuffle stages (which the real action then re-runs).
+    If the partition probe itself fails the frame is repartitioned
+    unconditionally (always safe for correctness).
     """
     spark = df.sparkSession
     if min_partitions is None:
         min_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "200")
         )
+    try:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        analyzed = ""
+    if any(
+        node in analyzed
+        for node in (
+            "Join",
+            "Aggregate",
+            "Window",
+            "Sort",
+            "Repartition",
+            "Deduplicate",
+            "Intersect",
+            "Except",
+        )
+    ):
+        return df
     try:
         n_scan = df.rdd.getNumPartitions()
     except Exception:

@@ -378,9 +378,15 @@ def assign_cells(
     (``raise_error`` guard) instead of being silently assigned: with
     mismatched lengths ``zip_with`` pads with nulls, every d2 becomes
     NULL, and the struct argmin would quietly pick cell 0 (ADVICE r11).
+
+    Deliberately NO internal ``spread_small_scan``: zero-shuffle is
+    this operator's contract (plan-asserted in tests/test_plans.py) —
+    streaming ``ann_ingest`` calls it per micro-batch and must stay a
+    pure map pass. A batch caller with a narrow single-file scan
+    spreads its OWN input upstream (q123 does).
     """
     dim = len(centroids[0])
-    out = spread_small_scan(df).select(
+    out = df.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).withColumn(

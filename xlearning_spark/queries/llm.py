@@ -295,7 +295,9 @@ FROM t
     "scan-throughput at any scale (operators/text.py).",
 )
 def q43_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # r13 (guide §2.5): pure-map query — no shuffle to recover
+    # parallelism in, so a single-file scan ran it on one core.
+    d = spread_small_scan(_t(spark, sf_dir, "documents"))
     t = tokens("text")
     return d.select(
         "doc_id",
@@ -336,7 +338,9 @@ FROM scored
     "engines' struct ordering).",
 )
 def q44_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # r13 (guide §2.5): pure-map query — no shuffle to recover
+    # parallelism in, so a single-file scan ran it on one core.
+    d = spread_small_scan(_t(spark, sf_dir, "documents"))
     guess = guess_lang("text")
     return d.select(
         "doc_id", "lang", guess.alias("lang_guess"), (guess == F.col("lang")).alias("correct")
@@ -369,7 +373,9 @@ FROM t
     "distinct-token ratio + symbol-ratio penalty (operators/text.py).",
 )
 def q45_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # r13 (guide §2.5): pure-map query — no shuffle to recover
+    # parallelism in, so a single-file scan ran it on one core.
+    d = spread_small_scan(_t(spark, sf_dir, "documents"))
     n = F.size(tokens("text"))
     return d.select(
         "doc_id",
@@ -2442,7 +2448,10 @@ def q123_frozen_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     centroids = [list(r.cv) for r in sorted(cent_rows, key=lambda r: r.vec_id)]
-    index = IvfIndex(assign_cells(emb, centroids), centroids)
+    # r13 (guide §2.5): spread the narrow single-file scan HERE, not
+    # inside assign_cells — the operator's zero-shuffle contract is
+    # what keeps streaming ann_ingest's per-batch add exchange-free.
+    index = IvfIndex(assign_cells(spread_small_scan(emb), centroids), centroids)
     out = ivf_probe(
         index,
         emb.filter(F.col("vec_id") < 10),
