@@ -484,15 +484,25 @@ def sampled_percentiles(
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
     h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
     sample = df.filter(h < F.lit(thresh))
-    aggs = [F.count(F.lit(1)).alias("sample_n")] + [
-        F.round(
-            F.expr(f"percentile({val_col}, {p!r})"), round_digits
-        ).alias(f"p{int(round(p * 100))}_sample")
-        for p in ps
+    # r13 (guide §1.2 per-task work): ONE percentile buffer for all
+    # requested percentiles — the array form accumulates and sorts each
+    # group's sample once and interpolates len(ps) times, where one
+    # scalar percentile aggregate PER p each buffered the whole sample
+    # independently. Same algorithm, identical values.
+    ps_array = "array(" + ", ".join(f"{p!r}D" for p in ps) + ")"
+    aggs = [
+        F.count(F.lit(1)).alias("sample_n"),
+        F.expr(f"percentile({val_col}, {ps_array})").alias("__ps"),
+    ]
+    out_cols = list(group_cols) + ["sample_n"] + [
+        F.round(F.element_at(F.col("__ps"), i + 1), round_digits).alias(
+            f"p{int(round(p * 100))}_sample"
+        )
+        for i, p in enumerate(ps)
     ]
     if group_cols:
-        return sample.groupBy(*group_cols).agg(*aggs)
-    return sample.agg(*aggs)
+        return sample.groupBy(*group_cols).agg(*aggs).select(*out_cols)
+    return sample.agg(*aggs).select(*out_cols)
 
 
 def sampled_percentiles_oracle_sql(

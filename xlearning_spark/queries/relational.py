@@ -427,8 +427,19 @@ def q14_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_orderpriority")
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            # r13 (guide §1.2 per-task work): ONE percentile buffer for
+            # both percentiles — the array form sorts each group's
+            # values once and interpolates twice, where two scalar
+            # percentile aggregates each accumulated and sorted the
+            # full group independently. Same algorithm, identical
+            # values.
+            F.expr("percentile(o_totalprice, array(0.5D, 0.9D))").alias("__ps"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_customers",
+            F.round(F.element_at(F.col("__ps"), 1), 4).alias("median_price"),
+            F.round(F.element_at(F.col("__ps"), 2), 4).alias("p90_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -558,9 +569,14 @@ def q88_portable_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFram
         rate_bits=3,
         group_cols=["l_returnflag"],
     )
+    # r13 (guide §1.2): one shared percentile buffer per group for both
+    # exact percentiles (array form), matching q14 — identical values.
     exact = l.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_exact"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_exact"),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.9D))").alias("__ps"),
+    ).select(
+        "l_returnflag",
+        F.round(F.element_at(F.col("__ps"), 1), 4).alias("p50_exact"),
+        F.round(F.element_at(F.col("__ps"), 2), 4).alias("p90_exact"),
     )
     return est.join(exact, "l_returnflag").orderBy("l_returnflag")
 
@@ -727,10 +743,15 @@ FROM customer c CROSS JOIN b
 )
 def q28_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
+    # r13 (guide §1.2): the three quartile boundaries share ONE
+    # percentile buffer (array form) — one accumulate+sort of the
+    # column instead of three. Identical values.
     b = c.agg(
-        F.expr("percentile(c_acctbal, 0.25)").alias("q1"),
-        F.expr("percentile(c_acctbal, 0.50)").alias("q2"),
-        F.expr("percentile(c_acctbal, 0.75)").alias("q3"),
+        F.expr("percentile(c_acctbal, array(0.25D, 0.5D, 0.75D))").alias("__qs"),
+    ).select(
+        F.element_at(F.col("__qs"), 1).alias("q1"),
+        F.element_at(F.col("__qs"), 2).alias("q2"),
+        F.element_at(F.col("__qs"), 3).alias("q3"),
     )
     return c.crossJoin(F.broadcast(b)).select(
         "c_custkey",
