@@ -49,6 +49,17 @@ self-attributing and the estimator bias is visible):
   fork that a per-fork canary would have attributed to host steal.
 BASELINE.md's r8 table is recorded with THIS protocol (same min over
 the same environments), so baseline comparisons are like-for-like.
+
+Round-14 measurement-bug fix (VERDICT r13 item 2, declared in
+OPTIMIZATION_r14.md): ``spark.catalog.clearCache()`` runs before EVERY
+timed run, so queries that persist an intermediate no longer have runs
+2..n served from run 1's cache via canonical-plan matching — every
+recorded figure is cold-cache, computed from the parquet inputs. The
+JSON contract is unchanged (one line, same keys + a
+``clear_cache_between_runs`` flag); numbers for the persisted-
+intermediate tier are therefore HIGHER than (and not comparable to)
+the r13 warm-cache records — OPTIMIZATION_r14.md carries the
+cold-vs-cold before/after table.
 """
 
 from __future__ import annotations
@@ -85,6 +96,18 @@ def run_queries(spark, sf_dir: str, names, n_runs: int) -> dict[str, float]:
     for i, name in enumerate(names):
         runs = []
         for _ in range(n_runs):
+            # Cold-cache honesty (r14, VERDICT r13 item 2): two runs of
+            # the same query produce byte-identical canonical plans, so
+            # without this clear the CacheManager serves runs 2..n of
+            # any query that persists an intermediate (q42/q48/q79/q86/
+            # q100...) from run 1's cached blocks and the median
+            # reports warm-cache cost (driver r13: q42 forward 1.265 s
+            # vs reverse-after-cache 0.572 s; q100 cold 6.5 s vs cached
+            # 2.8 s). Clearing between runs makes every run compute
+            # from the parquet inputs — the median is now a COLD-cache
+            # figure. Methodology change is additions-only: same JSON
+            # line, same keys, flagged by clear_cache_between_runs.
+            spark.catalog.clearCache()
             t0 = time.time()
             specs[name].spark(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -248,6 +271,7 @@ def main() -> None:
                 "pass_reverse": pass_reverse,
                 "queries": timings,
                 "canary_q01_warm_sec": canary,
+                "clear_cache_between_runs": True,
                 "host_steal_suspect": canary > 3.0,
                 "isolated_heavy_tier": isolate,
                 "isolate_threshold_sec": ISOLATE_THRESHOLD_SEC,
