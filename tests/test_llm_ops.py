@@ -522,6 +522,34 @@ def test_bpe_merges_match_reference_and_are_partition_invariant(spark):
     assert got7 == exp
 
 
+def test_bpe_local_trainer_matches_distributed_loop(spark):
+    # r14: the in-cap driver-side merge loop (indexed Sennrich trainer)
+    # must be bit-compatible with the distributed per-round
+    # argmax/rewrite loop it replaces — rules, rank order, AND the
+    # hash-certified frequencies — including argmax ties, re-fuse
+    # chains ("aaaa"), and non-ASCII symbols; and the over-cap
+    # fallback must route to the distributed loop.
+    from xlearning_spark.operators.text import learn_bpe_merge_table
+
+    rows = [
+        (1, "aaaa aaaa bb"),
+        (2, "ab ab ab cd cd"),
+        (3, "ééé über über naïve"),
+        (4, "xy xy yx"),
+        (5, _BPE_CORPUS),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for kw in (dict(n_merges=10, min_freq=1), dict(n_merges=6, min_freq=2)):
+        local = learn_bpe_merge_table(df, **kw)
+        dist = learn_bpe_merge_table(df, driver_vocab_limit=0, **kw)
+        assert local == dist, (kw, local, dist)
+    # cap smaller than the vocabulary: falls back to the distributed
+    # loop and still returns the identical table
+    capped = learn_bpe_merge_table(df, n_merges=6, min_freq=1, driver_vocab_limit=3)
+    full = learn_bpe_merge_table(df, n_merges=6, min_freq=1)
+    assert capped == full
+
+
 def test_bpe_min_freq_stops_early(spark):
     from xlearning_spark.operators.text import learn_bpe_merges
 
@@ -1211,7 +1239,10 @@ def test_learn_bpe_merges_releases_vocab_checkpoints(spark):
         [("low lower lowest newer newest wide wider widest",)] * 20,
         ["text"],
     )
-    merges = learn_bpe_merges(df, n_merges=10, min_freq=2)
+    # driver_vocab_limit=0 forces the DISTRIBUTED merge loop — the
+    # checkpoint-release discipline under test lives there (the r14
+    # in-cap path trains on the driver and checkpoints nothing).
+    merges = learn_bpe_merges(df, n_merges=10, min_freq=2, driver_vocab_limit=0)
     assert len(merges) > 0
     leftover = cached_ids() - before
     assert not leftover, f"vocab checkpoints still cached: {leftover}"

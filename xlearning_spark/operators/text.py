@@ -462,6 +462,7 @@ def learn_bpe_merges(
     min_freq: int = 2,
     end_of_word: str = "</w>",
     checkpoint_every: int = 1,
+    driver_vocab_limit: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn BPE merge rules distributed; returns merges in rank order.
 
@@ -488,9 +489,91 @@ def learn_bpe_merges(
     return [
         (left, right)
         for left, right, _ in learn_bpe_merge_table(
-            df, text_col, n_merges, min_freq, end_of_word, checkpoint_every
+            df,
+            text_col,
+            n_merges,
+            min_freq,
+            end_of_word,
+            checkpoint_every,
+            driver_vocab_limit,
         )
     ]
+
+
+def _bpe_merge_loop_local(
+    vocab_rows: list[tuple[str, int]],
+    n_merges: int,
+    min_freq: int,
+    end_of_word: str,
+) -> list[tuple[str, str, int]]:
+    """In-memory greedy BPE merge loop over a collected (word, count)
+    vocabulary — the indexed Sennrich et al. (ACL 2016) trainer: pair
+    counts are maintained INCREMENTALLY (each merge rewrites only the
+    words that contain the merged pair), so a merge costs O(affected
+    words), not O(vocabulary).
+
+    Bit-compatible with the distributed loop it replaces on the
+    in-cap path (and with q121/q122's DuckDB oracle replay):
+      - symbols: the word's characters + ``end_of_word`` (Python
+        iterates code points, exactly like Spark's ``split(w, '')``);
+      - pair counts: every adjacent occurrence, weighted by word count;
+      - argmax tie-break: highest count, then lexicographically
+        smallest (left, right) — Python's code-point string order
+        equals Spark's UTF8String byte order because UTF-8 is
+        order-preserving;
+      - rewrite: greedy left-to-right fold where the just-fused token
+        re-fuses only as the LEFT of a later occurrence (identical to
+        the ``F.aggregate`` fold and to ``apply_bpe``'s per-rule scan);
+      - stop when the best pair's count drops below ``min_freq``.
+    """
+    from collections import Counter, defaultdict
+
+    vocab: list[tuple[list[str], int]] = [
+        (list(w) + [end_of_word], cnt) for w, cnt in vocab_rows
+    ]
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, (syms, cnt) in enumerate(vocab):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += cnt
+            pair_words[p].add(idx)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best: tuple[str, str] | None = None
+        best_n = 0
+        for p, n in pair_counts.items():
+            if n > best_n or (n == best_n and best is not None and p < best):
+                best, best_n = p, n
+        if best is None or best_n < min_freq:
+            break
+        left, right = best
+        merges.append((left, right, int(best_n)))
+        joined = left + right
+        # Rewrite ONLY the words indexed under the merged pair. Stale
+        # index entries (the word was rewritten since and no longer
+        # holds the pair) are harmless: subtract-then-re-add of its
+        # pairs is a net no-op and the fold leaves it unchanged.
+        for idx in sorted(pair_words.pop(best, ())):
+            syms, cnt = vocab[idx]
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = joined
+                else:
+                    out.append(s)
+            if out == syms:
+                continue
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= cnt
+            vocab[idx] = (out, cnt)
+            for p in zip(out, out[1:]):
+                pair_counts[p] += cnt
+                pair_words[p].add(idx)
+        # The merged pair's count is now spent; drop zero/negative
+        # residue so the argmax scan stays clean.
+        pair_counts.pop(best, None)
+    return merges
 
 
 def learn_bpe_merge_table(
@@ -500,15 +583,32 @@ def learn_bpe_merge_table(
     min_freq: int = 2,
     end_of_word: str = "</w>",
     checkpoint_every: int = 1,
+    driver_vocab_limit: int = 1_000_000,
 ) -> list[tuple[str, str, int]]:
     """:func:`learn_bpe_merges` with the argmax frequency kept per rule:
     ``[(left, right, corpus_pair_count), ...]`` in rank order. The
     counts are what q121's hash-certified oracle replays (a DuckDB
     query re-runs the same argmax-merge loop on a delimiter-wrapped
     string encoding of the vocab), so the TRAINER itself — not just
-    the applied tokenization — is externally certified. Same plan,
-    same driver traffic (one argmax row per merge) as
-    :func:`learn_bpe_merges`."""
+    the applied tokenization — is externally certified.
+
+    r14 (guide §1.2/§5 — the distributed algorithm, then the driver):
+    ONE corpus-wide shuffle still builds the (word, count) vocabulary;
+    the merge loop itself now runs ON THE DRIVER whenever the distinct-
+    word vocabulary fits ``driver_vocab_limit`` (the architecture every
+    industrial BPE trainer uses — the corpus-scale pass is the word
+    count, the merge loop is vocabulary-scale): a bounded
+    ``limit(cap+1)`` collect, then the indexed in-memory Sennrich loop
+    (:func:`_bpe_merge_loop_local`, bit-compatible — verified against
+    the distributed loop's output). The distributed per-round
+    argmax/rewrite loop remains as the over-cap fallback — a
+    heaps-law-unbounded 100 TB vocabulary (URLs, typos, numbers)
+    overflows any driver, so the cap degrades to the old plan instead
+    of an OOM; pass ``driver_vocab_limit=0`` to skip the probe and
+    force the distributed loop. Measured (sf0.1, 16 merges): each
+    distributed round cost 0.3-1.0 s of job overhead on a vocabulary
+    of 31 rows — 8-10 s of the q93 total — versus microseconds
+    in-memory."""
     from xlearning_spark.operators.dedup import release_checkpoint
     from xlearning_spark.operators.sharding import spread_small_scan
 
@@ -522,6 +622,18 @@ def learn_bpe_merge_table(
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
+    if driver_vocab_limit and driver_vocab_limit > 0:
+        head = words.limit(driver_vocab_limit + 1).collect()
+        if len(head) <= driver_vocab_limit:
+            return _bpe_merge_loop_local(
+                [(r["w"], int(r["cnt"])) for r in head],
+                n_merges,
+                min_freq,
+                end_of_word,
+            )
+        # Vocabulary over the driver cap: fall through to the
+        # distributed loop (words is recomputed — the probe cost one
+        # aggregate job; callers on unbounded corpora pass 0 to skip).
     # r13 (guide §1.2 — fewer barriers): every checkpoint in this loop
     # is LAZY (eager=False). The per-round argmax below is a
     # TakeOrdered over every partition, so it doubles as the
