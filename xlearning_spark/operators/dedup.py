@@ -134,12 +134,22 @@ def minhash_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket: int = 1000,
+    cache_buckets: bool = False,
 ) -> DataFrame:
     """LSH banding: docs agreeing on any full band become a candidate pair.
 
     Scale controls: ``max_bucket`` caps degenerate buckets (e.g. the
     empty-document signature) so no bucket explodes into O(n²); the
     pair join is bucket-local.
+
+    ``cache_buckets=True`` persists the capped bucket rows (slim:
+    band, key, id): they feed BOTH self-join sides, and without a
+    materialization point each side re-derives the whole subtree —
+    including the ``num_hashes`` minhash aggregates per document
+    (verified in plans/r14/q48_*: the 64-expression signature project
+    appears twice in the before-plan, once after). Callers gate it on
+    a small input (ADVICE r13 persist discipline); default off keeps
+    the pure-lazy plan.
     """
     rows_per_band = num_hashes // bands
     banded = signatures.select(
@@ -167,6 +177,8 @@ def minhash_candidate_pairs(
     bounded = banded.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= max_bucket
     )
+    if cache_buckets:
+        bounded = bounded.persist(StorageLevel.MEMORY_AND_DISK)
     a = bounded.select(
         F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
     )
@@ -198,7 +210,7 @@ def minhash_near_duplicates(
     expensive exact computation is proportional to candidate volume,
     not corpus size squared.
     """
-    from xlearning_spark.operators.sharding import spread_small_scan
+    from xlearning_spark.operators.sharding import spread_small_scan_ex
 
     params = _hash_params(num_hashes)
     # r13 (guide §2.3/§2.5): one shared, persisted shingle-hash frame
@@ -208,19 +220,20 @@ def minhash_near_duplicates(
     # core; spread_small_scan is a no-op on an already-wide scan).
     # min over duplicates == min over distinct, so signatures off the
     # raw hash array are unchanged; verify distincts per row as before.
-    hashed = (
-        with_shingle_hashes(
-            spread_small_scan(df).filter(
-                F.size(tokens(text_col)) >= shingle_size
-            ),
-            text_col,
-            "__sh0",
-            shingle_size,
-            _P,
-        )
-        .select(F.col(id_col), F.col("__sh0"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # r14 (ADVICE r13): the persist is GATED on the input being a
+    # small narrow scan — at corpus scale a pinned MEMORY_AND_DISK
+    # copy of the shingle-hash frame risks exhausting executor disks,
+    # so a wide input keeps the pre-r13 lazy plan.
+    spread, small = spread_small_scan_ex(df)
+    hashed = with_shingle_hashes(
+        spread.filter(F.size(tokens(text_col)) >= shingle_size),
+        text_col,
+        "__sh0",
+        shingle_size,
+        _P,
+    ).select(F.col(id_col), F.col("__sh0"))
+    if small:
+        hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = hashed.select(
         F.col(id_col),
         F.array(
@@ -233,7 +246,9 @@ def minhash_near_duplicates(
             ]
         ).alias("minhash"),
     )
-    pairs = minhash_candidate_pairs(sigs, id_col, num_hashes, bands)
+    pairs = minhash_candidate_pairs(
+        sigs, id_col, num_hashes, bands, cache_buckets=small
+    )
 
     # Exact Jaccard over distinct shingle-hash sets (identical to the
     # string-shingle Jaccard modulo 2^-31 collision probability).

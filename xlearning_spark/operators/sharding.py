@@ -27,6 +27,88 @@ def list_input_files(df: DataFrame) -> DataFrame:
     return df.select(F.input_file_name().alias("path")).distinct()
 
 
+#: Logical-plan node names that keep a frame NARROW (scan + per-row
+#: work only — no exchange, no barrier). A plan containing ONLY these
+#: can be partition-probed without executing anything, and spreading
+#: it recovers parallelism a single-file scan lacks. Anything NOT in
+#: this allowlist (Join, Aggregate, Window, Sort, Repartition,
+#: Deduplicate, GlobalLimit, FlatMapGroupsInPandas, set ops, ...)
+#: disqualifies the frame: it is at least session-parallel downstream
+#: of its own exchange, and under AQE an ``.rdd`` probe on such a plan
+#: would eagerly execute its shuffle stages. Unknown node names
+#: therefore fail CLOSED (no probe, no spread) — a misfire is a no-op,
+#: never a wrong result. (r14, ADVICE r13: the previous implementation
+#: substring-matched the whole plan string, so a field or relation
+#: name containing "Sort"/"Join" silently disabled the spread, and
+#: wide nodes missing from its denylist fell through to the probe.)
+_NARROW_NODES = frozenset(
+    {
+        "Relation",
+        "LogicalRelation",
+        "LocalRelation",
+        "Project",
+        "Filter",
+        "Union",
+        "Generate",
+        "SubqueryAlias",
+        "View",
+        "Sample",
+        "LocalLimit",
+        "MapInPandas",
+        "PythonMapInArrow",
+        "MapInArrow",
+    }
+)
+
+_NODE_NAME_RE = None  # compiled lazily (module import stays light)
+
+
+def _plan_node_names(df: DataFrame) -> list[str] | None:
+    """Node names of the analyzed logical plan, one per tree line.
+
+    Parsed from the plan's tree rendering with a line-anchored match:
+    every node prints as ``[indent glyphs]NodeName args...``, so the
+    first identifier after the ``+- : |`` tree prefix IS the node's
+    class-derived name — argument text (aliases, relation names) can
+    no longer fake or mask a node. Returns None when the plan string
+    cannot be obtained (caller decides the conservative action).
+    """
+    global _NODE_NAME_RE
+    if _NODE_NAME_RE is None:
+        import re
+
+        _NODE_NAME_RE = re.compile(r"^[\s+:\-|]*'?([A-Za-z][A-Za-z0-9_]*)")
+    try:
+        tree = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    names = []
+    for line in tree.splitlines():
+        if not line.strip():
+            continue
+        m = _NODE_NAME_RE.match(line)
+        if m:
+            names.append(m.group(1))
+    return names
+
+
+def probe_small_scan(df: DataFrame, min_partitions: int) -> bool | None:
+    """True = the frame is a NARROW plan whose planned parallelism is
+    below ``min_partitions`` (the local single-file-fixture case —
+    spreading and persisting derived frames is cheap and wins); False =
+    already wide enough, or contains a wide operator (the 100 TB case —
+    leave the plan alone and do NOT pin corpus-scale frames in
+    storage); None = the partition probe itself failed (caller chooses
+    the conservative action)."""
+    names = _plan_node_names(df)
+    if names is None or any(n not in _NARROW_NODES for n in names):
+        return False
+    try:
+        return df.rdd.getNumPartitions() < min_partitions
+    except Exception:
+        return None
+
+
 def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition a scan-stage frame ONLY when its planned
     parallelism is below the session's shuffle parallelism.
@@ -46,45 +128,44 @@ def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataF
 
     Meant for frames whose plan is exchange-free (a scan plus
     projections/filters/unions/generates): there
-    ``df.rdd.getNumPartitions()`` is pure planning, no job. A frame
-    that already contains a wide operator (join, aggregate, distinct,
-    window, sort, repartition) is returned untouched WITHOUT probing —
-    it is at least session-parallel downstream of its own exchange,
-    and under AQE an ``.rdd`` probe on such a plan would eagerly
-    execute its shuffle stages (which the real action then re-runs).
-    If the partition probe itself fails the frame is repartitioned
-    unconditionally (always safe for correctness).
+    ``df.rdd.getNumPartitions()`` is pure planning, no job. Wide-
+    operator frames are returned untouched WITHOUT probing, decided by
+    a line-anchored walk of the analyzed plan's node names against a
+    narrow-node allowlist (see ``_NARROW_NODES``); if only the
+    partition probe fails the frame is repartitioned unconditionally
+    (always safe for correctness).
     """
+    spread, _ = spread_small_scan_ex(df, min_partitions)
+    return spread
+
+
+def spread_small_scan_ex(
+    df: DataFrame, min_partitions: int | None = None
+) -> tuple[DataFrame, bool]:
+    """:func:`spread_small_scan` plus the smallness verdict:
+    ``(frame, small)`` where ``small`` is True iff the input was a
+    narrow under-parallel scan (so the spread fired, or the probe
+    failed and the conservative spread was applied).
+
+    Operators use ``small`` to GATE intermediate persists (ADVICE r13):
+    sharing a computed frame across plan branches via
+    ``persist(MEMORY_AND_DISK)`` is the right call on a fixture-sized
+    input, but pinning a corpus-scale frame at 100 TB risks exhausting
+    executor storage — on a wide input they keep the pre-r13 lazy plan
+    instead."""
     spark = df.sparkSession
     if min_partitions is None:
         min_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "200")
         )
-    try:
-        analyzed = df._jdf.queryExecution().analyzed().toString()
-    except Exception:
-        analyzed = ""
-    if any(
-        node in analyzed
-        for node in (
-            "Join",
-            "Aggregate",
-            "Window",
-            "Sort",
-            "Repartition",
-            "Deduplicate",
-            "Intersect",
-            "Except",
-        )
-    ):
-        return df
-    try:
-        n_scan = df.rdd.getNumPartitions()
-    except Exception:
-        return df.repartition(min_partitions)
-    if n_scan >= min_partitions:
-        return df
-    return df.repartition(min_partitions)
+    small = probe_small_scan(df, min_partitions)
+    if small is None:
+        # Probe failure: spreading is always safe for correctness, and
+        # the input size is unknown — treat as small (pre-r14 behavior).
+        return df.repartition(min_partitions), True
+    if small:
+        return df.repartition(min_partitions), True
+    return df, False
 
 
 def round_robin_assignment(files: list[str], n_workers: int) -> dict[int, list[str]]:

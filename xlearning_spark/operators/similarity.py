@@ -167,7 +167,10 @@ def cosine_neardup_pairs_lsh(
     """
     width = num_planes // bands
     mask = (1 << width) - 1
-    e = spread_small_scan(df).select(
+    from xlearning_spark.operators.sharding import spread_small_scan_ex
+
+    spread, small = spread_small_scan_ex(df)
+    e = spread.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
@@ -187,6 +190,14 @@ def cosine_neardup_pairs_lsh(
     bounded = banded.withColumn("__rn", F.row_number().over(wcap)).filter(
         F.col("__rn") <= max_bucket
     )
+    # Both self-join sides read the capped bucket rows; without a
+    # materialization point each side re-runs the num_planes x dim
+    # hyperplane signature fold (r14 — the q48/q86 lesson). Gated on a
+    # small narrow input (ADVICE r13 persist discipline).
+    if small:
+        from pyspark.storagelevel import StorageLevel
+
+        bounded = bounded.persist(StorageLevel.MEMORY_AND_DISK)
     a = bounded.select("band", "chunk", F.col("id").alias("id_a"))
     b = bounded.select("band", "chunk", F.col("id").alias("id_b"))
     cand = (

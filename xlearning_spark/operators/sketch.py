@@ -231,13 +231,14 @@ def portable_minhash_pairs(
     from pyspark.storagelevel import StorageLevel
 
     from xlearning_spark.functions import tokens
-    from xlearning_spark.operators.sharding import spread_small_scan
+    from xlearning_spark.operators.sharding import spread_small_scan_ex
 
+    spread, small = spread_small_scan_ex(df)
     base = (
         # r13 (guide §2.5/§4): spread the single-file fixture scan so
         # the shingle/md5 map work parallelizes (no-op when the scan is
         # already wide — the 100 TB case; see spread_small_scan).
-        spread_small_scan(df)
+        spread
         .select(F.col(id_col).alias("id"), tokens(text_col).alias("__w"))
         .filter(F.size("__w") >= shingle_size)
         .select(
@@ -255,9 +256,13 @@ def portable_minhash_pairs(
     # Catalyst re-runs tokenize+shingle per branch — the same 3x
     # recomputation ngram_jaccard_pairs' materialize flag removes
     # (its measured 13.7 -> 4.1 s lesson). LRU-evicted, not unpersisted.
+    # r14 (ADVICE r13): gated on a small narrow input — a wide 100 TB
+    # scan keeps the lazy plan instead of pinning a corpus-scale copy.
     hashed = base.withColumn(
         "__ht", F.expr(f"transform(toks, t -> {tok_hash})")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if small:
+        hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = hashed.select(
         "id",
         "toks",
@@ -288,6 +293,11 @@ def portable_minhash_pairs(
             )
         ).alias("band", "key"),
     )
+    # The banded key rows feed BOTH self-join sides; without a
+    # materialization point each side re-derives the 48-hash signature
+    # project from `hashed` (r14 — the q48 lesson, gated the same way).
+    if small:
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select("band", "key", F.col("id").alias("id_a"))
     b = banded.select("band", "key", F.col("id").alias("id_b"))
     cand = (
@@ -489,11 +499,16 @@ def sampled_percentiles(
     # group's sample once and interpolates len(ps) times, where one
     # scalar percentile aggregate PER p each buffered the whole sample
     # independently. Same algorithm, identical values.
-    ps_array = "array(" + ", ".join(f"{p!r}D" for p in ps) + ")"
-    aggs = [
-        F.count(F.lit(1)).alias("sample_n"),
-        F.expr(f"percentile({val_col}, {ps_array})").alias("__ps"),
-    ]
+    # float(p) coercion: a numpy scalar's repr under numpy>=2 is
+    # 'np.float64(0.5)' — invalid SQL; an empty ps list would generate
+    # percentile(col, array()) which fails analysis, so it degrades to
+    # the sample_n-only aggregate the pre-array form produced (ADVICE
+    # r13).
+    ps = [float(p) for p in ps]
+    aggs = [F.count(F.lit(1)).alias("sample_n")]
+    if ps:
+        ps_array = "array(" + ", ".join(f"{p!r}D" for p in ps) + ")"
+        aggs.append(F.expr(f"percentile({val_col}, {ps_array})").alias("__ps"))
     out_cols = list(group_cols) + ["sample_n"] + [
         F.round(F.element_at(F.col("__ps"), i + 1), round_digits).alias(
             f"p{int(round(p * 100))}_sample"

@@ -388,7 +388,7 @@ def fingerprint_overlap_pairs(
     max_df: int | None = None,
     *,
     exploded: bool = False,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints:
     ``(id_a, id_b, n_shared)`` — the plagiarism/near-dup report of the
@@ -402,12 +402,18 @@ def fingerprint_overlap_pairs(
     standard stop-fingerprint cap: boilerplate shared by thousands of
     docs carries no near-dup signal anyway).
 
-    ``exploded=True`` (r13): ``fps`` is already one row per distinct
+    ``exploded=True`` (r13): ``fps`` is already one row per
     (id, fingerprint) — :func:`winnowing_fingerprint_rows` output with
     ``fp_col="fp"`` — skipping the collect_set aggregation a caller
     would otherwise run only for this function to re-explode it (one
-    whole Exchange plus the array build, per plans/r13/q79_*). Rows
-    MUST be distinct per (id, fingerprint) or n_shared overcounts.
+    whole Exchange plus the array build, per plans/r13/q79_*). The
+    per-(id, fingerprint) distinctness the pair counts rest on is
+    ENFORCED with a ``dropDuplicates`` rather than assumed (ADVICE
+    r13: a caller passing raw non-distinct k-gram rows would silently
+    overcount n_shared) — on already-distinct input such as the
+    winnowing rows it is a plan-level duplicate of the upstream
+    Deduplicate that the optimizer removes (verified in
+    plans/r14/q79_*: same Exchange count with and without it).
 
     ``materialize=True`` persists the exploded (id, fingerprint) frame:
     it feeds the df-cap filter plus both self-join sides, and without a
@@ -415,12 +421,16 @@ def fingerprint_overlap_pairs(
     fingerprint computation (explode + double window pass for the
     winnowing case) once per branch — three times in q79's before-plan.
     Left to the LRU cache manager to evict (ngram_jaccard_pairs
-    discipline); pass ``materialize=False`` for a pure-lazy plan.
+    discipline). Default False (r14, ADVICE r13): persisting is the
+    CALLER's decision because only the caller knows whether the
+    fingerprint frame is fixture-sized or corpus-scale — q79 opts in
+    on its small input; at 100 TB the lazy plan avoids pinning a
+    corpus-scale frame in executor storage.
     """
     if exploded:
         fp = fps.select(
             F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp")
-        )
+        ).dropDuplicates(["__id", "__fp"])
     else:
         fp = fps.select(
             F.col(id_col).alias("__id"), F.explode(fp_col).alias("__fp")

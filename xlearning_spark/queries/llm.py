@@ -1395,7 +1395,11 @@ def q79_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", k=8, w=4, polynomial=True
     )
     return fingerprint_overlap_pairs(
-        fps, fp_col="fp", min_shared=2, max_df=20, exploded=True
+        # materialize: the fixture fingerprint frame is small and feeds
+        # three branches (df-cap + both join sides) — the r14 default
+        # is False because the operator can't know the caller's scale.
+        fps, fp_col="fp", min_shared=2, max_df=20, exploded=True,
+        materialize=True,
     )
 
 
