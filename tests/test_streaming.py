@@ -356,6 +356,42 @@ def test_neardup_ingest_accumulates_novel_docs(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 3, 6, 8}
 
 
+def test_neardup_ingest_releases_per_batch_caches(spark, tmp_path):
+    # VERDICT r13 item 3: the pair generator persists its shingle frame
+    # per micro-batch; a long-running stream must release it
+    # DETERMINISTICALLY after each batch commits, not lean on LRU
+    # eviction — the persistent-RDD set must return to its pre-drain
+    # baseline after a multi-batch drain (one source file per
+    # micro-batch, so this exercises several foreachBatch invocations).
+    import os
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "doc_id bigint, text string"
+    for i in range(6):
+        spark.createDataFrame(
+            [(i, f"w{i} x{i} y{i} z{i} common tail words {i}")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    written = st.neardup_ingest(
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src),
+        corpus, ckpt, threshold=0.5, shingle_size=2,
+    )
+    assert len(written) >= 4  # several batches actually ran
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), (
+        f"neardup_ingest leaked {len(after - before)} persisted RDDs "
+        f"across {len(written)} micro-batches: {sorted(after - before)}"
+    )
+
+
 def _drop_last_commit(ckpt: str) -> int:
     """Simulate the crash window between a foreachBatch append and the
     checkpoint commit: delete the newest ``commits/<batchId>`` marker.

@@ -276,6 +276,7 @@ def ngram_jaccard_pairs(
     delta_ids: DataFrame | None = None,
     demote_hot_df: float | None = None,
     max_hot: int = 256,
+    persisted_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact n-gram (word-shingle) Jaccard near-dup pairs via prefix
     filtering -> (id_a, id_b, jaccard), jaccard >= threshold.
@@ -395,6 +396,14 @@ def ngram_jaccard_pairs(
     # one computed shingle frame, not re-tokenize per branch.
     if materialize or demote_hot_df is not None:
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        # Deterministic release hook (VERDICT r13 item 3): a caller
+        # that consumes the result EAGERLY (streaming ingests run one
+        # sweep per micro-batch) passes a list and unpersists the
+        # collected frames once its action commits — a long-running
+        # stream otherwise accumulates one dead cached frame per batch
+        # and leans on LRU eviction under memory pressure (guide §5).
+        if persisted_out is not None:
+            persisted_out.append(base)
     prefix_len = (
         F.col("__m") - F.ceil(F.col("__m") * F.lit(threshold)) + 1
     ).cast("int")
@@ -496,6 +505,7 @@ def connected_components(
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
     doubling_jumps: int = 1,
+    final_ckpt_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Min-label propagation over dup pairs -> (id, component) groups.
 
@@ -639,6 +649,15 @@ def connected_components(
         if not changed:
             # edges are dead too: the result is checkpoint-truncated.
             _release(edges)
+            # The RESULT rides the final round's checkpoint blocks, so
+            # they cannot be released here. An eager caller that fully
+            # consumes the result within its own scope (streaming
+            # ingests: one sweep per micro-batch) passes
+            # ``final_ckpt_out`` and releases them deterministically
+            # afterwards (VERDICT r13 item 3) — batch callers leave
+            # them to the ContextCleaner as before.
+            if final_ckpt_out is not None:
+                final_ckpt_out.append(new_ck)
             return new_ck.select("id", "component")
         labels = new_ck.select("id", "component")
     raise RuntimeError(

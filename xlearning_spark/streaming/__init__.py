@@ -617,6 +617,12 @@ def neardup_ingest(
         # the landed batch — the already-deduped corpus is never
         # re-paired against itself (semantics-preserving for the
         # corpus-precedence verdicts below; see ngram_jaccard_pairs).
+        # Deterministic per-batch cache release (VERDICT r13 item 3):
+        # the pair generator persists its shingle frame for branch
+        # sharing; collect the handle and unpersist after this batch's
+        # write commits — a long-running stream must not accumulate
+        # one dead cached frame per micro-batch.
+        batch_persists: list[DataFrame] = []
         pairs = ngram_jaccard_pairs(
             pool,
             id_col,
@@ -628,8 +634,12 @@ def neardup_ingest(
             # corpora demote hot shingles out of prefixes (lossless —
             # see ngram_jaccard_pairs / SCALE.md organic-skew probe).
             demote_hot_df=demote_hot_df,
+            persisted_out=batch_persists,
         ).select("id_a", "id_b")
-        comps = connected_components(pairs)  # (id, component)
+        batch_ckpts: list[DataFrame] = []
+        comps = connected_components(
+            pairs, final_ckpt_out=batch_ckpts
+        )  # (id, component)
         rank = pool.select(F.col(id_col).alias("id"), "__corpus")
         labeled = comps.join(rank, "id")
         # Component verdicts: corpus member present -> all batch
@@ -664,6 +674,10 @@ def neardup_ingest(
             # Per-micro-batch blocks released eagerly (cleaner-lag
             # discipline — see incremental_save).
             release_checkpoint(survivors)
+            for frame in batch_persists:
+                frame.unpersist()
+            for ck in batch_ckpts:
+                release_checkpoint(ck)
 
     with _batch_ingest_lease(
         stream_df.sparkSession, corpus_dir, "neardup_ingest"
