@@ -561,15 +561,20 @@ def connected_components(
     edges = _materialize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
         # r13 (guide §2.4): hash-partition the static edge list by the
         # per-round join key BEFORE checkpointing — checkpoint preserves
         # outputPartitioning, so every round's edges⋈labels join reads
         # the edge blocks in place instead of re-shuffling the (corpus-
         # scale) edge list once per round; only the small labels side
-        # exchanges. One extra edge shuffle at build, one saved per
-        # round thereafter.
+        # exchanges. r14 (guide §2.4 share-one-exchange): dedup runs
+        # AFTER the dst repartition — hash(dst) clusters every
+        # duplicate (src, dst) row into one partition and satisfies
+        # the aggregate's ClusteredDistribution({src, dst}), so the
+        # distinct's own (src, dst) exchange is planned away: ONE
+        # edge-list shuffle at build instead of two (verified in
+        # plans/r14/q53_*).
         .repartition("dst")
+        .dropDuplicates(["src", "dst"])
         # Materialize once: the edge list is re-joined every iteration
         # (plus the convergence probe), and an expensive upstream plan
         # (e.g. a similarity join) would otherwise re-execute per round.
