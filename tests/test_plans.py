@@ -77,6 +77,16 @@ def test_q46_broadcasts_query_side_only(spark):
     # is parallelism recovery, not a keyed corpus shuffle, so it is
     # not counted here.)
     assert plan.count("hashpartitioning(") == 1
+    # ...and total exchanges stay bounded (ADVICE r13: the
+    # hashpartitioning count alone would miss a regression that adds
+    # extra round-robin/range exchanges on the corpus path): one keyed
+    # window exchange + the spread's round-robin + the broadcast.
+    import re
+
+    n_exchanges = len(re.findall(r"\bExchange \(\d+\)", plan))
+    assert n_exchanges <= 2, f"{n_exchanges} Exchange nodes in q46 plan"
+    n_bcast = len(re.findall(r"\bBroadcastExchange \(\d+\)", plan))
+    assert n_bcast <= 1, f"{n_bcast} BroadcastExchange nodes in q46 plan"
 
 
 def test_q54_blocked_pair_join_shape(spark):

@@ -85,53 +85,65 @@ GRADING_WINDOW = [
     # (sketch tier keeps q112/q113 + q85/q86 below), q95 (corpus tier
     # keeps q71-q78), q90 (L6 keeps q94/q115), q50 (L3 keeps q114 +
     # the new q123).
-    "q03_shipping_priority",         # J1/top-k (last driver-green r5)
-    "q15_collect_sorted",            # A8 sort-agg/collect (last r5)
-    "q21_set_operations",            # SS2.9 set ops (last r5)
-    "q22_string_functions",          # SS2.6 string fns (last r5)
-    "q23_datetime_functions",        # SS2.6 datetime fns (last r5)
-    "q24_math_functions",            # SS2.6 math fns (last r5)
-    "q25_array_functions",           # SS2.6 array fns (last r5)
-    "q26_json_functions",            # SS2.6 json fns (last r5)
-    "q27_conditional_functions",     # SS2.6 conditional fns (last r5)
-    "q69_multimodal_audio",          # L5 WAV decode (last r7)
-    "q82_multimodal_image",          # L5 image decode (last r7)
-    "q86_portable_minhash",          # L4/L2 md5-portable MinHash banding (last r7)
-    "q92_multimodal_video",          # L5 MJPEG-AVI frame sample (last r7)
-    "q103_small_quantity_revenue",   # subquery tier (last r8)
-    "q105_dormant_rich_customers",   # subquery tier (last r8)
-    "q107_red_part_volume_suppliers",  # subquery tier (last r8)
-    "q109_large_volume_orders",      # subquery tier (last r9)
-    "q110_top_revenue_supplier",     # subquery tier (last r9)
-    "q111_order_count_distribution", # subquery tier (last r9)
-    "q85_portable_hll",              # A6 hash-certified HLL twin (last r9)
-    "q98_duplicate_spans",           # L2 substring span generator (last r9)
-    "q123_frozen_ivf_probe",         # L3 IVF assign/probe algebra, hash-certified (NEW r13 — VERDICT r12 item 2)
+    "q86_portable_minhash",          # L4/L2 md5-portable MinHash banding (graded r13; stays — only minhash-banding certifier, and its internals changed this round)
+    "q111_order_count_distribution", # subquery tier (graded r13; keeps the tier's agg-HAVING shape in-window)
+    "q85_portable_hll",              # A6 hash-certified HLL twin (graded r13)
+    "q98_duplicate_spans",           # L2 substring span generator (graded r13)
+    "q123_frozen_ivf_probe",         # L3 IVF assign/probe algebra, hash-certified (graded r13)
+    # r14 re-certification rotation (VERDICT r13 item 8): the oldest
+    # driver-green rows are the r10-graded tranche (pipe/UDF tier
+    # q60-q68, plus q35/q43/q55/q87/q89/q91/q104/q117, last graded
+    # round 10 — 4 rounds stale after r13). IN: all 17. OUT, all
+    # freshly driver-green r13 with their families kept certified by
+    # in-window mates: the r5 scalar-function tranche q15/q21-q27
+    # (function families, stable since r5), q03 (join tier keeps
+    # q07 + the q103-q110 subquery joins' in-window mates below),
+    # q69/q82/q92 (multimodal keeps q84 gif + the rotated-in q91
+    # jpeg), q103/q105/q107/q109/q110 (subquery tier keeps q104
+    # rotated in + q111 kept above).
+    "q60_pipe_wordcount",            # P pipe tier (last driver-green r10)
+    "q61_input_file_list",           # S file-list tier (last r10)
+    "q62_map_functions",             # SS2.6 map fns (last r10)
+    "q63_pandas_udf_tokens",         # U vectorized UDF (last r10)
+    "q64_apply_in_pandas_group_stats",  # U grouped pandas (last r10)
+    "q65_tokens_udtf",               # U UDTF (last r10)
+    "q66_round_robin_allocation",    # P1 sharding (last r10)
+    "q67_epoch_replay",              # P6 epoch replay (last r10)
+    "q68_hadoop_records",            # S hadoop records (last r10)
+    "q35_sessionization",            # W sessionization (last r10)
+    "q43_text_stats",                # L4 text stats (last r10)
+    "q55_embedding_neardup_lsh",     # L2 hyperplane-LSH neardup (last r10; bucket persist changed this round)
+    "q87_portable_simhash",          # L2 portable simhash (last r10)
+    "q89_lm_quality",                # L6 LM quality (last r10)
+    "q91_multimodal_jpeg",           # L5 JPEG decode (last r10)
+    "q104_sole_blame_supplier",      # subquery tier (last r10)
+    "q117_attribution_coverage",     # T attribution coverage (last r10)
 ]
 
 #: Oracle-backed family-mates already driver-green; falling outside
 #: the window costs nothing (their family is certified above).
 GRADED_SPARES = [
-    # r10 rotations OUT (all driver-green r9; in-window mates keep
-    # each family certified):
-    "q60_pipe_wordcount",
-    "q63_pandas_udf_tokens",
-    "q64_apply_in_pandas_group_stats",
-    "q35_sessionization",
-    "q66_round_robin_allocation",
-    "q67_epoch_replay",
-    "q89_lm_quality",
-    "q43_text_stats",
-    "q55_embedding_neardup_lsh",
-    "q91_multimodal_jpeg",
-    "q104_sole_blame_supplier",
-    "q87_portable_simhash",
-    "q117_attribution_coverage",
+    # r14 rotations OUT (all freshly driver-green r13 — the r13
+    # re-certification tranche; in-window mates keep each family
+    # certified, see the r14 rotation-in comment above):
+    "q03_shipping_priority",
+    "q15_collect_sorted",
+    "q21_set_operations",
+    "q22_string_functions",
+    "q23_datetime_functions",
+    "q24_math_functions",
+    "q25_array_functions",
+    "q26_json_functions",
+    "q27_conditional_functions",
+    "q69_multimodal_audio",
+    "q82_multimodal_image",
+    "q92_multimodal_video",
+    "q103_small_quantity_revenue",
+    "q105_dormant_rich_customers",
+    "q107_red_part_volume_suppliers",
+    "q109_large_volume_orders",
+    "q110_top_revenue_supplier",
     # r11 rotations OUT (all freshly driver-green r10):
-    "q61_input_file_list",
-    "q62_map_functions",
-    "q65_tokens_udtf",
-    "q68_hadoop_records",
     "q46_cosine_topk",
     "q05_regional_revenue",
     "q08_range_join_price_bands",
