@@ -167,10 +167,7 @@ def cosine_neardup_pairs_lsh(
     """
     width = num_planes // bands
     mask = (1 << width) - 1
-    from xlearning_spark.operators.sharding import spread_small_scan_ex
-
-    spread, small = spread_small_scan_ex(df)
-    e = spread.select(
+    e = spread_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
@@ -190,14 +187,11 @@ def cosine_neardup_pairs_lsh(
     bounded = banded.withColumn("__rn", F.row_number().over(wcap)).filter(
         F.col("__rn") <= max_bucket
     )
-    # Both self-join sides read the capped bucket rows; without a
-    # materialization point each side re-runs the num_planes x dim
-    # hyperplane signature fold (r14 — the q48/q86 lesson). Gated on a
-    # small narrow input (ADVICE r13 persist discipline).
-    if small:
-        from pyspark.storagelevel import StorageLevel
-
-        bounded = bounded.persist(StorageLevel.MEMORY_AND_DISK)
+    # NOT persisted (r14, measured): unlike the MinHash banding (q48,
+    # where caching the bucket rows dedupes a 64-aggregate signature
+    # project and won ~5%), the hyperplane signature is ONE nested
+    # fold — a paired A/B read persist 3.38 s vs lazy 3.30 s (median
+    # of 4, same session), so the cache traffic buys nothing here.
     a = bounded.select("band", "chunk", F.col("id").alias("id_a"))
     b = bounded.select("band", "chunk", F.col("id").alias("id_b"))
     cand = (
@@ -544,10 +538,14 @@ def lsh_topk(
     mask = (1 << width) - 1
 
     def banded(df: DataFrame, prefix: str) -> DataFrame:
+        # IDs + band keys only: the vectors do NOT ride the bucket
+        # join (r14, guide §2.3 shuffle-keys-not-payloads — the
+        # previous form carried both 64-dim arrays through the
+        # candidate dedup as grouping KEYS: Exchange
+        # hashpartitioning(qid, qv, cid, cv) in q50's before-plan).
         s = hyperplane_signature(df, vec_col, dim, num_planes)
         return s.select(
             F.col(id_col).alias(f"{prefix}id"),
-            F.col(vec_col).cast("array<double>").alias(f"{prefix}v"),
             F.posexplode(
                 F.array(
                     *[
@@ -563,9 +561,26 @@ def lsh_topk(
     cand = cb.join(F.broadcast(qb), ["band", "chunk"])
     if exclude_self:
         cand = cand.filter(F.col("qid") != F.col("cid"))
-    cand = cand.select("qid", "qv", "cid", "cv").distinct()
-    scored = cand.withColumn(
-        "cosine", _dot(F.col("qv"), F.col("cv")) / (_norm("qv") * _norm("cv"))
+    # Multi-band collisions dedup on the bare id pair (two bigint
+    # keys, plain HashAggregate); the vectors are re-attached AFTER —
+    # queries by broadcast (bounded by contract), corpus by the same
+    # verify-stage equi join cosine_neardup_pairs_lsh uses. Same rows,
+    # same cosines (q50's oracle hash certifies it).
+    cand = cand.select("qid", "cid").distinct()
+    qvec = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        cand.join(F.broadcast(qvec), "qid")
+        .join(cvec, "cid")
+        .withColumn(
+            "cosine", _dot(F.col("qv"), F.col("cv")) / (_norm("qv") * _norm("cv"))
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
