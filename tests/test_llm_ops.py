@@ -344,8 +344,30 @@ def test_connected_components_raises_on_non_convergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], ["id_a", "id_b"]
     )
+    # driver_edge_limit=0 forces the distributed rounds (the in-cap
+    # driver fixpoint always converges, so the guard lives in the
+    # distributed loop only).
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, driver_edge_limit=0)
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    # The r14 size-gated driver solve must return the identical
+    # fixpoint (id -> min reachable id) as the distributed rounds:
+    # mixed topology (deep chain + clique + singleton pair), both ways.
+    pairs = [(i, i + 1) for i in range(50)]          # 51-node chain
+    pairs += [(100 + a, 100 + b) for a in range(5) for b in range(a + 1, 5)]
+    pairs += [(200, 201)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    local = {
+        (r.id, r.component) for r in connected_components(df).collect()
+    }
+    dist = {
+        (r.id, r.component)
+        for r in connected_components(df, driver_edge_limit=0).collect()
+    }
+    assert local == dist
+    assert {c for _, c in local} == {0, 100, 200}
 
 
 def test_simhash_narrow_bits_stay_in_range(spark):

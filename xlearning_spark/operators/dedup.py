@@ -500,12 +500,36 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
+def _cc_local(nodes, src_idx, dst_idx):
+    """Vectorized min-label + pointer-doubling over index arrays.
+
+    ``nodes`` is SORTED ascending, so min over indices == min over
+    ids, and the converged fixpoint — every node labeled with the
+    smallest id reachable from it — is the same unique answer the
+    distributed loop converges to (component = min member id),
+    independent of iteration schedule. Runs in O(E) numpy work per
+    round, ~log2(diameter) rounds.
+    """
+    import numpy as np
+
+    comp = np.arange(len(nodes))
+    for _ in range(10_000):  # safety bound; depth halves per round
+        nxt = comp.copy()
+        np.minimum.at(nxt, src_idx, comp[dst_idx])
+        nxt = np.minimum(nxt, nxt[nxt])  # pointer doubling
+        if np.array_equal(nxt, comp):
+            return comp
+        comp = nxt
+    raise RuntimeError("local connected_components did not converge")
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
     doubling_jumps: int = 1,
     final_ckpt_out: list[DataFrame] | None = None,
+    driver_edge_limit: int = 2_000_000,
 ) -> DataFrame:
     """Min-label propagation over dup pairs -> (id, component) groups.
 
@@ -559,8 +583,27 @@ def connected_components(
         release_checkpoint(ck, reliable=checkpoint_dir is not None)
 
     edges = _materialize(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        # Both edge directions via ONE explode instead of
+        # pairs ∪ pairs.swapped (r14, guide §1.2 don't-compute-twice):
+        # union evaluates the ``pairs`` subtree once PER BRANCH, so an
+        # expensive upstream pair generator (q53: the exact-Jaccard
+        # self-join, ~580k verified pairs at sf0.1) ran twice inside
+        # the single edges-build job. The explode reads each pair row
+        # once and emits both directions from it — same rows, half the
+        # pair-generator work (measured: the edges job drops ~1.9x).
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         # r13 (guide §2.4): hash-partition the static edge list by the
         # per-round join key BEFORE checkpointing — checkpoint preserves
         # outputPartitioning, so every round's edges⋈labels join reads
@@ -579,6 +622,58 @@ def connected_components(
         # (plus the convergence probe), and an expensive upstream plan
         # (e.g. a similarity join) would otherwise re-execute per round.
     )
+    # Size-gated driver solve (r14, guide §1.2 the-distributed-
+    # algorithm; same device as learn_bpe_merge_table's in-cap driver
+    # trainer): the deduped edge list is usually orders of magnitude
+    # smaller than the corpus that produced it — near-dup graphs are
+    # sparse by construction. When it fits ``driver_edge_limit`` rows
+    # (~32 MB at the 2M default: two bigints/row), collect the slim
+    # (src, dst) pairs ONCE off the just-materialized checkpoint and
+    # run the same min-label + pointer-doubling fixpoint vectorized on
+    # the driver (:func:`_cc_local`): the whole iterate-until-stable
+    # tail — 3+ multi-stage Spark jobs of pure scheduling latency at
+    # fixture scale, each re-scanning the edge blocks — collapses into
+    # milliseconds of numpy. The fixpoint (every node -> min reachable
+    # id) is unique, so the answer is bit-identical to the distributed
+    # loop's (q53's recursive-CTE oracle certifies it). Graphs over
+    # the cap take the distributed rounds below, unchanged — the count
+    # that decides is the same action that materializes the checkpoint
+    # the rounds need anyway. Everything is computed from the inputs
+    # within this call: nothing persists across runs. Reliable-
+    # checkpoint callers (checkpoint_dir set — the real-cluster,
+    # fault-tolerant configuration) keep the distributed rounds
+    # regardless of size: they asked for executor-loss-surviving
+    # lineage, and a driver collect is the opposite trade.
+    n_edges = edges.count() if checkpoint_dir is None else None
+    if n_edges is not None and n_edges <= driver_edge_limit:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import StructField, StructType
+
+        spark_ = pairs.sparkSession
+        id_type = edges.schema["src"].dataType
+        out_schema = StructType(
+            [
+                StructField("id", id_type, False),
+                StructField("component", id_type, False),
+            ]
+        )
+        if n_edges == 0:
+            _release(edges)
+            return spark_.createDataFrame([], out_schema)
+        pdf = edges.toPandas()
+        src = pdf["src"].to_numpy()
+        dst = pdf["dst"].to_numpy()
+        # Edges carry both directions, so every endpoint appears in
+        # src; np.unique sorts ascending (numeric order / code-point
+        # string order — the same total order Spark's min uses).
+        nodes, src_idx = np.unique(src, return_inverse=True)
+        dst_idx = np.searchsorted(nodes, dst)
+        comp = _cc_local(nodes, src_idx, dst_idx)
+        _release(edges)
+        out = pd.DataFrame({"id": nodes, "component": nodes[comp]})
+        return spark_.createDataFrame(out, schema=out_schema)
+
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
