@@ -213,17 +213,23 @@ def minhash_near_duplicates(
     from xlearning_spark.operators.sharding import spread_small_scan_ex
 
     params = _hash_params(num_hashes)
-    # r13 (guide §2.3/§2.5): one shared, persisted shingle-hash frame
-    # feeds BOTH the signature branch and the exact-Jaccard verify
-    # sides — previously each branch re-ran tokenize + shingle-hash
-    # from the scan (and a single-file fixture scan ran it all on one
-    # core; spread_small_scan is a no-op on an already-wide scan).
+    # r13 (guide §2.3/§2.5): one shared shingle-hash frame feeds BOTH
+    # the signature branch and the exact-Jaccard verify sides —
+    # previously each branch re-ran tokenize + shingle-hash from the
+    # scan (and a single-file fixture scan ran it all on one core;
+    # spread_small_scan is a no-op on an already-wide scan).
     # min over duplicates == min over distinct, so signatures off the
     # raw hash array are unchanged; verify distincts per row as before.
-    # r14 (ADVICE r13): the persist is GATED on the input being a
-    # small narrow scan — at corpus scale a pinned MEMORY_AND_DISK
-    # copy of the shingle-hash frame risks exhausting executor disks,
-    # so a wide input keeps the pre-r13 lazy plan.
+    # r14: the frame is NOT persisted (measured under the cold-cache
+    # bench protocol, paired variants in one session): writing the
+    # wide array<bigint> rows to storage inside the timed run costs
+    # more than re-running the codegen tokenize+hash per branch —
+    # persist+buckets 3.1 s vs buckets-only 2.1 s median. Only the
+    # SLIM capped bucket rows are cached (cache_buckets below), which
+    # dedupes the 64-aggregate signature subtree across the self-join
+    # sides — that one pays for itself. At corpus scale a pinned copy
+    # of the shingle-hash frame would risk executor disks anyway
+    # (ADVICE r13), so lazy is also the scale-correct default.
     spread, small = spread_small_scan_ex(df)
     hashed = with_shingle_hashes(
         spread.filter(F.size(tokens(text_col)) >= shingle_size),
@@ -232,8 +238,6 @@ def minhash_near_duplicates(
         shingle_size,
         _P,
     ).select(F.col(id_col), F.col("__sh0"))
-    if small:
-        hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = hashed.select(
         F.col(id_col),
         F.array(

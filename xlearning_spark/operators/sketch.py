@@ -251,18 +251,16 @@ def portable_minhash_pairs(
             ).alias("toks"),
         )
     )
-    # Persist the (toks, md5-hash) frame: it feeds the signature branch
-    # plus BOTH verify sides, and without a materialization point
-    # Catalyst re-runs tokenize+shingle per branch — the same 3x
-    # recomputation ngram_jaccard_pairs' materialize flag removes
-    # (its measured 13.7 -> 4.1 s lesson). LRU-evicted, not unpersisted.
-    # r14 (ADVICE r13): gated on a small narrow input — a wide 100 TB
-    # scan keeps the lazy plan instead of pinning a corpus-scale copy.
+    # The (toks, md5-hash) frame is NOT persisted (r14, measured under
+    # the cold-cache protocol): caching the wide token/hash array rows
+    # inside the timed run costs as much as the codegen recompute it
+    # saves (paired persist/lazy medians 2.09 s vs 2.05 s), and at
+    # 100 TB a pinned copy risks executor disks (ADVICE r13). The slim
+    # BANDED rows below stay cached — that is where branch sharing
+    # pays (the q48 lesson).
     hashed = base.withColumn(
         "__ht", F.expr(f"transform(toks, t -> {tok_hash})")
     )
-    if small:
-        hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = hashed.select(
         "id",
         "toks",

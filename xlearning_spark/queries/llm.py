@@ -117,8 +117,6 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
     "ngram_jaccard_pairs is the sub-quadratic form.",
 )
 def q42_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
-
     d = (
         # Spread the scan BEFORE the tokenize/hash projection (r13,
         # guide §2.5 input skew / §1.2 the-distributed-algorithm): a
@@ -143,14 +141,15 @@ def q42_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("n", F.size("toks"))
-        # Persist: the frame feeds BOTH self-join sides, and the
-        # planner otherwise (a) re-runs tokenize+hash per side and (b)
-        # inlines the tokenize expression into an inferred isnotnull
-        # Filter UNDER the projection — tokenizing every document twice
-        # per side (visible in plans/r13/q42_jaccard_pairs_before.txt
-        # operators (2)/(6)). Left to the LRU cache manager to evict,
-        # same discipline as ngram_jaccard_pairs' materialize flag.
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # NOT persisted (r14, measured under the cold-cache protocol,
+        # interleaved persist/lazy in one session: persist 1.12 s vs
+        # lazy 0.97 s median): the frame feeds both self-join sides,
+        # and the r13 persist deduped the per-side tokenize+hash — but
+        # writing the token-hash array rows to storage inside the run
+        # costs more than the spread codegen recompute it saves. The
+        # r13 "0.14x" was a warm-cache artifact (VERDICT r13 item 2):
+        # runs 2-3 were served from run 1's cache. Lazy is also the
+        # 100 TB-correct shape — no pinned corpus-scale frame.
     )
     a = d.select(
         F.col("doc_id").alias("id_a"), "source", F.col("toks").alias("ta"), F.col("n").alias("na")
@@ -1395,11 +1394,13 @@ def q79_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", k=8, w=4, polynomial=True
     )
     return fingerprint_overlap_pairs(
-        # materialize: the fixture fingerprint frame is small and feeds
-        # three branches (df-cap + both join sides) — the r14 default
-        # is False because the operator can't know the caller's scale.
+        # materialize=False (r14, measured under the cold-cache
+        # protocol, interleaved in one session: persist 4.15 s vs lazy
+        # 4.02 s median): caching the exploded fingerprint frame no
+        # longer wins once every run pays the cache write — the r13
+        # gain came from warm-cache re-runs. Lazy also matches the
+        # operator's scale-safe default.
         fps, fp_col="fp", min_shared=2, max_df=20, exploded=True,
-        materialize=True,
     )
 
 
