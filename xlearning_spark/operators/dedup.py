@@ -787,9 +787,20 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     # aggregation is the heavy stage and runs INSIDE the scan stage —
     # a single-file fixture scan serialized it onto one core. No-op on
     # an already-wide scan (see spread_small_scan).
+    # r14 (guide §2.4 remove-shuffles): explode_OUTER keeps one
+    # null-hash row for every null/empty token array, so every
+    # document reaches the aggregate and the re-anchor join the
+    # previous form needed (id-set distinct + left join + coalesce —
+    # a second corpus scan plus two exchanges) is gone. The null row
+    # yields n=1 with all-null bit sums, and the sign rule
+    # when(null*2 > 1) is false for every bit -> the same all-zero
+    # sketch the join path produced (verified value-identical on the
+    # sf0.1 corpus; empty-doc tests cover it).
     th = spread_small_scan(df).select(
         F.col(id_col),
-        F.explode(F.transform(tokens(text_col), lambda x: F.xxhash64(x))).alias("__h"),
+        F.explode_outer(
+            F.transform(tokens(text_col), lambda x: F.xxhash64(x))
+        ).alias("__h"),
     )
     agg = th.groupBy(id_col).agg(
         F.count("*").alias("__n"),
@@ -810,20 +821,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     terms = [bit[i] * F.lit(1 << i).cast("bigint") for i in range(bits - 1)]
     top = -(1 << 63) if bits == 64 else (1 << (bits - 1))
     terms.append(bit[bits - 1] * F.lit(top).cast("bigint"))
-    sigs = agg.select(
+    return agg.select(
         F.col(id_col), sum(terms, F.lit(0).cast("bigint")).alias("simhash")
-    )
-    # explode emits nothing for null/empty token arrays, which would
-    # silently drop those documents; re-anchor on the id set and give
-    # them the all-zero sketch (what the sign rule yields at n=0).
-    return (
-        df.select(id_col)
-        .distinct()
-        .join(sigs, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash"),
-        )
     )
 
 
